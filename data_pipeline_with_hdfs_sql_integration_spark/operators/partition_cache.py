@@ -1,0 +1,139 @@
+"""Per-key partition cache with create/reuse/recreate fault semantics.
+
+Reference behavior (server.py:95-147, the CalcAvgLoan RPC):
+
+- fast path: read ``/partitions/{key}.parquet`` → mean → source="reuse"
+- ``FileNotFoundError`` → recompute from the main file, write the
+  partition, source="create"
+- other ``OSError`` (DataNode loss, corrupt file) → same recompute,
+  source="recreate"
+- empty key (NumPy mean of zero rows = NaN, ``int(NaN)`` raises) →
+  caught and returned as an error (server.py:145-147)
+
+Spark-native design: the cache is a Hive-style partitioned parquet
+layout ``cache_root/<key_col>=<k>/`` so a reuse-path read is a direct
+small-file scan (and a full-layout read gets partition pruning for
+free). The exception taxonomy maps AnalysisException/path-missing →
+create and other Spark/IO errors → recreate. Replication tiering
+(reference: 2× main, 1× cache — server.py:49 vs 135) is applied per
+write via the Hadoop FileSystem API when the storage supports it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CacheResult:
+    key: object
+    avg: int  # 0 when error (reference returns 0 with error set)
+    source: str  # "create" | "reuse" | "recreate" | "" on error
+    error: str = ""
+
+
+class PartitionCache:
+    """Materialized per-key query-result cache (SURVEY.md §2 O10/O11).
+
+    Parameters
+    ----------
+    main : DataFrame
+        The full dataset (the analog of /hdma-wi-2021.parquet).
+    key_col, value_col : str
+        Partition key and the column averaged by the flagship query.
+    cache_root : str
+        Directory for the per-key parquet partitions.
+    replication : int
+        Desired HDFS replication for cache files (reference uses 1×;
+        ignored on filesystems without replication, e.g. file://).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        main: DataFrame,
+        key_col: str,
+        value_col: str,
+        cache_root: str,
+        replication: int = 1,
+    ) -> None:
+        self.spark = spark
+        self.main = main
+        self.key_col = key_col
+        self.value_col = value_col
+        self.cache_root = cache_root.rstrip("/")
+        self.replication = replication
+
+    # -- paths ---------------------------------------------------------
+    def partition_path(self, key: object) -> str:
+        return f"{self.cache_root}/{self.key_col}={key}"
+
+    # -- internals -----------------------------------------------------
+    def _avg_of(self, df: DataFrame) -> int | None:
+        """AVG truncated toward zero like Python int() (server.py:109).
+
+        Returns None for an empty input (NumPy-NaN analog).
+        """
+        row = df.agg(F.avg(self.value_col).alias("a")).collect()[0]
+        return None if row["a"] is None else int(row["a"])
+
+    def _write_partition(self, subset: DataFrame, key: object) -> None:
+        path = self.partition_path(key)
+        # One key's subset is small by construction — coalesce(1) mirrors
+        # the reference's single partition file per key (server.py:139-140).
+        subset.drop(self.key_col).coalesce(1).write.mode("overwrite").parquet(path)
+        self._set_replication(path)
+
+    def _set_replication(self, path: str) -> None:
+        try:
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            for st in fs.listStatus(hpath):
+                if st.isFile():
+                    fs.setReplication(st.getPath(), self.replication)
+        except Exception:
+            pass  # local fs: replication is a no-op
+
+    def _recompute(self, key: object, source: str) -> CacheResult:
+        subset = self.main.filter(F.col(self.key_col) == F.lit(key))
+        avg = self._avg_of(subset)
+        if avg is None:
+            # Reference: int(NaN) raises → error response (server.py:145-147).
+            return CacheResult(key, 0, "", f"no rows for {self.key_col}={key}")
+        self._write_partition(subset, key)
+        return CacheResult(key, avg, source)
+
+    # -- public API ----------------------------------------------------
+    def calc_avg(self, key: object) -> CacheResult:
+        """The CalcAvgLoan state machine (server.py:103-143)."""
+        try:
+            cached = self.spark.read.parquet(self.partition_path(key))
+            avg = self._avg_of(cached)
+            if avg is None:
+                return CacheResult(key, 0, "", f"no rows for {self.key_col}={key}")
+            return CacheResult(key, avg, "reuse")
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return self._recompute(key, "create")  # server.py:113-116
+            return self._recompute(key, "recreate")  # corrupt metadata etc.
+        except Exception:
+            return self._recompute(key, "recreate")  # server.py:118-121 (OSError)
+
+    def invalidate(self) -> None:
+        """Drop the whole cache (performance_analyzer.py:26-34, O16)."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.cache_root)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+
+    def warm_all(self) -> None:
+        """Bulk idiomatic variant: one partitioned write materializes every
+        key at once (df.write.partitionBy) — at 100 TB this replaces N
+        per-key jobs with a single shuffle-free partitioned write."""
+        self.main.write.partitionBy(self.key_col).mode("overwrite").parquet(self.cache_root)
+        self._set_replication(self.cache_root)

@@ -1,0 +1,16 @@
+"""Query plan modules. Importing them populates the registry."""
+
+from __future__ import annotations
+
+_LOADED = False
+
+
+def load_all_plans() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    _LOADED = True
+    from data_pipeline_with_hdfs_sql_integration_spark.plans import (  # noqa: F401
+        cache_queries,
+        core_queries,
+    )

@@ -1,0 +1,263 @@
+"""Core relational operators — the reference's operator inventory
+(SURVEY.md §2, O1–O13) re-expressed as Catalyst-optimized DataFrame
+plans over the driver star schema.
+
+Numeric-parity rules used throughout (Spark vs the DuckDB oracle):
+
+- SUM over doubles is order-dependent in floating point, so money-style
+  sums cast the *inputs* to DECIMAL(18,2) (exact, associative) and cast
+  the final result back to DOUBLE — bit-identical on both engines.
+- The reference truncates averages toward zero with Python ``int()``
+  (reference server.py:109). Spark's ``cast(int)`` truncates; DuckDB's
+  CAST rounds, so oracles spell it ``CAST(TRUNC(...) AS INTEGER)``.
+- Timestamps rely on ``spark.sql.session.timeZone=UTC`` (set
+  defensively per query via ``apply_runtime_confs``).
+
+Scale notes (100 TB posture) are in each docstring; tests assert the
+physical-plan properties (pushdown, broadcast) in
+tests/test_plan_shape.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+# Band filter analog of the reference's loan_amount ∈ (30000, 800000)
+# (reference server.py:36) — open interval on l_extendedprice.
+BAND_LO, BAND_HI = 5_000.0, 90_000.0
+
+
+def _dec2(c: str) -> F.Column:
+    """Exact-sum input cast: double → DECIMAL(18,2)."""
+    return F.col(c).cast("decimal(18,2)")
+
+
+@query(
+    "o01_source_scan",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders",
+    doc="O1 source scan (reference server.py:29-39): full-table pull of the "
+    "fact superset. Spark: parquet scan, no predicate; at scale this is a "
+    "pure columnar read split by maxPartitionBytes — no shuffle.",
+    tags=("core", "scan"),
+)
+def o01_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load(spark, sf_dir, "orders")
+
+
+@query(
+    "o02_broadcast_join",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber, s.s_name, s.s_nationkey, l.l_quantity
+        FROM lineitem l INNER JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    doc="O2 inner equi-join fact ⨝ small dimension (reference "
+    "server.py:34-35, loans ⨝ loan_types executed by MySQL). Spark: "
+    "explicit broadcast of the dimension → no shuffle of the 100 TB fact "
+    "side; the join runs map-side in one stage.",
+    tags=("core", "join"),
+)
+def o02_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "inner")
+        .select("l_orderkey", "l_linenumber", "s_name", "s_nationkey", "l_quantity")
+    )
+
+
+@query(
+    "o03_band_filter",
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_extendedprice > {BAND_LO} AND l_extendedprice < {BAND_HI}
+    """,
+    doc="O3 open-interval band filter (reference server.py:36, "
+    "loan_amount > 30000 AND < 800000). Conjunctive comparisons push to "
+    "the parquet row-group stats — scan skips non-matching row groups.",
+    tags=("core", "filter"),
+)
+def o03_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_extendedprice") > BAND_LO) & (F.col("l_extendedprice") < BAND_HI))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@query(
+    "o04_projection",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders",
+    doc="O4 projection (reference server.py:33,109: SELECT * then "
+    "single-column pull). Spark improves on the reference: Catalyst prunes "
+    "the scan to exactly these columns (ReadSchema shows 2 of 6).",
+    tags=("core", "projection"),
+)
+def o04_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "o05_parquet_sink_roundtrip",
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_extendedprice > {BAND_LO} AND l_extendedprice < {BAND_HI}
+    """,
+    doc="O5 parquet sink (reference server.py:44-54: Arrow table → HDFS "
+    "parquet, then row-count status, server.py:57-58). Writes the filtered "
+    "extract to parquet, reads it back, returns the row count. At scale "
+    "the write is executor-parallel; replication/blocksize are Hadoop "
+    "confs (see api.Pipeline.db_to_store).",
+    tags=("core", "sink"),
+)
+def o05_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="dps_sink_"), "extract.parquet")
+    extract = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_extendedprice") > BAND_LO) & (F.col("l_extendedprice") < BAND_HI)
+    )
+    extract.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "o06_parquet_scan",
+    oracle="SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
+    doc="O6 parquet scan without predicate (reference server.py:106-107, "
+    "partition-file read).",
+    tags=("core", "scan"),
+)
+def o06_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load(spark, sf_dir, "part")
+
+
+@query(
+    "o07_pushdown_scan",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    """,
+    doc="O7 scan with predicate pushdown (reference server.py:125-126: "
+    "pq.read_table(filters=[county=cc])). The timestamp range predicate "
+    "reaches the parquet reader (PushedFilters in explain) → row-group "
+    "skipping; at 100 TB combine with partitionBy(date) for partition "
+    "pruning.",
+    tags=("core", "filter", "pushdown"),
+)
+def o07_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    )
+
+
+@query(
+    "o08_equality_filter",
+    oracle="SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+    doc="O8 equality filter on a categorical key (reference server.py:126, "
+    "county_code = literal).",
+    tags=("core", "filter"),
+)
+def o08_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+@query(
+    "o09_avg_int_trunc",
+    oracle=f"""
+        SELECT c.c_nationkey AS group_key,
+               CAST(TRUNC(AVG(o.o_totalprice)) AS INTEGER) AS avg_amount,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > {BAND_LO} AND o.o_totalprice < {BAND_HI * 4}
+        GROUP BY c.c_nationkey
+    """,
+    doc="O9 the flagship CalcAvgLoan aggregate (reference server.py:109,128): "
+    "AVG truncated toward zero via Python int(); grouped by the "
+    "county-style key. Spark cast('int') truncates like int(); DuckDB CAST "
+    "rounds, hence TRUNC in the oracle. Partial aggregation is map-side; "
+    "only (key, sum, count) shuffles — scales to any fact size.",
+    tags=("core", "agg", "flagship"),
+)
+def o09_avg_int_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.filter((F.col("o_totalprice") > BAND_LO) & (F.col("o_totalprice") < BAND_HI * 4))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), orders.o_custkey == F.col("c_custkey"), "inner")
+        .groupBy(F.col("c_nationkey").alias("group_key"))
+        .agg(
+            F.avg("o_totalprice").cast("int").alias("avg_amount"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "o12_explode_histogram",
+    oracle="""
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+    """,
+    doc="O12 explode + grouped count histogram (reference server.py:80-87: "
+    "flatten block→host lists, count per host). Analog: token histogram "
+    "over documents. Hash aggregate with map-side partials; the explode "
+    "multiplies rows executor-side, never on the driver.",
+    tags=("core", "agg", "explode"),
+)
+def o12_explode_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "o13_block_locations",
+    oracle=None,  # filesystem metadata — not SQL-expressible
+    doc="O13 metadata scan (reference server.py:70-87: WebHDFS "
+    "GETFILEBLOCKLOCATIONS → host histogram). Implemented against the "
+    "Hadoop FileSystem API via the JVM gateway, so it works on file://, "
+    "hdfs://, s3a:// alike. Rows-only check (hosts are env-dependent).",
+    tags=("core", "metadata"),
+)
+def o13_block_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.block_locations import block_location_histogram
+
+    apply_runtime_confs(spark)
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+
+    return block_location_histogram(spark, table_path(sf_dir, "lineitem"))

@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on local[N]; the same configs are the ones that
+matter on a multi-executor cluster (AQE, skew-join handling,
+partition sizing, Arrow for the Pandas-UDF slow path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime (session-mutable) confs every query assumes. Applied both at
+#: build time and defensively by `apply_runtime_confs` because the
+#: driver may hand us a session we didn't build.
+RUNTIME_CONFS = {
+    # Deterministic timestamp semantics vs the DuckDB oracle (UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalescing, skew-join splitting, plan re-opt. Critical
+    # at 100 TB where static shuffle-partition counts are always wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for the few Pandas-UDF code paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scan pushdown (defaults, pinned explicitly).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Set session-mutable confs on an externally-built session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — builder already set it
+    return spark
+
+
+def get_spark(app_name: str = "data_pipeline_with_hdfs_sql_integration_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    n = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # 128 MB input splits: the right default for large parquet scans.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

@@ -1,0 +1,67 @@
+"""Order-insensitive Spark-vs-DuckDB result comparison, mirroring the
+driver's correctness gate (row-count + sorted-by-name columns +
+value-level equality)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float):
+        return v
+    if isinstance(v, (int,)):
+        return int(v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _rows(records: list[dict], cols: list[str]) -> list[tuple]:
+    out = [tuple(_norm_cell(r[c]) for c in cols) for r in records]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def compare(spark_df, duck_rel) -> tuple[bool, str]:
+    s_cols = sorted(spark_df.columns)
+    d_cols = sorted(duck_rel.columns)
+    if [c.lower() for c in s_cols] != [c.lower() for c in d_cols]:
+        return False, f"column mismatch: spark={s_cols} duck={d_cols}"
+    s_records = [row.asDict() for row in spark_df.collect()]
+    duck_df = duck_rel.fetchdf()
+    d_records = duck_df.where(duck_df.notnull(), None).to_dict("records")
+    if len(s_records) != len(d_records):
+        return False, f"row count: spark={len(s_records)} duck={len(d_records)}"
+    s_rows = _rows(s_records, s_cols)
+    d_rows = _rows(d_records, d_cols)
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        if not _row_eq(a, b):
+            return False, f"row {i} differs:\n  spark={a}\n  duck ={b}"
+    return True, "ok"
+
+
+def _cell_eq(x, y) -> bool:
+    if x is None or y is None:
+        return x is None and y is None
+    if isinstance(x, float) and isinstance(y, float):
+        if math.isnan(x) and math.isnan(y):
+            return True
+        return x == y  # exact: the driver hashes values
+    if isinstance(x, tuple) and isinstance(y, tuple):
+        return len(x) == len(y) and all(_cell_eq(a, b) for a, b in zip(x, y))
+    return x == y
+
+
+def _row_eq(a: tuple, b: tuple) -> bool:
+    return len(a) == len(b) and all(_cell_eq(x, y) for x, y in zip(a, b))
