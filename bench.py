@@ -1,0 +1,79 @@
+"""Benchmark harness (SURVEY.md §2 O15/O16 analog of
+performance_analyzer.py): times the headline queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line. Also reproduces the reference's create-vs-reuse partition-cache
+benchmark (BASELINE.md: >=1.27x speedup target).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (scan, join, filter+pushdown,
+# agg, explode-agg) plus extension families as they land.
+HEADLINE = [
+    "o02_broadcast_join",
+    "o03_band_filter",
+    "o07_pushdown_scan",
+    "o09_avg_int_trunc",
+    "o12_explode_histogram",
+]
+
+
+def _time(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+    from data_pipeline_with_hdfs_sql_integration_spark.session import get_spark
+
+    spark = get_spark("dps-bench")
+    specs = all_queries()
+
+    # Warm the JVM / codegen before timing.
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in specs:
+            continue
+        df = specs[name].fn(spark, SF_DIR)
+        # noop sink: full materialization, no collect/driver cost.
+        timings[name] = _time(lambda: df.write.format("noop").mode("overwrite").save())
+
+    # Partition-cache create vs reuse (reference benchmark shape:
+    # performance_analyzer.py:36-67, 5 keys, cold then warm).
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.cache_queries import CACHE_KEYS, build_cache
+
+    cache = build_cache(spark, SF_DIR, tempfile.mkdtemp(prefix="dps_bench_cache_"))
+    t_create = _time(lambda: [cache.calc_avg(k) for k in CACHE_KEYS])
+    t_reuse = _time(lambda: [cache.calc_avg(k) for k in CACHE_KEYS])
+    timings["cache_create"] = t_create
+    timings["cache_reuse"] = t_reuse
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cache_speedup": round(t_create / t_reuse, 3) if t_reuse > 0 else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
