@@ -13,4 +13,6 @@ def load_all_plans() -> None:
     from data_pipeline_with_hdfs_sql_integration_spark.plans import (  # noqa: F401
         cache_queries,
         core_queries,
+        dedup,
+        text_analysis,
     )

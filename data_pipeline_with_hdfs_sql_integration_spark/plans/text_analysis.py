@@ -1,0 +1,183 @@
+"""Text-analysis operators for a training-data pipeline: token
+counting, quality scoring, language ID, document fingerprinting.
+
+All run over `documents` as pure JVM-side column expressions (no
+Python UDFs — each stays inside whole-stage codegen and scales
+linearly with no shuffle except the final none). Every query is
+oracle-checked against an arithmetic-identical DuckDB SQL pipeline
+built from the shared constants in functions/textfns.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as tf
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language ID. Deterministic, shared with the oracle.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "que", "de", "los", "una", "es", "por"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "que"),
+    "zh": ("de", "shi", "le", "bu", "wo", "zai", "you", "ta"),
+}
+
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {tf.sql_tokens('text')} AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+               CAST(len(list_filter(t, x -> len(x) >= 6)) AS BIGINT) AS n_long_tokens
+        FROM toks
+    """,
+    doc="Token counting (whitespace/punct split): per-document token, "
+    "distinct-token and long-token counts. Pure map-side column math.",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = tf.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
+        F.size(F.filter(t, lambda x: F.length(x) >= 6)).cast("long").alias("n_long_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, text, {tf.sql_tokens('text')} AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / length(text), 6) AS alpha_ratio,
+               round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                     / length(text), 6) AS punct_ratio,
+               round(CAST(len(list_filter(t, x -> x IN ({", ".join(repr(w) for w in QUALITY_STOPWORDS)})))
+                          AS DOUBLE) / greatest(len(t), 1), 6) AS stopword_ratio
+        FROM toks
+        WHERE length(text) > 0
+    """,
+    doc="Quality scoring: alpha/punct/stopword ratios per document — the "
+    "heuristics a pretraining filter runs before expensive scoring.",
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = tf.tokens(F.col("text"))
+    sw = list(QUALITY_STOPWORDS)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double") / F.length("text"), 6
+        ).alias("alpha_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("double") / F.length("text"), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter(t, lambda x: x.isin(sw))).cast("double")
+            / F.greatest(F.size(t), F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+def _isin_pred(words: tuple[str, ...]):
+    # One-arg lambda factory: pyspark HOFs dispatch on lambda arity, so a
+    # default-arg closure (lambda x, ws=ws) would receive the array index.
+    return lambda x: x.isin(list(words))
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(repr(w) for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter(t, x -> x IN ({words})))"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, {tf.sql_tokens('text')} AS t FROM documents
+        ),
+        scores AS (
+            SELECT doc_id, lang,
+                   {", ".join(f"{_lang_score_sql(code)} AS s_{code}" for code in sorted(LANG_STOPWORDS))}
+            FROM toks
+        )
+        SELECT doc_id, lang AS labeled_lang,
+               CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+                    WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+                    WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang
+        FROM scores
+    """,
+    doc="Language ID via stopword-vote heuristic (n-gram-free variant; "
+    "ties break in alphabetical language order on both engines).",
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = tf.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.size(F.filter(t, _isin_pred(ws))).alias(f"s_{code}")
+            for code, ws in sorted(LANG_STOPWORDS.items())
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{c}") for c in sorted(LANG_STOPWORDS)])
+    pred = (
+        F.when(F.col("s_de") == best, "de")
+        .when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_fr") == best, "fr")
+        .otherwise("zh")
+    )
+    return scored.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {tf.sql_tokens('text')} AS t FROM documents
+        ),
+        th AS (
+            SELECT doc_id,
+                   list_transform(t, s -> {tf.sql_poly_hash_str('s')}) AS hs
+            FROM toks
+        )
+        SELECT doc_id, {tf.sql_poly_hash_longs('hs')} AS fingerprint
+        FROM th
+    """,
+    doc="Document fingerprint: rolling polynomial hash over the token "
+    "hash sequence — order-sensitive (catches re-shuffled boilerplate "
+    "that set-based hashes miss).",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load(spark, sf_dir, "documents")
+    token_hashes = F.transform(tf.tokens(F.col("text")), lambda s: tf.poly_hash_str(s))
+    return docs.select("doc_id", tf.poly_hash_longs(token_hashes).alias("fingerprint"))
