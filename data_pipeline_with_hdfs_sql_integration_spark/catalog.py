@@ -34,7 +34,20 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+    rejects; read nanos as long and convert with exact integer division
+    (double division would lose precision past 2^53 ns)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

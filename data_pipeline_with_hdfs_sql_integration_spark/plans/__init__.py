@@ -14,5 +14,8 @@ def load_all_plans() -> None:
         cache_queries,
         core_queries,
         dedup,
+        multimodal,
+        similarity,
+        streaming_queries,
         text_analysis,
     )

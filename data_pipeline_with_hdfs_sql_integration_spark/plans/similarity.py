@@ -1,0 +1,228 @@
+"""Similarity search over the embedding column (array<float>, 64-dim).
+
+Three tiers, all oracle-checked:
+
+- brute-force cosine top-k  : exact baseline; Spark plans it as a
+  distributed TakeOrderedAndProject (no global sort materialized)
+- random-hyperplane LSH ANN : 16-bit sign signature, hamming<=3
+  multi-probe, exact rerank of candidates — constant candidate cost
+- IVF ANN                   : coarse quantizer (16 centroids), assign
+  by max cosine, probe the 4 nearest cells, exact rerank
+
+FP determinism: every dot product is a sequential left fold
+(functions/textfns.dot ≙ sql_dot), floats are cast to double before
+any arithmetic, and similarities are rounded to 6 digits *before*
+ordering/thresholding so both engines make identical boundary
+decisions (ties break on vec_id).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as tf
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+QUERY_VEC_ID = 0
+TOPK = 20
+EMB_DIM = 64
+
+LSH_PLANES = 16
+LSH_HAMMING_MAX = 3
+
+IVF_CELLS = 16  # centroids = embeddings of vec_id 0..15 (deterministic)
+IVF_NPROBE = 4
+IVF_TOPK = 10
+
+# Deterministic hyperplane coefficients, 3-decimal literals so the same
+# text parses to the same double on both engines.
+_rng = random.Random(42)
+HYPERPLANES: list[list[float]] = [
+    [round(_rng.uniform(-0.5, 0.5), 3) for _ in range(EMB_DIM)] for _ in range(LSH_PLANES)
+]
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+_SQL_VECS = "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+
+
+def _cosine(a, b):
+    return F.round(tf.dot(a, b) / (F.sqrt(tf.dot(a, a)) * F.sqrt(tf.dot(b, b))), 6)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"round({tf.sql_dot(a, b)} / (sqrt({tf.sql_dot(a, a)}) * sqrt({tf.sql_dot(b, b)})), 6)"
+    )
+
+
+# ------------------------------------------------------------- brute force
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+        WITH e AS ({_SQL_VECS}),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id, {_sql_cosine('e.v', 'q.qv')} AS cosine
+        FROM e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT {TOPK}
+    """,
+    doc="Brute-force cosine top-k: broadcast the 1-row query vector, "
+    "map-side cosine, TakeOrderedAndProject top-k (per-partition heaps + "
+    "driver merge — no global sort, no shuffle of the corpus). The exact "
+    "baseline every ANN tier is measured against.",
+    tags=("similarity",),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOPK)
+    )
+
+
+# ---------------------------------------------------------------- LSH ANN
+def _sql_plane_list(plane: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({c} AS DOUBLE)" for c in plane) + "]"
+
+
+def _sql_lsh_sig(vcol: str) -> str:
+    bits = []
+    for i, plane in enumerate(HYPERPLANES):
+        d = tf.sql_dot(vcol, _sql_plane_list(plane))
+        bits.append(f"(CASE WHEN ({d}) > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return " + ".join(bits)
+
+
+def _lsh_sig(vcol) -> F.Column:
+    sig = None
+    for i, plane in enumerate(HYPERPLANES):
+        arr = F.array(*[F.lit(c).cast("double") for c in plane])
+        bit = F.when(tf.dot(vcol, arr) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+        WITH e AS ({_SQL_VECS}),
+        sigs AS (SELECT vec_id, v, {_sql_lsh_sig('v')} AS sig FROM e),
+        q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS (
+            SELECT s.vec_id, s.v, q.qv
+            FROM sigs s, q
+            WHERE s.vec_id <> {QUERY_VEC_ID}
+              AND bit_count(xor(s.sig, q.qsig)) <= {LSH_HAMMING_MAX}
+        )
+        SELECT vec_id, {_sql_cosine('v', 'qv')} AS cosine
+        FROM cand
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT {IVF_TOPK}
+    """,
+    doc=f"ANN via random-hyperplane LSH: {LSH_PLANES}-bit sign signature "
+    f"(precomputable + storable per vector), multi-probe hamming<="
+    f"{LSH_HAMMING_MAX} candidate filter, exact cosine rerank. At 100 TB "
+    "the signature is materialized once and candidates come from a "
+    "signature-bucket join instead of a scan.",
+    tags=("similarity", "lsh"),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    e = _vecs(spark, sf_dir)
+    sigs = e.select("vec_id", "v", _lsh_sig(F.col("v")).alias("sig"))
+    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("sig").alias("qsig")
+    )
+    cand = (
+        sigs.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= LSH_HAMMING_MAX)
+    )
+    return (
+        cand.select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(IVF_TOPK)
+    )
+
+
+# ---------------------------------------------------------------- IVF ANN
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+        WITH e AS ({_SQL_VECS}),
+        cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < {IVF_CELLS}),
+        scored AS (
+            SELECT e.vec_id, e.v, cent.cell_id,
+                   {_sql_cosine('e.v', 'cent.cv')} AS csim,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_sql_cosine('e.v', 'cent.cv')} DESC, cent.cell_id ASC) AS rn
+            FROM e, cent
+        ),
+        assigned AS (SELECT vec_id, v, cell_id FROM scored WHERE rn = 1),
+        qcells AS (
+            SELECT cell_id FROM scored WHERE vec_id = {QUERY_VEC_ID} AND rn <= {IVF_NPROBE}
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS (
+            SELECT a.vec_id, a.v, q.qv
+            FROM assigned a JOIN qcells c ON a.cell_id = c.cell_id, q
+            WHERE a.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id, {_sql_cosine('v', 'qv')} AS cosine
+        FROM cand
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT {IVF_TOPK}
+    """,
+    doc=f"ANN via IVF coarse quantization: {IVF_CELLS} deterministic "
+    f"centroids (vec_id<{IVF_CELLS}), assignment = max-cosine cell "
+    f"(broadcast join + per-vector window), query probes its "
+    f"{IVF_NPROBE} nearest cells, exact rerank inside. The assignment "
+    "table is the partition key at scale — each cell is a parquet "
+    "partition and probes read only nprobe/ncells of the data.",
+    tags=("similarity", "ivf"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    e = _vecs(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    csim = _cosine(F.col("v"), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell_id").asc())
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cell_id", csim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    assigned = scored.filter(F.col("rn") == 1).select("vec_id", "v", "cell_id")
+    qcells = scored.filter(
+        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= IVF_NPROBE)
+    ).select("cell_id")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    cand = (
+        assigned.join(F.broadcast(qcells), "cell_id")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+    )
+    return (
+        cand.select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(IVF_TOPK)
+    )

@@ -1,0 +1,93 @@
+"""Structured Streaming queries, driven to completion with
+Trigger.availableNow so results are deterministic and oracle-checkable
+against batch SQL (the strongest correctness statement you can make
+about a streaming operator: its bounded-input result equals the batch
+semantics).
+
+Watermarks are declared on every query — on an unbounded source they
+bound state (late rows beyond the watermark are dropped); on this
+bounded replay they don't change the result because complete-mode
+emission happens after the input is exhausted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+from data_pipeline_with_hdfs_sql_integration_spark.streaming import windows as W
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour windows per event_type with a 15-minute "
+    "watermark: count + exact decimal sum. Streaming state is one row "
+    "per (window, type); at scale the watermark is what keeps state "
+    "finite.",
+    tags=("streaming",),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return W.tumbling_counts(spark, sf_dir)
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - (j * INTERVAL '15 minutes') AS window_start,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events, generate_series(0, 3) t(j)
+        GROUP BY 1
+    """,
+    doc="Sliding windows (1 hour wide, 15-minute slide): each event lands "
+    "in exactly width/slide = 4 windows; the oracle replays that "
+    "expansion explicitly.",
+    tags=("streaming",),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return W.sliding_counts(spark, sf_dir)
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '30 minutes'
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               user_id,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    doc="Session windows (30-minute gap) per user via native "
+    "session_window in a streaming aggregation; the oracle reproduces "
+    "the gaps-and-islands semantics (session end = last event + gap). "
+    "State per open session, closed by the watermark at scale.",
+    tags=("streaming", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return W.session_windows(spark, sf_dir)

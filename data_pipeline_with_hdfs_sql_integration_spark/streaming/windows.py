@@ -1,0 +1,98 @@
+"""Structured Streaming building blocks over the events table.
+
+The reference has no streaming surface (SURVEY.md §2 "explicitly
+absent"); this is north-star extension territory. Pattern: file-source
+readStream with an explicit schema → watermark → windowed/sessionized
+aggregation → memory sink driven synchronously with
+Trigger.availableNow — which makes streaming results deterministic and
+therefore oracle-checkable against batch SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded file stream (schema pinned from the
+    static footer — streams cannot infer). The file stores
+    TIMESTAMP(NANOS): read nanos-as-long, convert via exact integer
+    division (see catalog.load_events)."""
+    path = table_path(sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource requires a directory; symlink the single file into
+    # a temp dir (zero-copy) and stream that.
+    stream_dir = tempfile.mkdtemp(prefix="dps_stream_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_to_memory(agg: DataFrame, output_mode: str = "complete") -> tuple[SparkSession, str]:
+    """Drive a streaming aggregation to completion into a memory sink;
+    returns (spark, table_name). availableNow processes the whole
+    bounded input, then the query stops."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession, name
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour", watermark: str = "15 minutes") -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        )
+    )
+    spark, name = run_to_memory(agg)
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    spark, name = run_to_memory(agg)
+    return spark.table(name).select(F.col("w.start").alias("window_start"), "n_events")
+
+
+def session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "15 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    spark, name = run_to_memory(agg)
+    return spark.table(name).select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "user_id",
+        "n_events",
+    )

@@ -1,0 +1,130 @@
+"""Unit tests for the engine operators outside the oracle gate: the
+partition-cache state machine, retry wrapper, block locations, and the
+Pipeline facade (the reference's three verbs)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+import time
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def cache(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.cache_queries import build_cache
+
+    return build_cache(spark, SF_DIR, tempfile.mkdtemp(prefix="dps_test_cache_"))
+
+
+def test_cache_create_then_reuse(cache):
+    first = cache.calc_avg(5)
+    second = cache.calc_avg(5)
+    assert first.source == "create" and second.source == "reuse"
+    assert first.avg == second.avg and first.error == "" == second.error
+
+
+def test_cache_recreate_on_corruption(cache):
+    first = cache.calc_avg(10)
+    for f in glob.glob(cache.partition_path(10) + "/*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"garbage")
+    third = cache.calc_avg(10)
+    fourth = cache.calc_avg(10)
+    assert third.source == "recreate" and fourth.source == "reuse"
+    assert third.avg == first.avg == fourth.avg
+
+
+def test_cache_empty_key_is_error_not_null(cache):
+    # Reference: int(NaN) raises -> error response (server.py:145-147).
+    r = cache.calc_avg(424242)
+    assert r.error != "" and r.avg == 0 and r.source == ""
+
+
+def test_cache_invalidate(cache):
+    cache.calc_avg(5)
+    cache.invalidate()
+    assert cache.calc_avg(5).source == "create"
+
+
+def test_avg_truncates_toward_zero(cache):
+    # int() truncation parity with reference server.py:109.
+    res = cache.calc_avg(5)
+    row = (
+        cache.main.filter(cache.main[cache.key_col] == 5)
+        .agg({cache.value_col: "avg"})
+        .collect()[0][0]
+    )
+    assert res.avg == int(row)
+
+
+def test_retry_succeeds_after_failures():
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.retry import with_retry
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    t0 = time.monotonic()
+    assert with_retry(flaky, attempts=5, sleep_s=0.01) == "ok"
+    assert calls["n"] == 3 and time.monotonic() - t0 < 5
+
+
+def test_retry_exhausts_and_raises():
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.retry import with_retry
+
+    with pytest.raises(ValueError):
+        with_retry(lambda: (_ for _ in ()).throw(ValueError("boom")), attempts=2, sleep_s=0.0)
+
+
+def test_block_locations_local_fs(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.block_locations import (
+        block_histogram_dict,
+        block_locations,
+    )
+
+    blocks = block_locations(spark, f"{SF_DIR}/lineitem.parquet")
+    assert blocks and all(b["length"] > 0 for b in blocks)
+    hist = block_histogram_dict(spark, f"{SF_DIR}/lineitem.parquet")
+    assert sum(hist.values()) == len(blocks)
+
+
+def test_pipeline_facade_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_hdfs_sql_integration_spark.api import Pipeline
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+
+    root = tempfile.mkdtemp(prefix="dps_pipe_")
+    pipe = Pipeline(
+        spark=spark,
+        main_path=os.path.join(root, "main.parquet"),
+        cache_root=os.path.join(root, "partitions"),
+        key_col="c_nationkey",
+        value_col="o_totalprice",
+    )
+    orders = load(spark, SF_DIR, "orders")
+    cust = load(spark, SF_DIR, "customer").select("c_custkey", "c_nationkey")
+    status = pipe.db_to_store(
+        orders,
+        band_col="o_totalprice",
+        band=(1000.0, 400000.0),
+        dim=cust,
+        join_on=orders.o_custkey == cust.c_custkey,
+        attempts=1,
+        sleep_s=0.0,
+    )
+    assert status.startswith("Imported ") and "rows" in status
+    res = pipe.calc_avg(5)
+    assert res.source == "create" and res.avg > 0
+    assert pipe.calc_avg(5).source == "reuse"
+    hist = pipe.block_report()
+    assert sum(hist.values()) >= 1

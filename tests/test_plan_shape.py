@@ -1,0 +1,83 @@
+"""Physical-plan assertions: the 100 TB posture is only real if the
+plans are right — filters reach the parquet scan, small dims broadcast,
+projections prune the read schema, hot paths stay in whole-stage
+codegen. `explain(formatted)` is the witness."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_band_filter_pushed_to_parquet(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["o03_band_filter"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_extendedprice" in plan
+    assert "LessThan(l_extendedprice" in plan
+
+
+def test_projection_prunes_read_schema(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["o04_projection"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # ReadSchema must carry only the two projected columns.
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_orderdate" not in read_schema and "o_orderstatus" not in read_schema
+
+
+def test_dimension_join_is_broadcast(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["o02_broadcast_join"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_agg_has_partial_aggregation(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["o09_avg_int_trunc"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # Two HashAggregate nodes: map-side partial + final after exchange.
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_timestamp_pushdown(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["o07_pushdown_scan"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_text_pipeline_stays_in_codegen(spark):
+    """Text analysis must be JVM expressions (WholeStageCodegen), not
+    Python UDFs (BatchEvalPython/ArrowEvalPython)."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    for name in ("text_token_stats", "text_fingerprint", "dedup_simhash"):
+        df = all_queries()[name].fn(spark, SF_DIR)
+        plan = _plan(df)
+        # Higher-order functions run JVM-side but outside codegen; the
+        # invariant that matters is: no Python-eval operator in the plan.
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_topk_uses_take_ordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject (distributed
+    per-partition heaps), not a full global Sort."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["sim_cosine_topk"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
