@@ -26,6 +26,15 @@ HEADLINE = [
     "o07_pushdown_scan",
     "o09_avg_int_trunc",
     "o12_explode_histogram",
+    "agg_pricing_summary",
+    "join_revenue_topk",
+    "join_region_revenue",
+    "window_topk_per_group",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "sim_cosine_topk",
+    "text_fingerprint",
+    "stream_tumbling_counts",
 ]
 
 

@@ -11,6 +11,7 @@ def load_all_plans() -> None:
         return
     _LOADED = True
     from data_pipeline_with_hdfs_sql_integration_spark.plans import (  # noqa: F401
+        analytics,
         cache_queries,
         core_queries,
         dedup,

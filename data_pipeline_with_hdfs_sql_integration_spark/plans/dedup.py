@@ -37,17 +37,21 @@ EMB_SUBSET = 400  # bounded exact-pair subset (vec_id < EMB_SUBSET)
 EMB_COSINE_THRESHOLD = 0.40
 
 # ------------------------------------------------------------------ shared
+# Shingle hash = polynomial fold over the three TOKEN hashes (each token
+# char-hashed once per doc) rather than re-hashing every shingle string:
+# O(chars) per doc instead of O(3×chars), identical dedup semantics.
 _SQL_SHINGLE_CTE = f"""
     toks AS (
         SELECT doc_id, {tf.sql_tokens('text')} AS t FROM documents
     ),
-    grams AS (
-        SELECT doc_id, {tf.sql_word_shingles('t')} AS g FROM toks
+    th AS (
+        SELECT doc_id, list_transform(t, s -> {tf.sql_poly_hash_str('s')}) AS th FROM toks
     ),
     sh AS (
         SELECT doc_id,
-               list_distinct(list_transform(g, s -> {tf.sql_poly_hash_str('s')})) AS sh
-        FROM grams WHERE len(g) > 0
+               list_distinct(list_transform(generate_series(1, len(th) - 2),
+                   i -> ((th[i] * {tf.BASE} + th[i+1]) % {tf.MOD} * {tf.BASE} + th[i+2]) % {tf.MOD})) AS sh
+        FROM th WHERE len(th) >= 3
     )
 """
 
@@ -55,9 +59,15 @@ _SQL_SHINGLE_CTE = f"""
 def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh: array<long>) — distinct hashed word-3-shingles."""
     docs = load(spark, sf_dir, "documents")
-    grams = tf.word_shingles(tf.tokens(F.col("text")))
-    sh = F.array_distinct(F.transform(grams, lambda s: tf.poly_hash_str(s)))
-    return docs.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
+    th = F.transform(tf.tokens(F.col("text")), lambda s: tf.poly_hash_str(s))
+    base = docs.select("doc_id", th.alias("th")).filter(F.size("th") >= 3)
+
+    def _sh3(i):
+        a, b, c = (F.get(F.col("th"), i + j) for j in range(3))
+        return ((a * tf.BASE + b) % tf.MOD * tf.BASE + c) % tf.MOD
+
+    sh = F.array_distinct(F.transform(F.sequence(F.lit(0), F.size("th") - 3), _sh3))
+    return base.select("doc_id", sh.alias("sh"))
 
 
 # ------------------------------------------------------------------- exact
@@ -90,49 +100,64 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
         WITH {_SQL_SHINGLE_CTE},
-        exploded AS (
-            SELECT doc_id, unnest(sh) AS h FROM sh
+        sorted_sh AS (
+            SELECT doc_id, list_sort(sh) AS sh, len(sh) AS n FROM sh
         ),
-        sizes AS (
-            SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id
+        prefix AS (
+            SELECT doc_id, sh, n,
+                   unnest(sh[1 : CAST(n - ceil(n * {JACCARD_THRESHOLD}) + 1 AS INT)]) AS h
+            FROM sorted_sh
         ),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM exploded a JOIN exploded b ON a.h = b.h AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.sh AS sh_a, b.sh AS sh_b, a.n AS na, b.n AS nb
+            FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+            SELECT doc_a, doc_b, len(list_intersect(sh_a, sh_b)) AS i, na, nb
+            FROM cand
         )
         SELECT doc_a, doc_b,
-               round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
+               round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+        FROM scored
+        WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= {JACCARD_THRESHOLD}
     """,
-    doc="Exact n-gram Jaccard near-dup: inverted-index (shingle-hash) "
-    "equi-join computes pairwise intersections without a cross join; "
-    "|A∪B| from per-doc sizes. Threshold on the rounded value so the "
-    "filter decision is identical on both engines.",
+    doc="Exact n-gram Jaccard near-dup via prefix-filtered set-similarity "
+    "join (PPJoin-style): shingle sets are sorted; by the prefix-filter "
+    "lemma, any pair with Jaccard >= t must share an element among each "
+    "set's first n-ceil(t*n)+1 elements, so only prefixes are exploded "
+    "and joined — then candidates verify with one array_intersect per "
+    "pair (no quadratic exploded aggregate). Exact: no recall loss.",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    sh = _shingle_hashes(spark, sf_dir)
-    exploded = sh.select("doc_id", F.explode("sh").alias("h"))
-    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
+    t = JACCARD_THRESHOLD
+    sh = _shingle_hashes(spark, sf_dir).select(
+        "doc_id", F.sort_array("sh").alias("sh"), F.size("sh").alias("n")
+    )
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * t) + 1).cast("int")
+    prefix = sh.select(
+        "doc_id", "sh", "n", F.explode(F.slice("sh", 1, prefix_len)).alias("h")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
     )
-    jac = F.round(
-        F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i")), 6
-    )
+    i = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(i.cast("double") / (F.col("na") + F.col("nb") - i), 6)
     return (
-        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        cand.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -147,14 +172,24 @@ def _sql_minhash_sig() -> str:
 
 
 def _sql_bands_union() -> str:
+    # Bands carry the signature so the candidate join needs no lookback
+    # into the (expensive) hash lineage.
     r = tf.MINHASH_ROWS
     selects = []
     for j in range(tf.MINHASH_BANDS):
         slice_expr = f"sig[{j * r + 1}:{j * r + r}]"
         selects.append(
-            f"SELECT doc_id, {j} AS band_idx, {tf.sql_poly_hash_longs(slice_expr)} AS band_hash FROM sigs"
+            f"SELECT doc_id, sig, {j} AS band_idx, {tf.sql_poly_hash_longs(slice_expr)} AS band_hash FROM sigs"
         )
     return " UNION ALL ".join(selects)
+
+
+_SQL_SIG_MATCHES = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(list_zip(sig_a, sig_b), "
+    f"p -> CASE WHEN p[1] = p[2] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), "
+    f"(x, y) -> x + y)"
+)
 
 
 @query(
@@ -166,23 +201,16 @@ def _sql_bands_union() -> str:
         ),
         bands AS ({_sql_bands_union()}),
         cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.sig AS sig_a, b.sig AS sig_b
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b,
-               round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                     list_transform(list_zip(sa.sig, sb.sig),
-                                    p -> CASE WHEN p[1] = p[2] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-                     (x, y) -> x + y) AS DOUBLE) / {tf.MINHASH_K}, 6) AS est_jaccard
+               round(CAST({_SQL_SIG_MATCHES} AS DOUBLE) / {tf.MINHASH_K}, 6) AS est_jaccard
         FROM cand
-        JOIN sigs sa ON sa.doc_id = doc_a
-        JOIN sigs sb ON sb.doc_id = doc_b
-        WHERE round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                     list_transform(list_zip(sa.sig, sb.sig),
-                                    p -> CASE WHEN p[1] = p[2] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-                     (x, y) -> x + y) AS DOUBLE) / {tf.MINHASH_K}, 6) >= {MINHASH_EST_THRESHOLD}
+        WHERE round(CAST({_SQL_SIG_MATCHES} AS DOUBLE) / {tf.MINHASH_K}, 6) >= {MINHASH_EST_THRESHOLD}
     """,
     doc=f"MinHash+LSH near-dup: {tf.MINHASH_K} minhashes, {tf.MINHASH_BANDS} "
     f"bands × {tf.MINHASH_ROWS} rows (s-curve threshold ≈ "
@@ -199,7 +227,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_hashes = F.array(
         *[tf.poly_hash_longs(F.slice("sig", j * r + 1, r)) for j in range(tf.MINHASH_BANDS)]
     )
-    bands = sigs.select("doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
+    bands = sigs.select("doc_id", "sig", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -209,19 +237,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
         .distinct()
     )
     matches = F.aggregate(
-        F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda x, y: (x == y).cast("long")),
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     est = F.round(matches.cast("double") / tf.MINHASH_K, 6)
     return (
-        cand.join(sigs.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sigs.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= MINHASH_EST_THRESHOLD)
     )
 
