@@ -18,5 +18,6 @@ def load_all_plans() -> None:
         multimodal,
         similarity,
         streaming_queries,
+        temporal,
         text_analysis,
     )

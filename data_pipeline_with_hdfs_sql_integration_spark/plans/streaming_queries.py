@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_pipeline_with_hdfs_sql_integration_spark.registry import query
 from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+from data_pipeline_with_hdfs_sql_integration_spark.streaming import stateful
 from data_pipeline_with_hdfs_sql_integration_spark.streaming import windows as W
 
 
@@ -91,3 +92,25 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     return W.session_windows(spark, sf_dir)
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (value > 500.0) AS BIGINT) AS n_high_value,
+               arg_max(event_type, ts) AS last_event_type
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Custom stateful operator via applyInPandasWithState: per-user "
+    "GroupState (counts + latest event) updated per Arrow batch, emitted "
+    "in update mode. On a bounded replay the final state equals the batch "
+    "group-by the oracle computes. State is O(users); at scale a "
+    "ProcessingTimeTimeout would evict idle keys.",
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return stateful.user_running_totals(spark, sf_dir)

@@ -39,8 +39,13 @@ def compare(spark_df, duck_rel) -> tuple[bool, str]:
     if [c.lower() for c in s_cols] != [c.lower() for c in d_cols]:
         return False, f"column mismatch: spark={s_cols} duck={d_cols}"
     s_records = [row.asDict() for row in spark_df.collect()]
+    import pandas as pd
+
     duck_df = duck_rel.fetchdf()
-    d_records = duck_df.where(duck_df.notnull(), None).to_dict("records")
+    # astype(object) first: pandas silently re-coerces None back to
+    # NaN/NaT inside float/datetime columns otherwise.
+    duck_df = duck_df.astype(object).where(pd.notnull(duck_df), None)
+    d_records = duck_df.to_dict("records")
     if len(s_records) != len(d_records):
         return False, f"row count: spark={len(s_records)} duck={len(d_records)}"
     s_rows = _rows(s_records, s_cols)

@@ -128,3 +128,28 @@ def test_pipeline_facade_end_to_end(spark):
     assert pipe.calc_avg(5).source == "reuse"
     hist = pipe.block_report()
     assert sum(hist.values()) >= 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.skew import salted_join
+
+    orders = load(spark, SF_DIR, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = load(spark, SF_DIR, "customer")
+    plain = orders.join(cust, "c_custkey", "inner").select("o_orderkey", "c_nationkey")
+    salted = salted_join(orders, cust, "c_custkey", n_salts=8).select("o_orderkey", "c_nationkey")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_group_count_equals_plain(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.skew import salted_group_count
+
+    cust = load(spark, SF_DIR, "customer")
+    plain = {r["c_nationkey"]: r["count"] for r in cust.groupBy("c_nationkey").count().collect()}
+    salted = {r["c_nationkey"]: r["n"] for r in salted_group_count(cust, "c_nationkey").collect()}
+    assert plain == salted
