@@ -1,0 +1,139 @@
+"""Second tranche of analytics breadth: CUBE, pivot (conditional
+aggregation), exact distinct counts, exact percentiles. Same parity
+rules as plans/analytics.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@query(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE: all 2^k grouping-set combinations in one pass (map-side "
+    "expansion, single scan of the fact).",
+    tags=("analytics", "agg"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg_pivot_segments",
+    oracle=f"""
+        SELECT c_nationkey,
+               {", ".join(f"CAST(count(*) FILTER (c_mktsegment = '{s}') AS BIGINT) AS n_{s.lower()}" for s in SEGMENTS)}
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    doc="Pivot via conditional aggregation (count FILTER per segment) — "
+    "the portable spelling of groupBy().pivot(); one hash aggregate, "
+    "columns fixed at plan time (required for a stable schema at scale).",
+    tags=("analytics", "agg"),
+)
+def agg_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            *[
+                F.count(F.when(F.col("c_mktsegment") == s, 1)).alias(f"n_{s.lower()}")
+                for s in SEGMENTS
+            ]
+        )
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Exact multi-distinct aggregation: Spark plans an Expand + "
+    "two-phase aggregate; for sketch-based cardinality at 100 TB see "
+    "approx_count_distinct (rows-only, engine-specific sketches).",
+    tags=("analytics", "agg"),
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Exact percentiles (linear interpolation at index p*(n-1) — the "
+    "same formula in Spark's percentile and DuckDB's quantile_cont; "
+    "rounded before compare). At 100 TB swap for percentile_approx "
+    "(t-digest sketch, mergeable map-side).",
+    tags=("analytics", "agg"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        )
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; rows-only
+    doc="Approximate distinct (HyperLogLog++): mergeable sketch, "
+    "map-side partials — the cardinality tool at 100 TB. Rows-only "
+    "(sketch estimates differ across engines by design); the unit test "
+    "bounds its error against the exact count.",
+    tags=("analytics", "agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"))
+    )

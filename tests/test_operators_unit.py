@@ -153,3 +153,33 @@ def test_salted_group_count_equals_plain(spark):
     plain = {r["c_nationkey"]: r["count"] for r in cust.groupBy("c_nationkey").count().collect()}
     salted = {r["c_nationkey"]: r["n"] for r in salted_group_count(cust, "c_nationkey").collect()}
     assert plain == salted
+
+
+def test_approx_distinct_within_error_bound(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    approx = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in all_queries()["agg_approx_distinct"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in load(spark, SF_DIR, "orders")
+        .groupBy("o_orderstatus")
+        .agg({"o_custkey": "approx_count_distinct"})
+        .withColumnRenamed("approx_count_distinct(o_custkey)", "n")
+        .collect()
+    }
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load as _load
+    import pyspark.sql.functions as F
+
+    truth = {
+        r["o_orderstatus"]: r["n"]
+        for r in _load(spark, SF_DIR, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, est in approx.items():
+        assert abs(est - truth[k]) / truth[k] < 0.1, (k, est, truth[k])
