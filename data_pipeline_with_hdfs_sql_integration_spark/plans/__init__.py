@@ -16,6 +16,7 @@ def load_all_plans() -> None:
         cache_queries,
         core_queries,
         dedup,
+        json_queries,
         multimodal,
         similarity,
         streaming_queries,

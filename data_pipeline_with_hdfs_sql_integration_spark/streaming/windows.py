@@ -10,6 +10,7 @@ therefore oracle-checkable against batch SQL.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import uuid
@@ -29,9 +30,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # FileStreamSource requires a directory; symlink the single file into
-    # a temp dir (zero-copy) and stream that.
-    stream_dir = tempfile.mkdtemp(prefix="dps_stream_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    # a temp dir (zero-copy) and stream that. The dir must be DETERMINISTIC
+    # per source path: checkpoints record source file paths, so a random
+    # dir per call would break checkpoint resume ("Wrong basePath").
+    digest = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:16]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"dps_stream_{digest}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.islink(link):
+        os.symlink(path, link)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 

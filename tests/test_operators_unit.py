@@ -183,3 +183,44 @@ def test_approx_distinct_within_error_bound(spark):
     }
     for k, est in approx.items():
         assert abs(est - truth[k]) / truth[k] < 0.1, (k, est, truth[k])
+
+
+def test_cache_warm_all_layout_is_partition_pruned(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.cache_queries import build_cache
+
+    cache = build_cache(spark, SF_DIR, tempfile.mkdtemp(prefix="dps_warm_"))
+    cache.warm_all()
+    df = spark.read.parquet(cache.cache_root).filter(F.col(cache.key_col) == 5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # The equality filter must prune at the partition level, not scan+filter.
+    assert "PartitionFilters" in plan and "c_nationkey" in plan.split("PartitionFilters", 1)[1][:200]
+    assert df.count() == cache.main.filter(F.col(cache.key_col) == 5).count()
+
+
+def test_foreach_batch_exactly_once_sink(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_hdfs_sql_integration_spark.streaming.sinks import (
+        read_final_epoch,
+        stream_to_parquet_exactly_once,
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.streaming.windows import events_stream
+
+    root = tempfile.mkdtemp(prefix="dps_sink_stream_")
+    agg = events_stream(spark, SF_DIR).groupBy("event_type").agg(F.count("*").alias("n"))
+    stream_to_parquet_exactly_once(agg, f"{root}/out", f"{root}/ckpt")
+    result = {r["event_type"]: r["n"] for r in read_final_epoch(spark, f"{root}/out").collect()}
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+
+    expected = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_DIR, "events").groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert result == expected

@@ -1,0 +1,74 @@
+"""Randomized three-way parity for the cross-engine hash primitives:
+pure-Python reference == Spark HOF expression == DuckDB lambda, over
+one batched round trip (one DF/SQL pass for all samples)."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from tests.conftest import SF_DIR  # noqa: F401 (spark fixture import side)
+
+MOD = 1_000_000_007
+BASE = 31
+
+
+def py_tokens(s: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+def py_poly_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * BASE + ord(ch)) % MOD
+    return h
+
+
+def _samples(n: int = 200) -> list[str]:
+    rng = random.Random(20260813)
+    alphabet = string.ascii_letters + string.digits + " .,;:!?-_/"
+    out = [""]
+    out.append("a")
+    out.append(" " * 5)
+    out.append("!!!")
+    for _ in range(n - len(out)):
+        ln = rng.randint(0, 120)
+        out.append("".join(rng.choice(alphabet) for _ in range(ln)))
+    return out
+
+
+def test_hash_and_tokens_three_way_parity(spark):
+    import duckdb
+
+    from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as tf
+    from pyspark.sql import functions as F
+
+    samples = _samples()
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i int, s string")
+    spark_rows = {
+        r["i"]: (r["h"], r["toks"])
+        for r in sdf.select(
+            "i", tf.poly_hash_str(F.col("s")).alias("h"), tf.tokens(F.col("s")).alias("toks")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, s) for i, s in enumerate(samples)])
+    duck_rows = {
+        i: (h, toks)
+        for i, h, toks in con.execute(
+            f"SELECT i, {tf.sql_poly_hash_str('s')}, {tf.sql_tokens('s')} FROM t"
+        ).fetchall()
+    }
+
+    for i, s in enumerate(samples):
+        py = (py_poly_hash(s), py_tokens(s))
+        # DuckDB list_reduce folds over the ascii codes with a prepended 0;
+        # for an empty string it returns the bare 0 seed.
+        assert spark_rows[i][0] == py[0], f"spark hash mismatch on {s!r}"
+        assert duck_rows[i][0] == py[0], f"duck hash mismatch on {s!r}"
+        assert list(spark_rows[i][1]) == py[1], f"spark tokens mismatch on {s!r}"
+        assert list(duck_rows[i][1]) == py[1], f"duck tokens mismatch on {s!r}"
