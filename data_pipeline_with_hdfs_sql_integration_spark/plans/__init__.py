@@ -16,10 +16,15 @@ def load_all_plans() -> None:
         cache_queries,
         core_queries,
         dedup,
+        grouped_map,
         json_queries,
         multimodal,
+        rollup_hypertable,
+        sampling,
+        scalarfns,
         similarity,
         streaming_queries,
+        subqueries,
         temporal,
         text_analysis,
     )

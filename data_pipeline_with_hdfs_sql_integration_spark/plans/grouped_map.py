@@ -1,0 +1,101 @@
+"""Grouped-map UDAF via applyInPandas: per-group linear regression.
+
+The Arrow grouped-map path is the escape hatch for aggregates the
+built-in library can't express (model fits, per-group solvers). The
+cost model to respect at 100 TB: one shuffle on the group key, then
+each group materializes as ONE pandas DataFrame in one Python worker —
+so the group key must have bounded cardinality per group (here: events
+per type), and the per-group math should be vectorized.
+
+Numeric parity trick: the regression runs in exact integer arithmetic
+(x truncated to hours-since-epoch-base, y fixed-point at 2 decimals),
+so Spark-pandas and DuckDB compute bit-identical BIGINT sums and the
+final slope is one identical double division on both sides — a
+float-exact oracle for a Python UDAF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+# 2024-01-01T00:00:00Z in microseconds; events start just after it.
+BASE_US = 1_704_067_200_000_000
+US_PER_HOUR = 3_600_000_000
+
+_OUT_SCHEMA = "event_type string, n bigint, slope_per_hour double, avg_value double"
+
+
+def _make_fit_group():
+    """Closure (not a module-level function) so cloudpickle ships it by
+    VALUE — Python workers must not need this package importable."""
+
+    def _fit_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        x = pdf["x"].to_numpy(dtype=np.int64)
+        y = pdf["y"].to_numpy(dtype=np.int64)
+        n = int(len(x))
+        # int64-exact by construction: x<=~720 (hours/month), y<=~1e7
+        # (cents), per-group n<=~1e6 keeps every sum under 2^63.
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx = int((x * y).sum()), int((x * x).sum())
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = float(num) / float(den) / 100.0 if den else None
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [n],
+                "slope_per_hour": [slope],
+                "avg_value": [float(sy) / 100.0 / n],
+            }
+        )
+
+    return _fit_group
+
+
+@query(
+    "grouped_linreg_trend",
+    oracle=f"""
+        WITH pts AS (
+            SELECT event_type,
+                   (epoch_us(ts) - {BASE_US}) // {US_PER_HOUR} AS x,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+            FROM events
+        ), s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM pts GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_per_hour,
+               CAST(sy AS DOUBLE) / 100.0 / n AS avg_value
+        FROM s
+    """,
+    doc="Per-event-type linear trend of value over time, fit inside an "
+    "applyInPandas grouped-map UDAF with exact integer sums (x = hour "
+    "index, y = value in cents). The DuckDB oracle runs the identical "
+    "integer least-squares closed form — proving the Arrow grouped-map "
+    "path end-to-end (shuffle → pandas batch → typed result) with "
+    "bit-exact numerics, which plain float regression can never give.",
+    tags=("udaf", "grouped-map", "timeseries"),
+)
+def grouped_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(unix_micros(ts) - {BASE_US}) div {US_PER_HOUR}").alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+    )
+    return ev.groupBy("event_type").applyInPandas(_make_fit_group(), schema=_OUT_SCHEMA)

@@ -1,0 +1,115 @@
+"""Hypertable-style time-series rollups over the events table.
+
+The continuous-aggregate pattern (TimescaleDB hypertable rollups,
+Druid rollup segments): materialize a fine-grained time-bucketed
+pre-aggregate once, then answer coarser queries by RE-aggregating the
+rollup instead of the raw data. Lossless for decomposable aggregates
+(count, sum, min, max — and avg as sum/count). At 100 TB this is the
+difference between scanning a day of raw events and scanning 24 tiny
+rollup rows per key; the oracle checks the losslessness claim by
+computing the coarse result straight from raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """The materializable fine-grained aggregate: one row per
+    (hour, event_type) carrying the decomposable pieces."""
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+@query(
+    "rollup_hourly_to_daily",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               CAST(min(value) AS DOUBLE) AS min_value,
+               CAST(max(value) AS DOUBLE) AS max_value,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                    AS DOUBLE) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Two-level continuous aggregate: hourly rollup (count/sum/min/"
+    "max per event_type, decimal sums for exactness) re-aggregated to "
+    "daily. The oracle aggregates the RAW events directly — passing "
+    "proves the rollup is lossless, i.e. a materialized hourly table "
+    "can serve every coarser granularity. The raw-side group-by is the "
+    "only full shuffle; the daily re-agg input is |hours × types| rows.",
+    tags=("timeseries", "rollup"),
+)
+def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    hourly = hourly_rollup(load(spark, sf_dir, "events"))
+    return (
+        hourly.groupBy(F.date_format("bucket", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sum_v").alias("sum_dec"),
+            F.min("min_v").alias("min_value"),
+            F.max("max_v").alias("max_value"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+            "min_value",
+            "max_value",
+            (F.col("sum_dec").cast("double") / F.col("n_events")).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "rollup_latest_per_key",
+    oracle="""
+        SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+               CAST(value AS DOUBLE) AS last_value
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+        WHERE rn = 1
+    """,
+    doc="Latest-event-per-key (the time-series 'last point' query): "
+    "row_number over (user_id ORDER BY ts DESC, event_id DESC) — the "
+    "event_id tiebreak makes the winner deterministic. One shuffle on "
+    "user_id; at scale prefer max_by/struct-max (single hash aggregate, "
+    "no sort) when a deterministic total order on the tiebreak column "
+    "exists — the window form shown here also generalizes to top-k.",
+    tags=("timeseries", "window"),
+)
+def rollup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").cast("double").alias("last_value"),
+        )
+    )

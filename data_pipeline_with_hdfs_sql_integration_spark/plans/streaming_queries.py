@@ -95,6 +95,46 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_join",
+    oracle="""
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    doc="Stream-static join: the event stream enriched against the "
+    "customer dimension (broadcast hash join per micro-batch) and "
+    "aggregated per market segment. The static side never enters "
+    "streaming state — only the post-join aggregate does.",
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return W.static_join_counts(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_counts",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Streaming deduplication: the input is delivered twice "
+    "(at-least-once replay), dropDuplicates on (event_id, ts) absorbs "
+    "the duplicates, and the downstream count per type equals the "
+    "exactly-once batch answer — two chained stateful operators under "
+    "one watermark, which also bounds the dedup state.",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return W.dedup_counts(spark, sf_dir)
+
+
+@query(
     "stream_stateful_user_totals",
     oracle="""
         SELECT user_id,

@@ -59,6 +59,24 @@ def run_to_memory(agg: DataFrame, output_mode: str = "complete") -> tuple[SparkS
     return agg.sparkSession, name
 
 
+def events_stream_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same bounded stream with every event delivered TWICE (two
+    symlinks to the same file in the stream dir) — the at-least-once
+    delivery a dedup operator exists to absorb."""
+    path = table_path(sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    digest = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:16]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"dps_stream2x_{digest}")
+    os.makedirs(stream_dir, exist_ok=True)
+    for name in ("events_a.parquet", "events_b.parquet"):
+        link = os.path.join(stream_dir, name)
+        if not os.path.islink(link):
+            os.symlink(path, link)
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
 def tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour", watermark: str = "15 minutes") -> DataFrame:
     ev = events_stream(spark, sf_dir)
     agg = (
@@ -87,6 +105,45 @@ def sliding_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour", slid
     )
     spark, name = run_to_memory(agg)
     return spark.table(name).select(F.col("w.start").alias("window_start"), "n_events")
+
+
+def static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension (broadcast — the static side is re-read per micro-batch,
+    so keeping it broadcastable matters), then aggregate per segment."""
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+
+    ev = events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        ev.withWatermark("ts", "15 minutes")
+        .join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        )
+    )
+    spark, name = run_to_memory(agg)
+    return spark.table(name).select(
+        "c_mktsegment", "n_events", F.col("sum_dec").cast("double").alias("sum_value")
+    )
+
+
+def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates over an at-least-once (duplicated)
+    delivery, then a downstream aggregation — two chained stateful
+    operators sharing one watermark. Including the event-time column in
+    the dedup key lets the watermark evict dedup state."""
+    ev = events_stream_duplicated(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "15 minutes")
+        .dropDuplicates(["event_id", "ts"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    spark, name = run_to_memory(agg)
+    return spark.table(name).select("event_type", "n_events")
 
 
 def session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
