@@ -31,6 +31,19 @@ from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as t
 from data_pipeline_with_hdfs_sql_integration_spark.registry import query
 from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist a (small, derived) table that feeds a self-join.
+
+    Without this, both sides of the self-join re-run the whole hash
+    lineage — Spark's exchange reuse does not fire across the differing
+    a/b projections. Signatures are tiny next to raw text (the 100 TB
+    ratio is even more lopsided), so MEMORY_AND_DISK is safe at scale.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 JACCARD_THRESHOLD = 0.5
 MINHASH_EST_THRESHOLD = 0.5
 EMB_SUBSET = 400  # bounded exact-pair subset (vec_id < EMB_SUBSET)
@@ -57,8 +70,17 @@ _SQL_SHINGLE_CTE = f"""
 
 
 def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh: array<long>) — distinct hashed word-3-shingles."""
-    docs = load(spark, sf_dir, "documents")
+    """(doc_id, sh: array<long>) — distinct hashed word-3-shingles.
+
+    The scan is repartitioned first: token hashing is CPU-bound, and a
+    small input (few splits) would otherwise pin it to one task. The
+    shuffle moves only raw text once — cheap relative to the per-char
+    hash work it parallelizes; at 100 TB the scan already yields
+    thousands of splits and the repartition coalesces nothing away.
+    """
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     th = F.transform(tf.tokens(F.col("text")), lambda s: tf.poly_hash_str(s))
     base = docs.select("doc_id", th.alias("th")).filter(F.size("th") >= 3)
 
@@ -133,8 +155,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     t = JACCARD_THRESHOLD
-    sh = _shingle_hashes(spark, sf_dir).select(
-        "doc_id", F.sort_array("sh").alias("sh"), F.size("sh").alias("n")
+    sh = _materialize(
+        _shingle_hashes(spark, sf_dir).select(
+            "doc_id", F.sort_array("sh").alias("sh"), F.size("sh").alias("n")
+        )
     )
     prefix_len = (F.col("n") - F.ceil(F.col("n") * t) + 1).cast("int")
     prefix = sh.select(
@@ -222,7 +246,9 @@ _SQL_SIG_MATCHES = (
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     sh = _shingle_hashes(spark, sf_dir)
-    sigs = sh.select("doc_id", F.array(*tf.minhash_signature(F.col("sh"))).alias("sig"))
+    sigs = _materialize(
+        sh.select("doc_id", F.array(*tf.minhash_signature(F.col("sh"))).alias("sig"))
+    )
     r = tf.MINHASH_ROWS
     band_hashes = F.array(
         *[tf.poly_hash_longs(F.slice("sig", j * r + 1, r)) for j in range(tf.MINHASH_BANDS)]
@@ -296,7 +322,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     t = tf.tokens(F.col("text"))
     th = F.transform(t, lambda s: tf.poly_hash_str(s))
     base = docs.select("doc_id", th.alias("th")).filter(F.size("th") > 0)
@@ -349,7 +377,7 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    sh = _simhash_df(spark, sf_dir)
+    sh = _materialize(_simhash_df(spark, sf_dir))
     band_vals = F.array(
         *[F.shiftright(F.col("simhash"), 10 * j).bitwiseAND(F.lit(1023)) for j in range(tf.SIMHASH_BANDS)]
     )
