@@ -16,6 +16,7 @@ def load_all_plans() -> None:
         cache_queries,
         core_queries,
         dedup,
+        formats,
         grouped_map,
         json_queries,
         multimodal,
@@ -27,4 +28,6 @@ def load_all_plans() -> None:
         subqueries,
         temporal,
         text_analysis,
+        udtf_queries,
+        window_fns,
     )

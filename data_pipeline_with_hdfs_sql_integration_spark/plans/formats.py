@@ -1,0 +1,117 @@
+"""File-format roundtrips: CSV, JSON-lines, ORC.
+
+The reference ingests from MySQL and persists parquet only
+(SURVEY.md §1.1); a complete engine must also move data through the
+text formats (interchange) and ORC (the other columnar at-rest
+format). Each query writes a table out in the format under test —
+executor-parallel, explicit schema on re-read (inferSchema would cost
+an extra pass and invite type drift) — reads it back, and aggregates;
+the oracle aggregates the original parquet, so a pass proves the
+roundtrip is lossless.
+
+Output dirs are deterministic per (format, sf_dir) and overwritten
+each run — reruns are idempotent, and the many-small-files shape of a
+32-task write of a tiny table is itself the realistic artifact (at
+100 TB the same code yields properly sized splits).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+
+def _roundtrip_dir(fmt: str, sf_dir: str) -> str:
+    digest = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"dps_fmt_{fmt}_{digest}")
+
+
+@query(
+    "format_csv_roundtrip",
+    oracle="""
+        SELECT s_nationkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM supplier
+        GROUP BY s_nationkey
+    """,
+    doc="CSV roundtrip: supplier → headered CSV → schema-pinned re-read "
+    "→ aggregate. Doubles survive because Spark's CSV writer emits "
+    "round-trippable representations; the decimal-sum aggregate proves "
+    "value-level fidelity, not just row counts.",
+    tags=("formats", "csv"),
+)
+def format_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    s = load(spark, sf_dir, "supplier")
+    path = _roundtrip_dir("csv", sf_dir)
+    s.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(s.schema).option("header", "true").csv(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+    )
+
+
+@query(
+    "format_json_roundtrip",
+    oracle="""
+        SELECT n_regionkey,
+               CAST(count(*) AS BIGINT) AS n_nations,
+               min(n_name) AS first_nation
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    doc="JSON-lines roundtrip: nation → newline-delimited JSON → "
+    "schema-pinned re-read → aggregate. JSONL is the interchange format "
+    "for document/training-data feeds; schema-on-read keeps ingestion "
+    "one-pass.",
+    tags=("formats", "json"),
+)
+def format_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    n = load(spark, sf_dir, "nation")
+    path = _roundtrip_dir("json", sf_dir)
+    n.write.mode("overwrite").json(path)
+    back = spark.read.schema(n.schema).json(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )
+
+
+@query(
+    "format_orc_roundtrip",
+    oracle="""
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               CAST(max(p_size) AS INTEGER) AS max_size
+        FROM part
+        GROUP BY p_brand
+    """,
+    doc="ORC roundtrip: part → ORC (self-describing columnar, so no "
+    "schema pin needed) → aggregate. ORC shares parquet's pushdown/"
+    "pruning behavior in Spark; this proves the engine is not "
+    "parquet-monogamous.",
+    tags=("formats", "orc"),
+)
+def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    p = load(spark, sf_dir, "part")
+    path = _roundtrip_dir("orc", sf_dir)
+    p.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.max("p_size").cast("int").alias("max_size"),
+    )

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -225,4 +226,59 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(IVF_TOPK)
+    )
+
+
+@query(
+    "sim_cosine_topk_arrow",
+    oracle=f"""
+        WITH e AS ({_SQL_VECS}),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id, {_sql_cosine('e.v', 'q.qv')} AS cosine
+        FROM e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT {TOPK}
+    """,
+    doc="Arrow-vectorized cosine top-k: the same exact query as "
+    "sim_cosine_topk, but the cosine runs in a scalar pandas_udf — "
+    "NumPy over Arrow batches, accumulated DIMENSION-BY-DIMENSION "
+    "across the batch so every row's FP addition order equals the "
+    "sequential fold the JVM/DuckDB versions use (vectorized across "
+    "rows, ordered across dims: bit-identical AND fast). This is the "
+    "throughput path when vectors are wide and the JVM HOF fold "
+    "becomes expression-interpreter-bound.",
+    tags=("similarity", "arrow"),
+)
+def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Module-level pandas import (below) is required: `from __future__
+    # import annotations` stringifies the UDF's type hints, and pyspark
+    # resolves them against the function's module globals.
+    from pyspark.sql.functions import pandas_udf
+
+    apply_runtime_confs(spark)
+
+    @pandas_udf("double")
+    def _cos(v: pd.Series, qv: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = np.stack(v.to_numpy())          # (rows, dim)
+        q = np.asarray(qv.iloc[0], dtype=np.float64)
+        dot = np.zeros(m.shape[0])
+        nv = np.zeros(m.shape[0])
+        nq = 0.0
+        for d in range(m.shape[1]):         # sequential over dims ⇒ fold order
+            dot += m[:, d] * q[d]
+            nv += m[:, d] * m[:, d]
+            nq += q[d] * q[d]
+        return pd.Series(dot / (np.sqrt(nv) * np.sqrt(nq)))
+
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(_cos(F.col("v"), F.col("qv")), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOPK)
     )

@@ -181,3 +181,73 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     token_hashes = F.transform(tf.tokens(F.col("text")), lambda s: tf.poly_hash_str(s))
     return docs.select("doc_id", tf.poly_hash_longs(token_hashes).alias("fingerprint"))
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_number_runs
+        FROM documents
+    """,
+    doc="BPE-ish token counting: a GPT-2-style pre-tokenizer regex "
+    "(letter runs | digit runs | symbol runs) counts the units a "
+    "byte-pair encoder would start from — the cheap upper-bound token "
+    "estimate a training pipeline uses for budget accounting. "
+    "regexp_extract_all is a codegen'd JVM expression; the pattern "
+    "avoids engine-specific classes so DuckDB's RE2 matches Java "
+    "regex run-for-run.",
+    tags=("text", "tokens"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(lowered, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"), F.lit(0))).cast(
+            "long"
+        ).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(lowered, F.lit(r"[0-9]+"), F.lit(0))).cast("long").alias(
+            "n_number_runs"
+        ),
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({tf.sql_tokens('text')}) AS tok FROM documents
+        )
+        SELECT tok,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM toks
+        GROUP BY tok
+        ORDER BY n_occurrences DESC, tok ASC
+        LIMIT 25
+    """,
+    doc="Corpus heavy hitters: explode tokens → hash aggregate → top-25 "
+    "by (count desc, token asc — deterministic tie-break). Plans as "
+    "partial map-side aggregation per token before the shuffle and "
+    "TakeOrderedAndProject for the top-k (per-partition heaps, no "
+    "global sort). The exact-count baseline a count-min/space-saving "
+    "sketch would approximate at 100 TB.",
+    tags=("text", "topk"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tf.tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+        .limit(25)
+    )
