@@ -30,10 +30,17 @@ HEADLINE = [
     "join_revenue_topk",
     "join_region_revenue",
     "window_topk_per_group",
+    "window_lag_lead_ntile",
+    "subq_in_having",
+    "join_outer_count_histogram",
+    "rollup_hourly_to_daily",
+    "grouped_linreg_trend",
     "dedup_minhash_lsh",
     "dedup_exact",
     "sim_cosine_topk",
+    "sim_cosine_topk_arrow",
     "text_fingerprint",
+    "text_bpe_token_count",
     "stream_tumbling_counts",
 ]
 

@@ -14,6 +14,7 @@ def load_all_plans() -> None:
         analytics,
         analytics_more,
         cache_queries,
+        clustering,
         core_queries,
         dedup,
         formats,

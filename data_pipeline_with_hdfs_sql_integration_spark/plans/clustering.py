@@ -1,0 +1,135 @@
+"""Duplicate-cluster formation: connected components over near-dup
+pairs, plus relational unpivot.
+
+Pair generation (dedup_minhash_lsh) says which documents match; a
+training pipeline then needs the transitive CLUSTERS ("A~B and B~C ⇒
+keep one of {A,B,C}"). Connected components is the canonical iterative
+DataFrame algorithm: label propagation to the component minimum, one
+join+aggregate per round, converging in O(graph diameter) rounds.
+
+The DuckDB oracle computes the same components with a recursive CTE
+(transitive closure → min reachable id) — an iterative Spark algorithm
+checked against a declarative fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.plans.dedup import (
+    SQL_MINHASH_PAIRS_CTES,
+    dedup_minhash_lsh,
+)
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+MAX_ITERATIONS = 50  # backstop only; diameter bounds the real count
+
+
+def connected_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Returns (node, cluster_id = min node id in the component). Each
+    round: every node adopts min(own label, neighbors' labels); stop
+    when no label changes. Rounds are join-on-node + min-aggregate —
+    both shuffle on the node id, so at scale the two shuffles per
+    round are the whole cost and skew is bounded by max degree. For
+    graphs with huge diameters, swap in the large-star/small-star
+    variant (Kiveris et al.) — same DataFrame substrate.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    labels.count()
+
+    for _ in range(MAX_ITERATIONS):
+        nbr_min = (
+            edges.join(labels, edges.a == labels.node)
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {SQL_MINHASH_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM prs
+            UNION
+            SELECT doc_b, doc_a FROM prs
+        ),
+        reach AS (
+            SELECT a AS n, a AS m FROM edges
+            UNION
+            SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a
+        )
+        SELECT CAST(n AS BIGINT) AS doc_id,
+               CAST(min(m) AS BIGINT) AS cluster_id
+        FROM reach
+        GROUP BY n
+    """,
+    doc="Duplicate clusters: connected components (iterative min-label "
+    "propagation, two shuffles per round) over the MinHash-LSH pair "
+    "graph. cluster_id = min doc_id in the component — the canonical "
+    "'keep one representative per cluster' key. Oracle: DuckDB "
+    "recursive-CTE transitive closure, so the iterative algorithm is "
+    "checked against a declarative fixpoint.",
+    tags=("dedup", "clustering", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("node").cast("long").alias("doc_id"), F.col("cluster_id").cast("long"))
+
+
+@query(
+    "transform_unpivot",
+    oracle="""
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value
+        FROM part
+    """,
+    doc="Unpivot (wide→long): part's numeric columns melted to "
+    "(key, metric, value) rows via DataFrame.unpivot — the inverse of "
+    "agg_pivot_segments. Map-side row expansion, no shuffle.",
+    tags=("reshape",),
+)
+def transform_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    return p.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")

@@ -216,10 +216,10 @@ _SQL_SIG_MATCHES = (
 )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-        WITH {_SQL_SHINGLE_CTE},
+#: WITH-clause body (no leading WITH) ending in a `prs(doc_a, doc_b,
+#: est_jaccard)` CTE — shared by the minhash oracle and the
+#: connected-components clustering oracle (plans/clustering.py).
+SQL_MINHASH_PAIRS_CTES = f"""{_SQL_SHINGLE_CTE},
         sigs AS (
             SELECT doc_id, {_sql_minhash_sig()} AS sig FROM sh
         ),
@@ -230,11 +230,20 @@ _SQL_SIG_MATCHES = (
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b,
-               round(CAST({_SQL_SIG_MATCHES} AS DOUBLE) / {tf.MINHASH_K}, 6) AS est_jaccard
-        FROM cand
-        WHERE round(CAST({_SQL_SIG_MATCHES} AS DOUBLE) / {tf.MINHASH_K}, 6) >= {MINHASH_EST_THRESHOLD}
+        ),
+        prs AS (
+            SELECT doc_a, doc_b,
+                   round(CAST({_SQL_SIG_MATCHES} AS DOUBLE) / {tf.MINHASH_K}, 6) AS est_jaccard
+            FROM cand
+            WHERE round(CAST({_SQL_SIG_MATCHES} AS DOUBLE) / {tf.MINHASH_K}, 6) >= {MINHASH_EST_THRESHOLD}
+        )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {SQL_MINHASH_PAIRS_CTES}
+        SELECT doc_a, doc_b, est_jaccard FROM prs
     """,
     doc=f"MinHash+LSH near-dup: {tf.MINHASH_K} minhashes, {tf.MINHASH_BANDS} "
     f"bands × {tf.MINHASH_ROWS} rows (s-curve threshold ≈ "

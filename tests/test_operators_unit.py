@@ -224,3 +224,17 @@ def test_foreach_batch_exactly_once_sink(spark):
         for r in load(spark, SF_DIR, "events").groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert result == expected
+
+
+def test_connected_components_known_graph(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.clustering import connected_components
+
+    # Components: {1,2,3,4} (chain), {10,11}, {20} absent (no edges -> not a node)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs, "a", "b").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
