@@ -20,7 +20,9 @@ def load_all_plans() -> None:
         formats,
         grouped_map,
         json_queries,
+        merge_ops,
         multimodal,
+        profiling,
         rollup_hypertable,
         sampling,
         scalarfns,

@@ -1,0 +1,97 @@
+"""MERGE / upsert semantics on plain parquet tables.
+
+Spark has no MERGE INTO without a transactional table format, but the
+semantics — update matched rows, insert unmatched ones, tag the action
+— compose from a FULL OUTER join + COALESCE. That is exactly what the
+table formats execute underneath; expressing it as a plan keeps it
+format-agnostic (write the result back out as the new snapshot, or
+feed it to foreachBatch for incremental apply — streaming/sinks.py).
+
+The change set here is derived deterministically from the base table
+so the oracle can rebuild it: every customer with c_custkey % 97 == 0
+gets +100.00 acctbal (updates), and five synthetic customers with keys
+1_000_000+i arrive as inserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+UPDATE_MOD = 97
+N_INSERTS = 5
+INSERT_BASE_KEY = 1_000_000
+
+_SQL_CHANGES = f"""
+        changes AS (
+            SELECT c_custkey,
+                   c_name,
+                   CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100.00 AS DECIMAL(18,2)) AS new_acctbal
+            FROM customer WHERE c_custkey % {UPDATE_MOD} = 0
+            UNION ALL
+            SELECT {INSERT_BASE_KEY} + i,
+                   'Customer#new' || CAST(i AS VARCHAR),
+                   CAST(500.00 + i AS DECIMAL(18,2))
+            FROM generate_series(0, {N_INSERTS - 1}) t(i)
+        )
+"""
+
+
+def merge_upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """FULL OUTER merge: matched → update, change-only → insert,
+    base-only → keep. Returns the merged snapshot plus an `op` tag."""
+    b = base.alias("b")
+    c = changes.alias("c")
+    joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key),
+        F.coalesce(F.col("c.c_name"), F.col("b.c_name")).alias("c_name"),
+        F.coalesce(F.col("c.new_acctbal"), F.col("b.c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("acctbal"),
+        F.when(F.col(f"b.{key}").isNull(), "insert")
+        .when(F.col(f"c.{key}").isNull(), "keep")
+        .otherwise("update")
+        .alias("op"),
+    )
+
+
+@query(
+    "merge_upsert_customers",
+    oracle=f"""
+        WITH {_SQL_CHANGES}
+        SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+               COALESCE(c.c_name, b.c_name) AS c_name,
+               CAST(COALESCE(c.new_acctbal, CAST(b.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
+               CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                    WHEN c.c_custkey IS NULL THEN 'keep'
+                    ELSE 'update' END AS op
+        FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+    """,
+    doc="MERGE-semantics upsert without a table format: deterministic "
+    "change set (keys %97 updated +100, five synthetic inserts) applied "
+    "to customer via FULL OUTER join + COALESCE, each row tagged "
+    "update/insert/keep. One shuffle on the merge key; with the change "
+    "side small it degrades gracefully to a broadcast-able outer join.",
+    tags=("merge", "upsert"),
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    base = load(spark, sf_dir, "customer")
+    updates = base.filter(F.col("c_custkey") % UPDATE_MOD == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal").cast("decimal(18,2)") + F.lit(100.00).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("new_acctbal"),
+    )
+    inserts = spark.range(N_INSERTS).select(
+        (F.lit(INSERT_BASE_KEY) + F.col("id")).alias("c_custkey"),
+        F.concat(F.lit("Customer#new"), F.col("id").cast("string")).alias("c_name"),
+        (F.lit(500.00) + F.col("id")).cast("decimal(18,2)").alias("new_acctbal"),
+    )
+    return merge_upsert(base, updates.unionByName(inserts), "c_custkey")

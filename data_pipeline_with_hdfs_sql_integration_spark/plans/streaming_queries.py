@@ -135,6 +135,29 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+        SELECT a.user_id, a.ts AS signup_ts, b.ts AS purchase_ts
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'signup' AND b.event_type = 'purchase'
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    """,
+    doc="Stream-stream inner join: signup→purchase funnels within 30 "
+    "minutes per user. Watermarks on both sides plus the bounded "
+    "event-time join condition keep each side's join state finite — "
+    "late rows past the watermark are dropped, matched rows emit in "
+    "append mode. The oracle is the batch self-join with the same "
+    "interval predicate.",
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return W.stream_stream_pairs(spark, sf_dir)
+
+
+@query(
     "stream_stateful_user_totals",
     oracle="""
         SELECT user_id,

@@ -186,3 +186,53 @@ def join_outer_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "subq_scalar_anti",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c.c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.a
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000.0)
+        GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22-shaped: above-average-balance customers with no "
+    "high-value (>300k) orders, per nation. Two subquery decorrelations in one query: the "
+    "global scalar average becomes a broadcast 1-row cross join, and "
+    "NOT EXISTS becomes a LEFT ANTI join on the order keys. The scalar "
+    "is exact (decimal sum / count) so the > comparison is "
+    "engine-identical at the boundary.",
+    tags=("subquery", "anti-join"),
+)
+def subq_scalar_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    c = load(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count("*")
+        ).alias("a")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )

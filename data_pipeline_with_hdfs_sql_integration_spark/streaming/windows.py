@@ -146,6 +146,34 @@ def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_type", "n_events")
 
 
+def stream_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: signup followed by a purchase by the
+    same user within 30 minutes. Both sides carry watermarks and the
+    join condition bounds event-time distance, so each side's state
+    buffer is evictable — the two requirements for an unbounded
+    stream-stream join to run with finite state."""
+    s = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("signup_ts"))
+        .withWatermark("signup_ts", "30 minutes")
+    )
+    p = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "signup_ts", "purchase_ts")
+    spark, name = run_to_memory(joined, output_mode="append")
+    return spark.table(name)
+
+
 def session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
     ev = events_stream(spark, sf_dir)
     agg = (
