@@ -81,3 +81,44 @@ def test_topk_uses_take_ordered(spark):
     df = all_queries()["sim_cosine_topk"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_exists_becomes_semi_join(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    plan = _plan(all_queries()["subq_exists_priority"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    # The high-quantity filter must reach the lineitem scan.
+    assert "GreaterThanOrEqual(l_quantity,45" in plan.replace(" ", "").replace(".0", "")
+
+
+def test_not_exists_becomes_anti_join(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    plan = _plan(all_queries()["subq_scalar_anti"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_heavy_hitters_topk_no_global_sort(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    plan = _plan(all_queries()["text_heavy_hitters"].fn(spark, SF_DIR))
+    # top-k must plan as per-partition heaps + driver merge, not a full sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_jvm_queries_have_no_python_eval(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    specs = all_queries()
+    for name in ["fn_string_report", "fn_datetime_rollup", "sample_hash_bernoulli",
+                 "rollup_hourly_to_daily", "text_bpe_token_count", "profile_orders"]:
+        plan = _plan(specs[name].fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_merge_upsert_is_single_shuffle_outer_join(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    plan = _plan(all_queries()["merge_upsert_customers"].fn(spark, SF_DIR))
+    assert "FullOuter" in plan
