@@ -261,3 +261,44 @@ def o13_block_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
 
     return block_location_histogram(spark, table_path(sf_dir, "lineitem"))
+
+
+@query(
+    "sql_interface_region_revenue",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+    doc="The raw-SQL entry point: the same Q5-shaped query as "
+    "join_region_revenue, but submitted as SQL text over the registered "
+    "temp views (catalog.register_views) instead of the DataFrame API — "
+    "proving both surfaces compile to the same Catalyst plans. The SQL "
+    "string is (modulo the oracle's identical text) what a user of the "
+    "reference's MySQL path would write directly.",
+    tags=("sql", "api"),
+)
+def sql_interface_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import register_views
+
+    apply_runtime_confs(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        """
+    )

@@ -72,3 +72,20 @@ def test_hash_and_tokens_three_way_parity(spark):
         assert duck_rows[i][0] == py[0], f"duck hash mismatch on {s!r}"
         assert list(spark_rows[i][1]) == py[1], f"spark tokens mismatch on {s!r}"
         assert list(duck_rows[i][1]) == py[1], f"duck tokens mismatch on {s!r}"
+
+
+def test_hash_sampling_invariant_under_repartition(spark):
+    """The deterministic sampler must select the SAME keys no matter
+    how the input is partitioned (the property seed-based df.sample
+    lacks)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.sampling import hash_bucket
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    picks = lambda d: {r["k"] for r in d.filter(hash_bucket(F.col("k")) < 10).collect()}
+    base = picks(df)
+    assert picks(df.repartition(17)) == base
+    assert picks(df.repartition(1)) == base
+    assert picks(df.repartitionByRange(5, "k")) == base
+    assert 300 < len(base) < 700  # ~10% of 5000
