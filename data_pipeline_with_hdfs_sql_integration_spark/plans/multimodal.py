@@ -157,3 +157,55 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(nb).alias("total_bytes"),
         F.max(nb).alias("max_bytes"),
     )
+
+
+FRAME_EVERY_S = 2  # sample one frame every 2 seconds
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH v AS (
+            SELECT doc_id AS media_id,
+                   5 + doc_id % 55 AS duration_s,
+                   24 + (doc_id % 2) * 6 AS fps
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(unnest(range(0, duration_s * fps, {FRAME_EVERY_S} * fps)) AS BIGINT) AS frame_idx,
+               CAST(unnest(range(0, duration_s * fps, {FRAME_EVERY_S} * fps)) * 1000 // fps AS BIGINT) AS frame_ts_ms
+        FROM v
+    """,
+    doc="Video frame-sampling PLAN from metadata only: one frame every "
+    f"{FRAME_EVERY_S}s, frame indices generated with sequence() + explode and "
+    "timestamps by exact integer math — no codec touched. This is the "
+    "scale-critical half of frame extraction: the planner decides WHICH "
+    "frames (pure metadata, prunes to two columns), and only the chosen "
+    "(media_id, frame_idx) pairs would reach the decode mapInPandas "
+    "stage (multimodal_features' stub boundary). Duration/fps are "
+    "synthesized deterministically from doc_id so the oracle can "
+    "rebuild them.",
+    tags=("multimodal", "video"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load(spark, sf_dir, "documents")
+    v = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(5) + F.col("doc_id") % 55).alias("duration_s"),
+        (F.lit(24) + (F.col("doc_id") % 2) * 6).alias("fps"),
+    )
+    step = F.lit(FRAME_EVERY_S) * F.col("fps")
+    last = F.col("duration_s") * F.col("fps") - 1
+    frames = v.select(
+        "media_id",
+        "fps",
+        F.explode(F.sequence(F.lit(0).cast("long"), last.cast("long"), step.cast("long"))).alias(
+            "frame_idx"
+        ),
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.expr("frame_idx * 1000 div fps").alias("frame_ts_ms"),
+    )

@@ -238,3 +238,32 @@ def test_connected_components_known_graph(spark):
         for r in connected_components(pairs, "a", "b").collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_streaming_checkpoint_resume_is_idempotent(spark):
+    """Re-running a checkpointed availableNow query over an unchanged
+    source must not duplicate or alter results (exactly-once resume)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_hdfs_sql_integration_spark.streaming.sinks import (
+        read_final_epoch,
+        stream_to_parquet_exactly_once,
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.streaming.windows import events_stream
+
+    root = tempfile.mkdtemp(prefix="dps_resume_")
+    build = lambda: (
+        events_stream(spark, SF_DIR).groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+    stream_to_parquet_exactly_once(build(), f"{root}/out", f"{root}/ckpt")
+    first = {r["event_type"]: r["n"] for r in read_final_epoch(spark, f"{root}/out").collect()}
+    epochs_before = sorted(os.listdir(f"{root}/out"))
+
+    # Same checkpoint, same (exhausted) source: a resumed run must be a no-op.
+    stream_to_parquet_exactly_once(build(), f"{root}/out", f"{root}/ckpt")
+    second = {r["event_type"]: r["n"] for r in read_final_epoch(spark, f"{root}/out").collect()}
+    assert first == second
+    assert sorted(os.listdir(f"{root}/out")) == epochs_before
