@@ -1,0 +1,34 @@
+"""Z-order (Morton) interleaving for multi-dimensional data layout.
+
+Sorting/partitioning by a Morton code co-locates rows that are close
+in BOTH dimensions, so range predicates on either column map to few
+contiguous file ranges — the layout trick behind Delta/Iceberg
+Z-ordering, expressed as a plain column expression. Writing
+`df.repartitionByRange(N, zorder2(x, y)).sortWithinPartitions(...)`
+yields files whose min/max stats prune on x AND y at once.
+
+Pure bit arithmetic in JVM expressions (16 bits per dimension →
+32-bit code); no UDF, no shuffle beyond the layout write itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+BITS = 16
+
+
+def zorder2(x: Column, y: Column) -> Column:
+    """Interleave the low 16 bits of two non-negative ints:
+    bit j of x → bit 2j, bit j of y → bit 2j+1."""
+    xs = x.cast("long").bitwiseAND((1 << BITS) - 1)
+    ys = y.cast("long").bitwiseAND((1 << BITS) - 1)
+    z = F.lit(0).cast("long")
+    for j in range(BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xs, j).bitwiseAND(F.lit(1)), 2 * j)
+            + F.shiftleft(F.shiftright(ys, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+        )
+    return z

@@ -251,3 +251,40 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
         .limit(25)
     )
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+        SELECT doc_id,
+               length(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+                           '\s+', ' ', 'g'))) AS n_norm_chars,
+               CAST(len(regexp_extract_all(text, '<num>')) AS BIGINT) AS n_preexisting_markers
+        FROM documents
+    """,
+    doc="Text normalization pipeline: lowercase → digit-run masking to "
+    "<num> → whitespace collapse → trim, reported as normalized length "
+    "(plus a guard count of pre-existing markers, 0 on clean corpora). "
+    "A chain of regexp_replace expressions — one codegen stage, no "
+    "Python, no shuffle: the shape every map-side cleaning pass "
+    "should have. DuckDB needs the 'g' flag for global replace; "
+    "Spark's regexp_replace is global by default.",
+    tags=("text", "normalize"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[0-9]+", "<num>"),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("n_norm_chars"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("<num>"), F.lit(0)))
+        .cast("long")
+        .alias("n_preexisting_markers"),
+    )

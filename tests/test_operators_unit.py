@@ -267,3 +267,28 @@ def test_streaming_checkpoint_resume_is_idempotent(spark):
     second = {r["event_type"]: r["n"] for r in read_final_epoch(spark, f"{root}/out").collect()}
     assert first == second
     assert sorted(os.listdir(f"{root}/out")) == epochs_before
+
+
+def test_zorder_colocates_2d_neighbours(spark):
+    """Rows near in (x, y) must land near in z; a z-range window around
+    a point must cover its 2D neighbourhood (the pruning property)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.zorder import zorder2
+
+    df = spark.range(0, 64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    rows = {(r["x"], r["y"]): r["z"] for r in df.withColumn("z", zorder2(F.col("x"), F.col("y"))).collect()}
+    # Python reference for a few points.
+    def morton(x, y):
+        z = 0
+        for j in range(16):
+            z += ((x >> j) & 1) << (2 * j)
+            z += ((y >> j) & 1) << (2 * j + 1)
+        return z
+    for p in [(0, 0), (1, 0), (0, 1), (63, 63), (17, 42)]:
+        assert rows[p] == morton(*p), p
+    # Locality: a 4x4 tile occupies exactly 16 consecutive codes.
+    tile = sorted(rows[(x, y)] for x in range(8, 12) for y in range(24, 28))
+    assert tile == list(range(tile[0], tile[0] + 16))
