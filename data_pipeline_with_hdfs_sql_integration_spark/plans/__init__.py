@@ -12,6 +12,7 @@ def load_all_plans() -> None:
     _LOADED = True
     from data_pipeline_with_hdfs_sql_integration_spark.plans import (  # noqa: F401
         analytics,
+        analytics_extra,
         analytics_more,
         cache_queries,
         clustering,

@@ -1,0 +1,190 @@
+"""Additional aggregation shapes: histogram binning, FILTER-clause
+conditional aggregates, array-column statistics, salted two-phase
+aggregation, and a partition-pruned layout read.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as tf
+from data_pipeline_with_hdfs_sql_integration_spark.operators.skew import salted_group_count
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+
+@query(
+    "agg_histogram_bins",
+    oracle="""
+        SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                    WHEN o_totalprice >= 600000.0 THEN 13
+                    ELSE CAST(floor(o_totalprice / 50000.0) AS INT) + 1 END AS bin,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_total
+        FROM orders
+        GROUP BY 1
+    """,
+    doc="Histogram binning (width_bucket semantics written as explicit "
+    "arithmetic so both engines share one formula): 12 equal-width "
+    "price bins plus under/overflow, then a plain hash aggregate. Bin "
+    "assignment is map-side arithmetic; the shuffle carries <=14 rows "
+    "per task (12 bins + under/overflow).",
+    tags=("agg", "histogram"),
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    o = load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    bin_expr = (
+        F.when(x < 0.0, 0)
+        .when(x >= 600000.0, 13)
+        .otherwise(F.floor(x / 50000.0).cast("int") + 1)
+    )
+    return (
+        o.groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("bin_total"),
+        )
+    )
+
+
+@query(
+    "agg_filtered_counts",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_finished,
+               CAST(count(*) FILTER (o_totalprice > 200000.0) AS BIGINT) AS n_large,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'O') AS DOUBLE) AS open_total
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Conditional aggregates (SQL FILTER clause): four differently-"
+    "filtered aggregates in ONE pass over one scan — the idiom that "
+    "replaces N self-joins or N scans in reporting queries. Spark "
+    "expresses FILTER as when(cond, x) inside the aggregate; same "
+    "partial-aggregation shape as any group-by.",
+    tags=("agg", "filter"),
+)
+def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_totalprice") > 200000.0, 1)).alias("n_large"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("open_total"),
+    )
+
+
+@query(
+    "emb_norm_stats",
+    oracle=f"""
+        WITH e AS (
+            SELECT label,
+                   round(sqrt({tf.sql_dot("list_transform(embedding, x -> CAST(x AS DOUBLE))",
+                                          "list_transform(embedding, x -> CAST(x AS DOUBLE))")}), 6) AS nrm
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(min(nrm) AS DOUBLE) AS min_norm,
+               CAST(max(nrm) AS DOUBLE) AS max_norm,
+               CAST(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_norm
+        FROM e
+        GROUP BY label
+    """,
+    doc="Array-column statistics: per-label L2-norm profile of the "
+    "embedding corpus. The norm is a sequential HOF fold per row "
+    "(deterministic FP), rounded then decimal-summed so the cross-row "
+    "average is order-independent. The norm profile is the standard "
+    "sanity gate before cosine math (zero/NaN vectors poison ANN "
+    "indexes).",
+    tags=("array", "embeddings"),
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.round(tf.norm(F.transform("embedding", lambda x: x.cast("double"))), 6).alias("nrm"),
+    )
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        (F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+            "avg_norm"
+        ),
+    )
+
+
+@query(
+    "agg_salted_counts",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Two-phase salted aggregation (operators/skew.py): counts per "
+    "event_type computed as salted partials then an unsalted final sum. "
+    "The oracle is the plain group-by — passing proves the salting "
+    "rewrite is result-identical, which is the precondition for using "
+    "it on genuinely hot keys (a key with P% of all rows combines on "
+    "n_salts tasks instead of one).",
+    tags=("agg", "skew"),
+)
+def agg_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events").select("event_type")
+    return salted_group_count(ev, "event_type", n_salts=16)
+
+
+@query(
+    "layout_partition_pruning",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+        GROUP BY event_type
+    """,
+    doc="Hive-partitioned layout + partition pruning: events are "
+    "written once partitioned by event day (the 100 TB ingest layout), "
+    "then a one-day query reads ONLY that day's directory — the scan's "
+    "PartitionFilters prune 29/30 of the data before any IO (asserted "
+    "in tests/test_plan_shape.py). Values re-checked against the "
+    "unpartitioned oracle.",
+    tags=("layout", "pruning"),
+)
+def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    digest = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"dps_layout_day_{digest}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev.withColumn("event_day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+            "event_day"
+        ).parquet(path)
+    day = (
+        spark.read.parquet(path)
+        .filter(F.col("event_day") == F.lit("2024-01-10").cast("date"))
+    )
+    return day.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )

@@ -122,3 +122,11 @@ def test_merge_upsert_is_single_shuffle_outer_join(spark):
 
     plan = _plan(all_queries()["merge_upsert_customers"].fn(spark, SF_DIR))
     assert "FullOuter" in plan
+
+
+def test_day_layout_prunes_partitions(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    plan = _plan(all_queries()["layout_partition_pruning"].fn(spark, SF_DIR))
+    after = plan.split("PartitionFilters", 1)
+    assert len(after) == 2 and "event_day" in after[1][:300]
