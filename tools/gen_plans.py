@@ -1,0 +1,64 @@
+"""Regenerate PLANS.md (explain-formatted trees for representative
+queries). Run from the repo root: python tools/gen_plans.py"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# The generation logic lives inline here so the artifact and generator
+# stay in one place.
+from pyspark.sql import SparkSession
+
+from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+PICKS = [
+    ("o03_band_filter", "band predicate pushed to the parquet reader"),
+    ("o02_broadcast_join", "dimension join resolves to BroadcastHashJoin"),
+    ("agg_pricing_summary", "partial (map-side) + final hash aggregation"),
+    ("join_revenue_topk", "3-way join + TakeOrderedAndProject top-k"),
+    ("subq_exists_priority", "EXISTS decorrelated to LeftSemi with pushed filters"),
+    ("layout_partition_pruning", "PartitionFilters prune the day-partitioned layout"),
+    ("sim_cosine_topk", "broadcast query vector; per-partition top-k heaps"),
+    ("dedup_minhash_lsh", "persisted signatures; band-bucket equi-join"),
+]
+
+
+def main(sf: str = "/root/testdata/sf0.01") -> None:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    out = [
+        "# PLANS — explain(formatted) evidence for representative queries",
+        "",
+        "Generated from the committed code at sf0.01 (regenerate with",
+        "`python tools/gen_plans.py`). What to look for is noted per plan;",
+        "tests/test_plan_shape.py asserts these properties mechanically.",
+        "",
+    ]
+    for name, note in PICKS:
+        df = qs[name].fn(spark, sf)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("\n\n")[0]
+        evidence = [
+            ln.strip()
+            for ln in plan.splitlines()
+            if any(k in ln for k in ("PushedFilters", "PartitionFilters", "ReadSchema"))
+            and ln.strip() not in ("PushedFilters: []", "PartitionFilters: []")
+        ]
+        out += [f"## {name}", "", f"*{note}*", "", "```", tree]
+        if evidence:
+            out += ["", "-- scan details --"]
+            out += [e if len(e) < 150 else e[:147] + "..." for e in evidence]
+        out += ["```", ""]
+    Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text("\n".join(out))
+
+
+if __name__ == "__main__":
+    main()
