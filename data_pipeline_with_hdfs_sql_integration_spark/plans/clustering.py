@@ -32,48 +32,40 @@ def connected_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
     Returns (node, cluster_id = min node id in the component). Each
-    round: every node adopts min(own label, neighbors' labels); stop
-    when no label changes. Rounds are join-on-node + min-aggregate —
-    both shuffle on the node id, so at scale the two shuffles per
-    round are the whole cost and skew is bounded by max degree. For
-    graphs with huge diameters, swap in the large-star/small-star
-    variant (Kiveris et al.) — same DataFrame substrate.
+    round: every node adopts min(own label, neighbors' labels) — the
+    self-loop edges make that ONE join + ONE min-aggregate, and the
+    fixpoint check is a one-row sum (labels only decrease, so an
+    unchanged sum(label) IS convergence). Both steps shuffle on the
+    node id; skew is bounded by max degree. For graphs with huge
+    diameters, swap in the large-star/small-star variant (Kiveris et
+    al.) — same DataFrame substrate.
     """
-    edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .persist()
+    und = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
-    labels.count()
+    # Self-loops fold "own label" into the same neighbor-min aggregate,
+    # so each round is ONE join + ONE aggregation (no second join to
+    # merge old labels back, no per-round equality join for convergence).
+    nodes = und.select(F.col("a").alias("n")).distinct()
+    edges = und.union(nodes.select(F.col("n").alias("a"), F.col("n").alias("b"))).distinct().persist()
+    labels = nodes.select(F.col("n").alias("node"), F.col("n").alias("label")).persist()
+    # Labels only ever decrease, so sum(label) strictly decreases until
+    # the fixpoint: a one-row aggregate is the convergence check.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
     for _ in range(MAX_ITERATIONS):
-        nbr_min = (
-            edges.join(labels, edges.a == labels.node)
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
-            .select(
-                "node",
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
-            )
+            edges.join(labels, edges.a == labels.node)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("label"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
@@ -133,3 +125,57 @@ def transform_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").cast("double").alias("retailprice"),
     )
     return p.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@query(
+    "dedup_keep_representatives",
+    oracle=f"""
+        WITH RECURSIVE {SQL_MINHASH_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM prs
+            UNION
+            SELECT doc_b, doc_a FROM prs
+        ),
+        reach AS (
+            SELECT a AS n, a AS m FROM edges
+            UNION
+            SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a
+        ),
+        clusters AS (
+            SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+        ),
+        dropped AS (
+            SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (dr.doc_id IS NULL) AS BIGINT) AS n_kept,
+               CAST(count(dr.doc_id) AS BIGINT) AS n_dropped
+        FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+        GROUP BY d.source
+    """,
+    doc="End-to-end dedup capstone: shingle → MinHash → LSH candidates → "
+    "clusters → keep the component-min representative, reported as "
+    "kept/dropped counts per source. The drop set (cluster members that "
+    "are not their component's min) broadcasts back onto the corpus as "
+    "a LEFT ANTI-style join — at 100 TB the only full-corpus pass is "
+    "that final join, everything upstream works on signatures.",
+    tags=("dedup", "clustering", "pipeline"),
+)
+def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    dropped = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(dropped.withColumn("__dropped", F.lit(1))), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("__dropped").isNull(), 1)).alias("n_kept"),
+            F.count("__dropped").alias("n_dropped"),
+        )
+    )
