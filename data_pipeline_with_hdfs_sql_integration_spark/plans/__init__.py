@@ -27,6 +27,7 @@ def load_all_plans() -> None:
         rollup_hypertable,
         sampling,
         scalarfns,
+        sessionize,
         similarity,
         streaming_queries,
         subqueries,

@@ -288,3 +288,60 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_preexisting_markers"),
     )
+
+
+IDF_SCALE = 1_000_000
+
+
+@query(
+    "text_tfidf_topterm",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({tf.sql_tokens('text')}) AS tok FROM documents
+        ),
+        tfs AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+        ),
+        dfs AS (
+            SELECT tok, count(DISTINCT doc_id) AS df FROM tfs GROUP BY tok
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.tok,
+                   t.tf * (n.n_docs * {IDF_SCALE} // d.df) AS score
+            FROM tfs t JOIN dfs d ON t.tok = d.tok, n
+        )
+        SELECT doc_id, tok AS top_token, CAST(score AS BIGINT) AS score
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, tok ASC) AS rn
+              FROM scored) s
+        WHERE rn = 1
+    """,
+    doc="TF-IDF-style top term per document with a RATIONAL idf "
+    f"(n_docs*{IDF_SCALE} div df — exact integers, no log, so both "
+    "engines agree bit-for-bit and ties break lexicographically). "
+    "Shape: explode → (doc,tok) tf agg → df agg (token-keyed, "
+    "skew-tolerant) → broadcast df back → per-doc window top-1. At "
+    "100 TB the df table is vocabulary-sized — orders smaller than the "
+    "corpus — so the re-join broadcasts.",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(tf.tokens(F.col("text"))).alias("tok"))
+    tfs = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfs = tfs.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = (F.lit(n_docs) * IDF_SCALE / F.col("df")).cast("long")  # floor div
+    scored = tfs.join(F.broadcast(dfs.select("tok", idf.alias("idf"))), "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_token"), F.col("score").cast("long"))
+    )
