@@ -41,6 +41,7 @@ HEADLINE = [
     "sim_cosine_topk_arrow",
     "text_fingerprint",
     "text_bpe_token_count",
+    "text_tfidf_topterm",
     "stream_tumbling_counts",
 ]
 

@@ -188,3 +188,28 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "agg_collect_sorted_lists",
+    oracle="""
+        SELECT c_nationkey,
+               list_sort(list_distinct(array_agg(c_mktsegment))) AS segments,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    doc="Nested (array) results: distinct market segments per nation as "
+    "a SORTED list — collect_set alone is partition-order-dependent, "
+    "so array_sort pins a canonical order (the only way list-valued "
+    "results can be deterministic under distributed execution). "
+    "Output arrays compare element-wise against the oracle.",
+    tags=("agg", "nested"),
+)
+def agg_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count("*").alias("n_customers"),
+    )

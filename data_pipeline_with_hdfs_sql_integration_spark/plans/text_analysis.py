@@ -335,7 +335,8 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(tf.tokens(F.col("text"))).alias("tok"))
     tfs = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dfs = tfs.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    idf = (F.lit(n_docs) * IDF_SCALE / F.col("df")).cast("long")  # floor div
+    # long arithmetic: n_docs * 1e6 overflows int32 beyond ~2k docs
+    idf = (F.lit(n_docs).cast("long") * IDF_SCALE / F.col("df")).cast("long")  # floor div
     scored = tfs.join(F.broadcast(dfs.select("tok", idf.alias("idf"))), "tok").select(
         "doc_id", "tok", (F.col("tf") * F.col("idf")).alias("score")
     )

@@ -24,6 +24,15 @@ def _norm_cell(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
+    try:  # duckdb fetchdf yields numpy arrays for LIST columns
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return tuple(_norm_cell(x) for x in v.tolist())
+        if isinstance(v, np.generic):
+            return _norm_cell(v.item())
+    except ImportError:
+        pass
     return v
 
 
