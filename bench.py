@@ -62,13 +62,19 @@ def main() -> None:
     # Warm the JVM / codegen before timing.
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
 
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in specs:
             continue
         df = specs[name].fn(spark, SF_DIR)
         # noop sink: full materialization, no collect/driver cost.
-        timings[name] = _time(lambda: df.write.format("noop").mode("overwrite").save())
+        run = lambda: df.write.format("noop").mode("overwrite").save()
+        if warmup:
+            # First run pays codegen/JIT compilation; report warm
+            # throughput (set SPARK_GRAFT_BENCH_WARMUP=0 for cold).
+            run()
+        timings[name] = _time(run)
 
     # Partition-cache create vs reuse (reference benchmark shape:
     # performance_analyzer.py:36-67, 5 keys, cold then warm).
