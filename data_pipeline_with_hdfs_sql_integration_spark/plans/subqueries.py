@@ -236,3 +236,47 @@ def subq_scalar_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
         )
     )
+
+
+@query(
+    "subq_not_in_null_aware",
+    oracle="""
+        SELECT
+            (SELECT count(*) FROM orders
+             WHERE o_custkey NOT IN
+                   (SELECT NULLIF(c_custkey, 0) FROM customer WHERE c_custkey < 10))
+                AS n_with_null_inlist,
+            (SELECT count(*) FROM orders
+             WHERE o_custkey NOT IN
+                   (SELECT c_custkey FROM customer
+                    WHERE c_custkey < 10 AND c_custkey <> 0))
+                AS n_clean_inlist
+    """,
+    doc="NOT IN is NULL-aware: one NULL in the in-list makes every "
+    "NOT IN predicate UNKNOWN, so the first count is 0 while the "
+    "NULL-free variant counts normally — the classic silent-empty-"
+    "result trap. Spark plans this as a null-aware anti join "
+    "(BroadcastHashJoin LeftAnti with isnull-disjunct condition); both "
+    "engines' three-valued logic is pinned by the oracle. Expressed "
+    "via spark.sql — the DataFrame API has no NOT IN.",
+    tags=("subquery", "null", "anti-join"),
+)
+def subq_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import register_views
+
+    apply_runtime_confs(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+            (SELECT count(*) FROM orders
+             WHERE o_custkey NOT IN
+                   (SELECT NULLIF(c_custkey, 0) FROM customer WHERE c_custkey < 10))
+                AS n_with_null_inlist,
+            (SELECT count(*) FROM orders
+             WHERE o_custkey NOT IN
+                   (SELECT c_custkey FROM customer
+                    WHERE c_custkey < 10 AND c_custkey <> 0))
+                AS n_clean_inlist
+        """
+    )
