@@ -209,3 +209,33 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.expr("frame_idx * 1000 div fps").alias("frame_ts_ms"),
     )
+
+
+def resize_image(payload: bytes, w: int, h: int, fake: bool = False) -> bytes:
+    """Resize codec boundary (needs PIL; not in this container). The
+    deterministic fake emits a w*h byte grid sampled from the payload —
+    wrong pixels, right SHAPE, so batch plumbing and size accounting
+    are testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL (not installed); pass fake=True for the "
+            "deterministic stand-in"
+        )
+    if not payload:
+        return bytes(w * h)
+    return bytes(payload[(i * len(payload)) // (w * h)] for i in range(w * h))
+
+
+def audio_frame_energy(payload: bytes, frame_len: int = 256, fake: bool = False) -> list[float]:
+    """Audio feature boundary (needs librosa/soundfile). The fake
+    treats bytes as unsigned samples and emits per-frame mean absolute
+    amplitude — deterministic, shape-correct."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires librosa/soundfile (not installed); pass "
+            "fake=True for the deterministic stand-in"
+        )
+    if not payload:
+        return []
+    frames = [payload[i : i + frame_len] for i in range(0, len(payload), frame_len)]
+    return [round(sum(fr) / len(fr), 6) for fr in frames]

@@ -41,3 +41,21 @@ def test_payload_binary_type(spark):
     schema = dict(media_table(spark, SF_DIR).dtypes)
     assert schema["payload"] == "binary"
     assert schema["n_bytes"] == "bigint"
+
+
+def test_resize_and_audio_stubs_gate_and_fake():
+    import pytest
+
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.multimodal import (
+        audio_frame_energy,
+        resize_image,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"xy", 2, 2)
+    with pytest.raises(NotImplementedError):
+        audio_frame_energy(b"xy")
+    thumb = resize_image(bytes(range(100)), 4, 4, fake=True)
+    assert len(thumb) == 16 and thumb == resize_image(bytes(range(100)), 4, 4, fake=True)
+    e = audio_frame_energy(bytes([10] * 300), frame_len=256, fake=True)
+    assert e == [10.0, 10.0]

@@ -292,3 +292,40 @@ def test_zorder_colocates_2d_neighbours(spark):
     # Locality: a 4x4 tile occupies exactly 16 consecutive codes.
     tile = sorted(rows[(x, y)] for x in range(8, 12) for y in range(24, 28))
     assert tile == list(range(tile[0], tile[0] + 16))
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark):
+    import tempfile
+
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.maintenance import compact_parquet
+
+    path = tempfile.mkdtemp(prefix="dps_compact_")
+    spark.range(0, 10000).repartition(40).write.mode("overwrite").parquet(path)
+    before, after = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert before == 40 and after == 1
+    assert spark.read.parquet(path).count() == 10000
+
+
+def test_incremental_ingest_high_watermark(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.maintenance import (
+        incremental_ingest,
+    )
+
+    root = tempfile.mkdtemp(prefix="dps_incr_")
+    dest, state = f"{root}/dest", f"{root}/state.json"
+    ev = load(spark, SF_DIR, "events").select("event_id", "ts")
+    cutoff = "2024-01-15 00:00:00"
+    first = ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    n1 = incremental_ingest(spark, first, "ts", dest, state)
+    assert n1 == first.count() > 0
+    # Second run over the FULL source ingests only post-watermark rows.
+    n2 = incremental_ingest(spark, ev, "ts", dest, state)
+    assert n1 + n2 == ev.count()
+    assert spark.read.parquet(dest).count() == ev.count()
+    # Third run: nothing new.
+    assert incremental_ingest(spark, ev, "ts", dest, state) == 0
