@@ -33,8 +33,10 @@ QUERY_VEC_ID = 0
 TOPK = 20
 EMB_DIM = 64
 
-LSH_PLANES = 16
-LSH_HAMMING_MAX = 3
+LSH_PLANES = 124  # two 62-bit signature words
+LSH_WORD = 62
+LSH_CAND_FRACTION = 0.2
+LSH_CAND_BASE = 50
 
 IVF_CELLS = 16  # centroids = embeddings of vec_id 0..15 (deterministic)
 IVF_NPROBE = 4
@@ -103,19 +105,26 @@ def _sql_plane_list(plane: list[float]) -> str:
     return "[" + ", ".join(f"CAST({c} AS DOUBLE)" for c in plane) + "]"
 
 
-def _sql_lsh_sig(vcol: str) -> str:
+def _sql_lsh_sig(vcol: str, word: int) -> str:
+    """One 62-bit signature word (planes word*62 .. word*62+61)."""
     bits = []
-    for i, plane in enumerate(HYPERPLANES):
-        d = tf.sql_dot(vcol, _sql_plane_list(plane))
-        bits.append(f"(CASE WHEN ({d}) > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    for j in range(LSH_WORD):
+        i = word * LSH_WORD + j
+        if i >= LSH_PLANES:
+            break
+        d = tf.sql_dot(vcol, _sql_plane_list(HYPERPLANES[i]))
+        bits.append(f"(CASE WHEN ({d}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
     return " + ".join(bits)
 
 
-def _lsh_sig(vcol) -> F.Column:
+def _lsh_sig(vcol, word: int) -> F.Column:
     sig = None
-    for i, plane in enumerate(HYPERPLANES):
-        arr = F.array(*[F.lit(c).cast("double") for c in plane])
-        bit = F.when(tf.dot(vcol, arr) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    for j in range(LSH_WORD):
+        i = word * LSH_WORD + j
+        if i >= LSH_PLANES:
+            break
+        arr = F.array(*[F.lit(c).cast("double") for c in HYPERPLANES[i]])
+        bit = F.when(tf.dot(vcol, arr) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
     return sig
 
@@ -124,40 +133,67 @@ def _lsh_sig(vcol) -> F.Column:
     "sim_ann_lsh",
     oracle=f"""
         WITH e AS ({_SQL_VECS}),
-        sigs AS (SELECT vec_id, v, {_sql_lsh_sig('v')} AS sig FROM e),
-        q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = {QUERY_VEC_ID}),
-        cand AS (
-            SELECT s.vec_id, s.v, q.qv
+        sigs AS (SELECT vec_id, v,
+                        {_sql_lsh_sig('v', 0)} AS sig_lo,
+                        {_sql_lsh_sig('v', 1)} AS sig_hi
+                 FROM e),
+        q AS (SELECT v AS qv, sig_lo AS qlo, sig_hi AS qhi
+              FROM sigs WHERE vec_id = {QUERY_VEC_ID}),
+        ranked AS (
+            SELECT s.vec_id, s.v, q.qv,
+                   row_number() OVER (
+                       ORDER BY bit_count(xor(s.sig_lo, q.qlo))
+                              + bit_count(xor(s.sig_hi, q.qhi)) ASC,
+                                s.vec_id ASC) AS hrank
             FROM sigs s, q
             WHERE s.vec_id <> {QUERY_VEC_ID}
-              AND bit_count(xor(s.sig, q.qsig)) <= {LSH_HAMMING_MAX}
         )
         SELECT vec_id, {_sql_cosine('v', 'qv')} AS cosine
-        FROM cand
+        FROM ranked
+        WHERE hrank <= CEIL({LSH_CAND_FRACTION} * (SELECT count(*) FROM embeddings)) + {LSH_CAND_BASE}
         ORDER BY cosine DESC, vec_id ASC
         LIMIT {IVF_TOPK}
     """,
     doc=f"ANN via random-hyperplane LSH: {LSH_PLANES}-bit sign signature "
-    f"(precomputable + storable per vector), multi-probe hamming<="
-    f"{LSH_HAMMING_MAX} candidate filter, exact cosine rerank. At 100 TB "
-    "the signature is materialized once and candidates come from a "
-    "signature-bucket join instead of a scan.",
+    "stored as two 62-bit words, candidates = the "
+    f"{LSH_CAND_FRACTION:.0%}+{LSH_CAND_BASE} nearest BY HAMMING "
+    "(deterministic tie-break), exact cosine rerank. A candidate "
+    "BUDGET, not a fixed radius — a radius tuned on one corpus "
+    "silently returns nothing on another (measured here: radius 3/16 "
+    "had recall 0; this design measures recall@10 ≈ 0.8-0.9 on the "
+    "weakly-clustered synthetic corpus, tests/test_similarity_recall). "
+    "At 100 TB the signatures are 16 bytes/vector, materialized once; "
+    "the hamming top-C is a TakeOrdered over signatures only, and only "
+    "C full vectors are re-read for the rerank.",
     tags=("similarity", "lsh"),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     apply_runtime_confs(spark)
     e = _vecs(spark, sf_dir)
-    sigs = e.select("vec_id", "v", _lsh_sig(F.col("v")).alias("sig"))
-    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("qv"), F.col("sig").alias("qsig")
+    n = e.count()
+    top_c = int(-(-LSH_CAND_FRACTION * n // 1)) + LSH_CAND_BASE
+    sigs = e.select(
+        "vec_id", "v",
+        _lsh_sig(F.col("v"), 0).alias("sig_lo"),
+        _lsh_sig(F.col("v"), 1).alias("sig_hi"),
     )
-    cand = (
+    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("sig_lo").alias("qlo"), F.col("sig_hi").alias("qhi")
+    )
+    ham = (
+        F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("qhi")))
+    )
+    ranked = (
         sigs.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
-        .filter(F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= LSH_HAMMING_MAX)
+        .withColumn("hrank", F.row_number().over(Window.orderBy(ham.asc(), F.col("vec_id").asc())))
     )
     return (
-        cand.select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        ranked.filter(F.col("hrank") <= top_c)
+        .select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(IVF_TOPK)
     )
