@@ -168,8 +168,6 @@ def _lsh_sig(vcol, word: int) -> F.Column:
     tags=("similarity", "lsh"),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     apply_runtime_confs(spark)
     e = _vecs(spark, sf_dir)
     n = e.count()
@@ -186,14 +184,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("qlo")))
         + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("qhi")))
     )
-    ranked = (
+    # orderBy+limit (NOT a global row_number window): plans as
+    # TakeOrderedAndProject — per-partition heaps of size C, no
+    # single-task global sort. Same deterministic total order.
+    cand = (
         sigs.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
-        .withColumn("hrank", F.row_number().over(Window.orderBy(ham.asc(), F.col("vec_id").asc())))
+        .orderBy(ham.asc(), F.col("vec_id").asc())
+        .limit(top_c)
     )
     return (
-        ranked.filter(F.col("hrank") <= top_c)
-        .select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        cand.select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(IVF_TOPK)
     )
