@@ -27,6 +27,13 @@ RUNTIME_CONFS = {
     # Parquet scan pushdown (defaults, pinned explicitly).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Runtime row-level filtering: build a bloom filter from the small
+    # side of a selective join and push it into the big side's scan —
+    # at 100 TB this skips row groups a static plan can't.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Dynamic partition pruning (default on; pinned — it is the whole
+    # point of the partitioned layouts in plans/analytics_extra.py).
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
 }
 
 
