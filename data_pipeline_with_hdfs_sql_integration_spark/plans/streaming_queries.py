@@ -177,3 +177,67 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     return stateful.user_running_totals(spark, sf_dir)
+
+
+@query(
+    "stream_merge_snapshot",
+    oracle="""
+        SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+               CAST(value AS DOUBLE) AS last_value
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+        WHERE rn = 1
+    """,
+    doc="Streaming materialized view: foreachBatch MERGE maintains a "
+    "latest-event-per-user parquet snapshot (per-batch max_by reduce, "
+    "then keep-newer merge into the snapshot — idempotent under batch "
+    "replay). After the bounded replay the snapshot equals the batch "
+    "latest-per-key oracle; maxFilesPerTrigger=1 forces multiple "
+    "batches so the merge path (not just the first-batch path) is "
+    "exercised.",
+    tags=("streaming", "merge"),
+)
+def stream_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_hdfs_sql_integration_spark.streaming.sinks import (
+        stream_merge_latest_snapshot,
+    )
+
+    apply_runtime_confs(spark)
+    digest = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"dps_mergesnap_{digest}")
+    # Fresh run each invocation: the snapshot is the query RESULT, so
+    # stale state from an earlier code version must not leak in.
+    shutil.rmtree(root, ignore_errors=True)
+    # Re-stage the events file through a duplicated dir with
+    # maxFilesPerTrigger=1 so the merge sees >=2 micro-batches.
+    from data_pipeline_with_hdfs_sql_integration_spark.streaming import windows as W
+
+    path = W.table_path(sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    for name in ("events_a.parquet", "events_b.parquet"):
+        os.symlink(path, os.path.join(stage, name))
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    stream_merge_latest_snapshot(spark, ev, f"{root}/snap", f"{root}/ckpt")
+    return spark.read.parquet(f"{root}/snap").select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").cast("double").alias("last_value"),
+    )

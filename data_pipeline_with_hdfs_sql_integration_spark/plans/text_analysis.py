@@ -346,3 +346,63 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("tok").alias("top_token"), F.col("score").cast("long"))
     )
+
+
+MIN_TOKENS = 5
+MAX_TOKENS = 5000
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, source, {tf.sql_tokens('text')} AS t FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, lang, source,
+                   len(t) AS n_tokens,
+                   len(list_distinct(t)) AS n_distinct
+            FROM toks
+        ),
+        verdicts AS (
+            SELECT lang, source,
+                   (n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+                    AND n_distinct * 10 >= n_tokens * 3) AS keep
+            FROM feats
+        )
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (NOT keep) AS BIGINT) AS n_filtered
+        FROM verdicts
+        GROUP BY lang, source
+    """,
+    doc="Corpus-cleaning pipeline in one scan: tokenize → length gate "
+    f"([{MIN_TOKENS}, {MAX_TOKENS}] tokens) → repetition gate (distinct/"
+    "total ratio >= 0.3, in exact integer cross-multiplication so no FP "
+    "boundary flips) → kept/filtered counts per (lang, source). The "
+    "shape every pretraining filter job has: all gates are map-side "
+    "column math over one pass; only the final tiny aggregate "
+    "shuffles.",
+    tags=("text", "pipeline"),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = tf.tokens(F.col("text"))
+    n_tokens = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    keep = (
+        (n_tokens >= MIN_TOKENS)
+        & (n_tokens <= MAX_TOKENS)
+        & (n_distinct * 10 >= n_tokens * 3)
+    )
+    return (
+        docs.select("lang", "source", keep.alias("keep"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.count(F.when(~F.col("keep"), 1)).alias("n_filtered"),
+        )
+    )

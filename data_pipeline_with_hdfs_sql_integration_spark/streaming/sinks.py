@@ -45,3 +45,50 @@ def read_final_epoch(spark: SparkSession, out_root: str) -> DataFrame:
         if (m := re.match(r"epoch=(\d+)$", d))
     ]
     return spark.read.parquet(f"{out_root}/epoch={max(epochs)}")
+
+
+def stream_merge_latest_snapshot(
+    spark: "SparkSession", events, out_path: str, checkpoint: str
+) -> None:
+    """Streaming materialized view via foreachBatch MERGE: maintain a
+    latest-event-per-user snapshot in plain parquet.
+
+    Each micro-batch reduces to its own latest-per-user (max_by over
+    the batch), then FULL-OUTER-merges into the snapshot keeping the
+    newer row per key. Idempotent under batch replay (merging the same
+    batch twice is a no-op), so checkpoint recovery gives effectively
+    exactly-once snapshot maintenance without a transactional format.
+    """
+    from pyspark.sql import functions as F
+
+    def _merge(batch_df, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        batch_latest = batch_df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("r")
+        ).select("user_id", "r.*")
+        try:
+            current = sp.read.parquet(out_path)
+            merged = (
+                current.unionByName(batch_latest)
+                .groupBy("user_id")
+                .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("r"))
+                .select("user_id", "r.*")
+            )
+        except Exception:  # first batch: no snapshot yet
+            merged = batch_latest
+        tmp = out_path.rstrip("/") + f"__epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = sp.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(out_path)
+        import shutil
+
+        shutil.rmtree(tmp)
+
+    q = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
