@@ -329,3 +329,25 @@ def test_incremental_ingest_high_watermark(spark):
     assert spark.read.parquet(dest).count() == ev.count()
     # Third run: nothing new.
     assert incremental_ingest(spark, ev, "ts", dest, state) == 0
+
+
+def test_ignore_corrupt_files_resilience(spark):
+    """A torn/corrupt parquet part must be skippable without failing the
+    whole scan (the storage-fault analog of the cache recreate path)."""
+    import glob
+    import tempfile
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    path = tempfile.mkdtemp(prefix="dps_corrupt_")
+    spark.range(0, 1000).repartition(4).write.mode("overwrite").parquet(path)
+    victim = sorted(glob.glob(f"{path}/part-*.parquet"))[0]
+    with open(victim, "wb") as f:
+        f.write(b"not a parquet file")
+
+    with pytest.raises(Exception):
+        spark.read.parquet(path).count()  # default: corrupt file is fatal
+
+    n = spark.read.option("ignoreCorruptFiles", "true").parquet(path).count()
+    assert 0 < n < 1000 and n % 250 == 0  # lost exactly the victim's rows
