@@ -341,13 +341,22 @@ def test_ignore_corrupt_files_resilience(spark):
     from py4j.protocol import Py4JJavaError
 
     path = tempfile.mkdtemp(prefix="dps_corrupt_")
-    spark.range(0, 1000).repartition(4).write.mode("overwrite").parquet(path)
+    source = spark.range(0, 1000).repartition(4)
+    source.write.mode("overwrite").parquet(path)
+    schema = source.schema
     victim = sorted(glob.glob(f"{path}/part-*.parquet"))[0]
     with open(victim, "wb") as f:
         f.write(b"not a parquet file")
 
     with pytest.raises(Exception):
-        spark.read.parquet(path).count()  # default: corrupt file is fatal
+        spark.read.schema(schema).parquet(path).count()  # default: fatal
 
-    n = spark.read.option("ignoreCorruptFiles", "true").parquet(path).count()
+    # Schema pinned (inference would read the corrupt footer before the
+    # option applies); the scan then skips the torn part.
+    n = (
+        spark.read.schema(schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(path)
+        .count()
+    )
     assert 0 < n < 1000 and n % 250 == 0  # lost exactly the victim's rows
