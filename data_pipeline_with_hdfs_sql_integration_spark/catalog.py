@@ -54,3 +54,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL entry points)."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def deterministic_tmp_dir(kind: str, source_path: str) -> str:
+    """Stable scratch dir for artifacts derived from `source_path`,
+    keyed on the source's identity AND content version (mtime+size),
+    so regenerated fixtures can never serve a stale derived copy."""
+    import hashlib
+    import tempfile
+
+    ap = os.path.abspath(source_path)
+    try:
+        st = os.stat(ap)
+        token = f"{ap}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        token = ap
+    digest = hashlib.sha256(token.encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"dps_{kind}_{digest}")

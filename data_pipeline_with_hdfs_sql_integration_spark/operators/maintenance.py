@@ -37,14 +37,20 @@ def compact_parquet(
     before = _files(path)
     total_bytes = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-    df = spark.read.parquet(path)
+    # Read exactly the files measured above (not the directory): a file
+    # landing concurrently is neither compacted nor deleted — no
+    # duplicate rows.
+    df = spark.read.parquet(*before)
     tmp = path.rstrip("/") + "__compacting"
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    # Swap: remove originals, move compacted files in.
-    for f in before:
-        os.remove(f)
+    # Swap order matters: move compacted files IN first (part names are
+    # UUID-unique so they cannot collide), THEN delete the originals —
+    # a crash mid-swap leaves duplicates (recoverable by re-running),
+    # never data loss.
     for f in _files(tmp):
         os.rename(f, os.path.join(path, os.path.basename(f)))
+    for f in before:
+        os.remove(f)
     import shutil
 
     shutil.rmtree(tmp)
@@ -71,9 +77,17 @@ def incremental_ingest(
     if os.path.exists(state_path):
         last = json.load(open(state_path))["high_watermark"]
     batch = source if last is None else source.filter(F.col(ts_col) > F.lit(last).cast("timestamp"))
-    n = batch.count()
-    if n:
-        batch.write.mode("append").parquet(dest_path)
-        hw = batch.agg(F.max(ts_col).cast("string")).collect()[0][0]
-        json.dump({"high_watermark": hw}, open(state_path, "w"))
+    # Pin the batch: count / write / max must see ONE evaluation. With
+    # a live source (JDBC), three separate actions could each re-query
+    # it and the persisted watermark could advance past rows that were
+    # never written.
+    batch = batch.persist()
+    try:
+        n = batch.count()
+        if n:
+            batch.write.mode("append").parquet(dest_path)
+            hw = batch.agg(F.max(ts_col).cast("string")).collect()[0][0]
+            json.dump({"high_watermark": hw}, open(state_path, "w"))
+    finally:
+        batch.unpersist()
     return n

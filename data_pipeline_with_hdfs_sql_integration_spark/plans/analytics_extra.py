@@ -5,9 +5,7 @@ aggregation, and a partition-pruned layout read.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -171,10 +169,16 @@ def agg_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("layout", "pruning"),
 )
 def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        table_path,
+    )
+
     apply_runtime_confs(spark)
     ev = load(spark, sf_dir, "events")
-    digest = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"dps_layout_day_{digest}")
+    # Keyed on the SOURCE file's content version (mtime+size): a
+    # regenerated fixture can never serve a stale partitioned copy.
+    path = deterministic_tmp_dir("layout_day", table_path(sf_dir, "events"))
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         ev.withColumn("event_day", F.to_date("ts")).write.mode("overwrite").partitionBy(

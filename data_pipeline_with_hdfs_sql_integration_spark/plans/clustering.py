@@ -66,6 +66,9 @@ def connected_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # The final labels were materialized by the sum() action, so the
+    # edge cache is no longer needed by their lineage.
+    edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -17,10 +17,6 @@ each run — reruns are idempotent, and the many-small-files shape of a
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,8 +26,9 @@ from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_
 
 
 def _roundtrip_dir(fmt: str, sf_dir: str) -> str:
-    digest = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"dps_fmt_{fmt}_{digest}")
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import deterministic_tmp_dir
+
+    return deterministic_tmp_dir(f"fmt_{fmt}", sf_dir)
 
 
 @query(

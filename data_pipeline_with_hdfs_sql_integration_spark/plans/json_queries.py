@@ -33,11 +33,13 @@ from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_
 )
 def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    k = F.get_json_object("props", "$.k").cast("long")
+    raw = F.get_json_object("props", "$.k")
+    # Count the RAW extraction (presence of $.k), matching the oracle:
+    # counting the long-cast would silently skip non-numeric values.
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k"))
+        .agg(F.sum(raw.cast("long")).alias("sum_k"), F.count(raw).alias("n_with_k"))
     )
 
 

@@ -41,23 +41,34 @@ _SQL_CHANGES = f"""
 """
 
 
-def merge_upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    set_map: dict[str, tuple[str, str]],
+) -> DataFrame:
     """FULL OUTER merge: matched → update, change-only → insert,
-    base-only → keep. Returns the merged snapshot plus an `op` tag."""
+    base-only → keep; `op` tags each row.
+
+    `set_map` maps each output column to its (changes_col, base_col)
+    pair — real MERGE's UPDATE SET / INSERT VALUES lists — so the
+    operator works for any table pair, not one hardcoded schema.
+    """
     b = base.alias("b")
     c = changes.alias("c")
     joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
-    return joined.select(
-        F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key),
-        F.coalesce(F.col("c.c_name"), F.col("b.c_name")).alias("c_name"),
-        F.coalesce(F.col("c.new_acctbal"), F.col("b.c_acctbal").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("acctbal"),
+    cols = [F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key)]
+    for out, (change_col, base_col) in set_map.items():
+        cols.append(
+            F.coalesce(F.col(f"c.{change_col}"), F.col(f"b.{base_col}")).alias(out)
+        )
+    cols.append(
         F.when(F.col(f"b.{key}").isNull(), "insert")
         .when(F.col(f"c.{key}").isNull(), "keep")
         .otherwise("update")
-        .alias("op"),
+        .alias("op")
     )
+    return joined.select(*cols)
 
 
 @query(
@@ -94,4 +105,16 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("Customer#new"), F.col("id").cast("string")).alias("c_name"),
         (F.lit(500.00) + F.col("id")).cast("decimal(18,2)").alias("new_acctbal"),
     )
-    return merge_upsert(base, updates.unionByName(inserts), "c_custkey")
+    base = base.withColumn("base_bal", F.col("c_acctbal").cast("decimal(18,2)"))
+    merged = merge_upsert(
+        base,
+        updates.unionByName(inserts),
+        "c_custkey",
+        {"c_name": ("c_name", "c_name"), "acctbal_dec": ("new_acctbal", "base_bal")},
+    )
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.col("acctbal_dec").cast("double").alias("acctbal"),
+        "op",
+    )

@@ -25,7 +25,7 @@ GAP_MINUTES = 30
     "sessionize_events",
     oracle=f"""
         WITH marked AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR ts - lag(ts) OVER w > INTERVAL '{GAP_MINUTES} minutes'
                         THEN 1 ELSE 0 END AS is_start
@@ -34,7 +34,7 @@ GAP_MINUTES = 30
         ),
         numbered AS (
             SELECT user_id, ts,
-                   sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS session_no
             FROM marked
         ),

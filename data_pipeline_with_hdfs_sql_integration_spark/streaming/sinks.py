@@ -66,7 +66,12 @@ def stream_merge_latest_snapshot(
         batch_latest = batch_df.groupBy("user_id").agg(
             F.max(F.struct("ts", "event_id", "event_type", "value")).alias("r")
         ).select("user_id", "r.*")
-        try:
+        import os
+
+        # Path-existence check, NOT a bare except: a transient read
+        # error on a real snapshot must FAIL the batch (retryable),
+        # never silently restart the snapshot from this batch alone.
+        if os.path.exists(os.path.join(out_path, "_SUCCESS")):
             current = sp.read.parquet(out_path)
             merged = (
                 current.unionByName(batch_latest)
@@ -74,7 +79,7 @@ def stream_merge_latest_snapshot(
                 .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("r"))
                 .select("user_id", "r.*")
             )
-        except Exception:  # first batch: no snapshot yet
+        else:
             merged = batch_latest
         tmp = out_path.rstrip("/") + f"__epoch{epoch_id}"
         merged.write.mode("overwrite").parquet(tmp)
