@@ -14,6 +14,7 @@ def load_all_plans() -> None:
         analytics,
         analytics_extra,
         analytics_more,
+        analytics_tpch,
         cache_queries,
         clustering,
         core_queries,
