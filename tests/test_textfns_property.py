@@ -89,3 +89,32 @@ def test_hash_sampling_invariant_under_repartition(spark):
     assert picks(df.repartition(1)) == base
     assert picks(df.repartitionByRange(5, "k")) == base
     assert 300 < len(base) < 700  # ~10% of 5000
+
+
+def test_morton_roundtrip_hypothesis(spark):
+    """Property: zorder2 is a bijective bit-interleave — decoding the
+    code recovers (x, y) exactly for any 16-bit inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.zorder import BITS, zorder2
+
+    def decode(z: int) -> tuple[int, int]:
+        x = y = 0
+        for j in range(BITS):
+            x |= ((z >> (2 * j)) & 1) << j
+            y |= ((z >> (2 * j + 1)) & 1) << j
+        return x, y
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, (1 << BITS) - 1),
+                              st.integers(0, (1 << BITS) - 1)),
+                    min_size=1, max_size=8))
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "x long, y long")
+        for r in df.withColumn("z", zorder2(F.col("x"), F.col("y"))).collect():
+            assert decode(r["z"]) == (r["x"], r["y"])
+
+    check()
