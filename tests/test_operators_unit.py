@@ -360,3 +360,36 @@ def test_ignore_corrupt_files_resilience(spark):
         .count()
     )
     assert 0 < n < 1000 and n % 250 == 0  # lost exactly the victim's rows
+
+
+def test_exact_duplicates_are_found_by_minhash(spark, tmp_path):
+    """Cross-operator invariant: byte-identical documents MUST surface
+    as MinHash-LSH pairs with est_jaccard = 1.0 (identical text ⇒
+    identical signatures ⇒ same buckets), and unrelated documents must
+    not pair. Runs on a crafted corpus staged as a documents table."""
+    from pyspark.sql import Row
+
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox jumps over the lazy dog",   # dup of 0
+        2: "completely unrelated text about spark shuffles and parquet",
+        3: "completely unrelated text about spark shuffles and parquet",  # dup of 2
+        4: "a third different document mentioning watermarks and joins",
+    }
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="unit", n_chars=len(t))
+        for i, t in texts.items()
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in all_queries()["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
+    assert pairs.get((2, 3)) == 1.0
+    for bad in [(0, 2), (0, 4), (2, 4), (1, 3)]:
+        assert bad not in pairs
