@@ -239,3 +239,42 @@ def audio_frame_energy(payload: bytes, frame_len: int = 256, fake: bool = False)
         return []
     frames = [payload[i : i + frame_len] for i in range(0, len(payload), frame_len)]
     return [round(sum(fr) / len(fr), 6) for fr in frames]
+
+
+@query(
+    "arrow_doc_byte_stats",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    doc="mapInArrow surface: per-document byte/char counts computed "
+    "directly on pyarrow RecordBatches (no pandas materialization — "
+    "the zero-copy path for binary-heavy batches). Deterministic "
+    "arithmetic, so unlike the codec stubs this Arrow-native stage is "
+    "fully oracled. Completes the Python-boundary API matrix: "
+    "pandas_udf, applyInPandas(WithState), mapInPandas, UDTF, "
+    "mapInArrow.",
+    tags=("multimodal", "arrow"),
+)
+def arrow_doc_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+
+    def _stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            tbl = pa.table({"doc_id": batch.column("doc_id"), "text": batch.column("text")})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("doc_id").combine_chunks(),
+                    pc.binary_length(pc.cast(tbl.column("text"), pa.binary())).combine_chunks().cast(pa.int64()),
+                    pc.utf8_length(tbl.column("text")).combine_chunks().cast(pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_chars"],
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(_stats, schema="doc_id long, n_bytes long, n_chars long")

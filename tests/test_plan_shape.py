@@ -130,3 +130,38 @@ def test_day_layout_prunes_partitions(spark):
     plan = _plan(all_queries()["layout_partition_pruning"].fn(spark, SF_DIR))
     after = plan.split("PartitionFilters", 1)
     assert len(after) == 2 and "event_day" in after[1][:300]
+
+
+def test_cached_table_plans_inmemory_scan(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+
+    df = load(spark, SF_DIR, "nation")
+    df.createOrReplaceTempView("nation_cache_probe")
+    spark.catalog.cacheTable("nation_cache_probe")
+    try:
+        plan = _plan(spark.table("nation_cache_probe").groupBy("n_regionkey").count())
+        assert "In-memory table" in plan or "InMemoryRelation" in plan
+    finally:
+        spark.catalog.uncacheTable("nation_cache_probe")
+
+
+def test_broadcast_hint_overrides_planner(spark):
+    """With auto-broadcast disabled the join must sort-merge; the
+    explicit hint must force a broadcast anyway — the operator-level
+    control knob for when statistics lie."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load(spark, SF_DIR, "orders")
+        cust = load(spark, SF_DIR, "customer")
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        assert "SortMergeJoin" in _plan(plain)
+        hinted = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        p = _plan(hinted)
+        assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
