@@ -46,3 +46,42 @@ def window_lag_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.first("o_orderdate").over(w).alias("first_order_date"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY day_no
+                                   RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+                    AS BIGINT) AS n_orders_60d,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                        PARTITION BY o_custkey ORDER BY day_no
+                        RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+                    AS DOUBLE) AS spend_60d
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     datediff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) AS day_no
+              FROM orders) t
+    """,
+    doc="RANGE-frame window (value-based, not row-based): for every "
+    "order, the customer's order count and exact-decimal spend within "
+    "a +/-30-day window of order dates. RANGE frames include ALL peers "
+    "at equal sort values, so the result is tie-proof by construction "
+    "— no row-order tiebreak needed, unlike ROWS frames. Order key is "
+    "an integer day number (Spark's rangeBetween requires numeric "
+    "ordering; identical arithmetic on both engines).",
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    o = load(spark, sf_dir, "orders").withColumn(
+        "day_no",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01 00:00:00").cast("timestamp")).cast("long"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 30)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_orders_60d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("spend_60d"),
+    )
