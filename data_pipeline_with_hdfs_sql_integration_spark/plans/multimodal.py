@@ -266,12 +266,12 @@ def arrow_doc_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow.compute as pc
 
         for batch in batches:
-            tbl = pa.table({"doc_id": batch.column("doc_id"), "text": batch.column("text")})
+            text = batch.column("text")
             yield pa.RecordBatch.from_arrays(
                 [
-                    tbl.column("doc_id").combine_chunks(),
-                    pc.binary_length(pc.cast(tbl.column("text"), pa.binary())).combine_chunks().cast(pa.int64()),
-                    pc.utf8_length(tbl.column("text")).combine_chunks().cast(pa.int64()),
+                    batch.column("doc_id"),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
                 ],
                 names=["doc_id", "n_bytes", "n_chars"],
             )

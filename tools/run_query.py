@@ -7,6 +7,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -16,7 +17,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("name", nargs="?", help="query name (see --list)")
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
     ap.add_argument("--limit", type=int, default=20)
     ap.add_argument("--explain", action="store_true", help="print the physical plan too")
     ap.add_argument("--list", action="store_true", help="list registered queries")
@@ -39,8 +43,10 @@ def main() -> None:
     df = specs[args.name].fn(spark, args.sf_dir)
     if args.explain:
         df.explain("formatted")
-    df.show(args.limit, truncate=False)
-    print(f"({df.count()} rows total)")
+    rows = df.collect()  # one execution serves both the preview and the count
+    preview = df.limit(0).sparkSession.createDataFrame(rows[: args.limit], df.schema)
+    preview.show(args.limit, truncate=False)
+    print(f"({len(rows)} rows total)")
 
 
 if __name__ == "__main__":
