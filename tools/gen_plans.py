@@ -20,6 +20,8 @@ PICKS = [
     ("layout_partition_pruning", "PartitionFilters prune the day-partitioned layout"),
     ("sim_cosine_topk", "broadcast query vector; per-partition top-k heaps"),
     ("dedup_minhash_lsh", "persisted signatures; band-bucket equi-join"),
+    ("q19_disjunctive_predicates", "OR-of-ANDs normalized; residual disjunction post-join"),
+    ("window_range_frame", "value-based RANGE frame window, one shuffle on the partition key"),
 ]
 
 
