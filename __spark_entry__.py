@@ -24,9 +24,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return all_queries()["o09_avg_int_trunc"].fn(spark, "/root/testdata/sf0.001")
 
 
+# Names the round-1 driver verified (CORRECTNESS_r01.json). The driver
+# checks queries in dict order and may cap the per-round count, so the
+# never-yet-verified half registers FIRST to guarantee every query gets
+# a driver-side green row across rounds.
+_ROUND1_CHECKED = frozenset(
+    {
+        "agg_pricing_summary", "join_revenue_topk", "join_region_revenue",
+        "window_topk_per_group", "window_running_sum", "join_semi_anti",
+        "agg_rollup", "set_ops_customer_nations", "agg_histogram_bins",
+        "agg_filtered_counts", "emb_norm_stats", "agg_salted_counts",
+        # agg_collect_sorted_lists deliberately NOT listed: its r1 row was
+        # red (canonicalizer crash, since fixed) so it re-verifies early.
+        "layout_partition_pruning", "agg_cube",
+        "agg_pivot_segments", "agg_distinct_counts", "agg_percentiles",
+        "agg_approx_distinct", "q6_forecast_revenue", "q10_returned_items",
+        "q14_promo_revenue_share", "q15_top_supplier",
+        "q19_disjunctive_predicates", "q12_priority_class_counts",
+        "o10_partition_cache_values", "o11_cache_state_machine",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine",
+        "dedup_clusters", "transform_unpivot", "dedup_keep_representatives",
+        "o01_source_scan", "o02_broadcast_join", "o03_band_filter",
+        "o04_projection", "o05_parquet_sink_roundtrip", "o06_parquet_scan",
+        "o07_pushdown_scan", "o08_equality_filter", "o09_avg_int_trunc",
+        "o12_explode_histogram", "o13_block_locations",
+        "sql_interface_region_revenue", "format_csv_roundtrip",
+        "format_json_roundtrip",
+    }
+)
+
+
+def _ordered_specs():
+    specs = all_queries()
+    fresh = {n: s for n, s in specs.items() if n not in _ROUND1_CHECKED}
+    rest = {n: s for n, s in specs.items() if n in _ROUND1_CHECKED}
+    return {**fresh, **rest}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in all_queries().items()}
+    return {name: spec.fn for name, spec in _ordered_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in all_queries().items() if spec.oracle is not None}
+    return {name: spec.oracle for name, spec in _ordered_specs().items() if spec.oracle is not None}

@@ -198,7 +198,8 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted_lists",
     oracle="""
         SELECT c_nationkey,
-               list_sort(list_distinct(array_agg(c_mktsegment))) AS segments,
+               array_to_string(list_sort(list_distinct(array_agg(c_mktsegment))), '|')
+                   AS segments,
                CAST(count(*) AS BIGINT) AS n_customers
         FROM customer
         GROUP BY c_nationkey
@@ -207,13 +208,15 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a SORTED list — collect_set alone is partition-order-dependent, "
     "so array_sort pins a canonical order (the only way list-valued "
     "results can be deterministic under distributed execution). "
-    "Output arrays compare element-wise against the oracle.",
+    "The sorted list is serialized with array_join to a '|'-delimited "
+    "scalar string so the driver's row-hash canonicalizer (which cannot "
+    "hash array-typed cells) compares it as a plain value.",
     tags=("agg", "nested"),
 )
 def agg_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias("segments"),
         F.count("*").alias("n_customers"),
     )
