@@ -37,11 +37,16 @@ HEADLINE = [
     "grouped_linreg_trend",
     "dedup_minhash_lsh",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "sim_cosine_topk",
     "sim_cosine_topk_arrow",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "subq_scalar_avg",
     "text_fingerprint",
     "text_bpe_token_count",
     "text_tfidf_topterm",
+    "pipeline_clean_corpus",
     "stream_tumbling_counts",
 ]
 

@@ -99,18 +99,36 @@ class PartitionCache:
         except Exception:
             pass  # local fs: replication is a no-op
 
+    def _exists(self, path: str) -> bool:
+        """Metadata-only FileSystem.exists probe — no Spark job, no
+        exception-driven control flow (an AnalysisException probe pays a
+        full JVM stack unwind per cache miss and floods the logs)."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
     def _recompute(self, key: object, source: str) -> CacheResult:
-        subset = self.main.filter(F.col(self.key_col) == F.lit(key))
-        avg = self._avg_of(subset)
-        if avg is None:
-            # Reference: int(NaN) raises → error response (server.py:145-147).
-            return CacheResult(key, 0, "", f"no rows for {self.key_col}={key}")
-        self._write_partition(subset, key)
-        return CacheResult(key, avg, source)
+        # Persist the filtered subset so main is scanned ONCE: the avg
+        # action populates the cache, the partition write re-reads it.
+        # Without this, avg + write are two full scans of main's lineage
+        # — at 100 TB that doubles the create-path cost.
+        subset = self.main.filter(F.col(self.key_col) == F.lit(key)).persist()
+        try:
+            avg = self._avg_of(subset)
+            if avg is None:
+                # Reference: int(NaN) raises → error response (server.py:145-147).
+                return CacheResult(key, 0, "", f"no rows for {self.key_col}={key}")
+            self._write_partition(subset, key)
+            return CacheResult(key, avg, source)
+        finally:
+            subset.unpersist()
 
     # -- public API ----------------------------------------------------
     def calc_avg(self, key: object) -> CacheResult:
         """The CalcAvgLoan state machine (server.py:103-143)."""
+        if not self._exists(self.partition_path(key)):
+            return self._recompute(key, "create")  # server.py:113-116
         try:
             cached = self.spark.read.parquet(self.partition_path(key))
             avg = self._avg_of(cached)
@@ -119,7 +137,8 @@ class PartitionCache:
             return CacheResult(key, avg, "reuse")
         except AnalysisException as exc:
             if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-                return self._recompute(key, "create")  # server.py:113-116
+                # Raced deletion between the exists probe and the read.
+                return self._recompute(key, "create")
             return self._recompute(key, "recreate")  # corrupt metadata etc.
         except Exception:
             return self._recompute(key, "recreate")  # server.py:118-121 (OSError)

@@ -69,18 +69,27 @@ _SQL_SHINGLE_CTE = f"""
 """
 
 
-def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh: array<long>) — distinct hashed word-3-shingles.
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan with enough splits to keep every core busy.
 
-    The scan is repartitioned first: token hashing is CPU-bound, and a
-    small input (few splits) would otherwise pin it to one task. The
-    shuffle moves only raw text once — cheap relative to the per-char
-    hash work it parallelizes; at 100 TB the scan already yields
-    thousands of splits and the repartition coalesces nothing away.
+    Token/shingle hashing is CPU-bound, so a small input (fewer splits
+    than cores) is repartitioned up to cluster parallelism — but ONLY
+    then: `repartition` always materializes a full exchange of the raw
+    text, and at 100 TB the scan already yields thousands of splits, so
+    an unconditional repartition would shuffle the whole corpus for
+    nothing. The split count comes from the driver-side file listing
+    (no job), so the check itself is free.
     """
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+    return docs
+
+
+def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<long>) — distinct hashed word-3-shingles."""
+    docs = _docs_parallel(spark, sf_dir)
     th = F.transform(tf.tokens(F.col("text")), lambda s: tf.poly_hash_str(s))
     base = docs.select("doc_id", th.alias("th")).filter(F.size("th") >= 3)
 
@@ -331,9 +340,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _docs_parallel(spark, sf_dir)
     t = tf.tokens(F.col("text"))
     th = F.transform(t, lambda s: tf.poly_hash_str(s))
     base = docs.select("doc_id", th.alias("th")).filter(F.size("th") > 0)

@@ -35,12 +35,26 @@ EMB_DIM = 64
 
 LSH_PLANES = 124  # two 62-bit signature words
 LSH_WORD = 62
-LSH_CAND_FRACTION = 0.2
-LSH_CAND_BASE = 50
+# Candidate budget is a CONSTANT, independent of corpus size: at 100 TB
+# the rerank still touches exactly C vectors (a fraction-of-N budget
+# would be brute force with a discount — and needed an extra count()
+# job per query just to size itself). 124 signature bits keep the
+# hamming-ordered top-200 recall@10 >= 0.7 (tests/test_similarity_recall).
+LSH_CAND_C = 200
 
-IVF_CELLS = 16  # centroids = embeddings of vec_id 0..15 (deterministic)
+IVF_CELLS = 16
 IVF_NPROBE = 4
 IVF_TOPK = 10
+# Lloyd refinement rounds for the IVF coarse quantizer. Centroids are
+# real (sampled-init, iterated) k-means, not row-id artifacts; the
+# per-cell means use fixed-point BIGINT sums (floor(x*1e7+0.5)) so the
+# reduction is order-independent and bit-identical across engines.
+IVF_KMEANS_ITERS = 2
+_FP = 1e7  # fixed-point scale for centroid means
+# Knuth multiplicative-hash constant: deterministic, engine-portable
+# pseudo-random ORDER BY key for picking the k-means seed sample.
+_SEED_MULT = 2654435761
+_SEED_MOD = 4294967296
 
 # Deterministic hyperplane coefficients, 3-decimal literals so the same
 # text parses to the same double on both engines.
@@ -150,28 +164,28 @@ def _lsh_sig(vcol, word: int) -> F.Column:
         )
         SELECT vec_id, {_sql_cosine('v', 'qv')} AS cosine
         FROM ranked
-        WHERE hrank <= CEIL({LSH_CAND_FRACTION} * (SELECT count(*) FROM embeddings)) + {LSH_CAND_BASE}
+        WHERE hrank <= {LSH_CAND_C}
         ORDER BY cosine DESC, vec_id ASC
         LIMIT {IVF_TOPK}
     """,
     doc=f"ANN via random-hyperplane LSH: {LSH_PLANES}-bit sign signature "
     "stored as two 62-bit words, candidates = the "
-    f"{LSH_CAND_FRACTION:.0%}+{LSH_CAND_BASE} nearest BY HAMMING "
+    f"{LSH_CAND_C} nearest BY HAMMING "
     "(deterministic tie-break), exact cosine rerank. A candidate "
     "BUDGET, not a fixed radius — a radius tuned on one corpus "
     "silently returns nothing on another (measured here: radius 3/16 "
     "had recall 0; this design measures recall@10 ≈ 0.8-0.9 on the "
     "weakly-clustered synthetic corpus, tests/test_similarity_recall). "
-    "At 100 TB the signatures are 16 bytes/vector, materialized once; "
-    "the hamming top-C is a TakeOrdered over signatures only, and only "
-    "C full vectors are re-read for the rerank.",
+    "The budget is CONSTANT in corpus size: at 100 TB the signatures "
+    "are 16 bytes/vector, materialized once; the hamming top-C is a "
+    "TakeOrdered over signatures only, and only C full vectors are "
+    "re-read for the rerank — no per-query count() job, no linear scan "
+    "of full vectors.",
     tags=("similarity", "lsh"),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     e = _vecs(spark, sf_dir)
-    n = e.count()
-    top_c = int(-(-LSH_CAND_FRACTION * n // 1)) + LSH_CAND_BASE
     sigs = e.select(
         "vec_id", "v",
         _lsh_sig(F.col("v"), 0).alias("sig_lo"),
@@ -191,7 +205,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .orderBy(ham.asc(), F.col("vec_id").asc())
-        .limit(top_c)
+        .limit(LSH_CAND_C)
     )
     return (
         cand.select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
@@ -201,17 +215,109 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- IVF ANN
+def _kmeans_centroids(e: DataFrame) -> DataFrame:
+    """Deterministic sampled-init k-means coarse quantizer.
+
+    Seeds = the IVF_CELLS vectors with the smallest Knuth-hash of
+    vec_id (pseudo-random but engine-portable pure integer math), then
+    IVF_KMEANS_ITERS Lloyd rounds: assign each vector to its
+    max-cosine cell (broadcast join + per-vector window), recompute
+    each cell mean per dimension as a BIGINT fixed-point sum / count.
+    Integer sums make the reduction independent of partition order, so
+    the DuckDB oracle reproduces the centroids bit-for-bit.
+    """
+    spark = e.sparkSession
+
+    def _materialize(c: DataFrame) -> DataFrame:
+        # Pull the IVF_CELLS centroid rows to the driver and re-create
+        # them as a literal table — constant-size (cells × dim doubles)
+        # at ANY corpus scale, exactly what MLlib's KMeans does with its
+        # centers. Without this, every downstream reference (next Lloyd
+        # round, assignment, query-probe) re-executes the whole k-means
+        # lineage from the raw scan.
+        return spark.createDataFrame(c.collect(), c.schema)
+
+    key = (F.col("vec_id").cast("long") * F.lit(_SEED_MULT)) % F.lit(_SEED_MOD)
+    cent = _materialize(
+        e.orderBy(key.asc(), F.col("vec_id").asc())
+        .limit(IVF_CELLS)
+        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
+    )
+    # Single-parse SQL-text expressions (64 py4j Column builds per round
+    # would dominate driver-side planning time), reused across rounds.
+    sums = [
+        F.expr(f"sum(cast(floor(element_at(v, {d + 1}) * {_FP} + 0.5) as bigint))").alias(f"s{d}")
+        for d in range(EMB_DIM)
+    ]
+    comps = [F.expr(f"cast(s{d} as double) / (cast(n as double) * {_FP})") for d in range(EMB_DIM)]
+    for _ in range(IVF_KMEANS_ITERS):
+        csim = _cosine(F.col("v"), F.col("cv"))
+        # Argmax cell per vector as a hash aggregate (max_by on a
+        # (csim, -cell_id) struct = smallest cell_id wins ties — same
+        # total order as the oracle's row_number window, without the
+        # per-vector sort). v is constant within a vec_id group, so
+        # first(v) is deterministic here.
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "cell_id", csim.alias("csim"))
+            .groupBy("vec_id")
+            .agg(
+                F.first("v").alias("v"),
+                F.max_by("cell_id", F.struct(F.col("csim"), (-F.col("cell_id")).alias("neg"))).alias("cell_id"),
+            )
+        )
+        agg = assigned.groupBy("cell_id").agg(F.count("*").alias("n"), *sums)
+        cent = _materialize(agg.select("cell_id", F.array(*comps).alias("cv")))
+    return cent
+
+
+def _sql_kmeans_ctes() -> tuple[str, str]:
+    """DuckDB CTE chain mirroring _kmeans_centroids; returns (ctes, final_name)."""
+    sums = ", ".join(
+        f"sum(CAST(floor(v[{d + 1}] * {_FP} + 0.5) AS BIGINT)) AS s{d}" for d in range(EMB_DIM)
+    )
+    comps = ", ".join(
+        f"CAST(s{d} AS DOUBLE) / (CAST(n AS DOUBLE) * {_FP})" for d in range(EMB_DIM)
+    )
+    parts = [
+        f"""cent0 AS (
+            SELECT vec_id AS cell_id, v AS cv FROM e
+            ORDER BY (CAST(vec_id AS BIGINT) * {_SEED_MULT}) % {_SEED_MOD} ASC, vec_id ASC
+            LIMIT {IVF_CELLS})"""
+    ]
+    prev = "cent0"
+    for it in range(IVF_KMEANS_ITERS):
+        parts.append(
+            f"""assign{it} AS (
+            SELECT v, cell_id FROM (
+                SELECT e.v, c.cell_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.v', 'c.cv')} DESC, c.cell_id ASC) AS rn
+                FROM e, {prev} c)
+            WHERE rn = 1)"""
+        )
+        parts.append(
+            f"agg{it} AS (SELECT cell_id, count(*) AS n, {sums} FROM assign{it} GROUP BY cell_id)"
+        )
+        parts.append(f"cent{it + 1} AS (SELECT cell_id, [{comps}] AS cv FROM agg{it})")
+        prev = f"cent{it + 1}"
+    return ",\n        ".join(parts), prev
+
+
+_KMEANS_CTES, _KMEANS_FINAL = _sql_kmeans_ctes()
+
+
 @query(
     "sim_ann_ivf",
     oracle=f"""
         WITH e AS ({_SQL_VECS}),
-        cent AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < {IVF_CELLS}),
+        {_KMEANS_CTES},
         scored AS (
             SELECT e.vec_id, e.v, cent.cell_id,
                    {_sql_cosine('e.v', 'cent.cv')} AS csim,
                    row_number() OVER (PARTITION BY e.vec_id
                                       ORDER BY {_sql_cosine('e.v', 'cent.cv')} DESC, cent.cell_id ASC) AS rn
-            FROM e, cent
+            FROM e, {_KMEANS_FINAL} cent
         ),
         assigned AS (SELECT vec_id, v, cell_id FROM scored WHERE rn = 1),
         qcells AS (
@@ -228,20 +334,22 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cosine DESC, vec_id ASC
         LIMIT {IVF_TOPK}
     """,
-    doc=f"ANN via IVF coarse quantization: {IVF_CELLS} deterministic "
-    f"centroids (vec_id<{IVF_CELLS}), assignment = max-cosine cell "
-    f"(broadcast join + per-vector window), query probes its "
-    f"{IVF_NPROBE} nearest cells, exact rerank inside. The assignment "
-    "table is the partition key at scale — each cell is a parquet "
-    "partition and probes read only nprobe/ncells of the data.",
+    doc=f"ANN via IVF coarse quantization: {IVF_CELLS} centroids from a "
+    f"deterministic seeded k-means ({IVF_KMEANS_ITERS} Lloyd rounds, "
+    "sampled init by Knuth-hash of vec_id, fixed-point integer means "
+    "so the oracle replicates them bit-for-bit), assignment = "
+    "max-cosine cell (broadcast join + per-vector window), query "
+    f"probes its {IVF_NPROBE} nearest cells, exact rerank inside. The "
+    "assignment table is the partition key at scale — each cell is a "
+    "parquet partition and probes read only nprobe/ncells of the data; "
+    "per-cell sums are map-side-combined BIGINTs, one shuffle of "
+    f"{IVF_CELLS}×{EMB_DIM} longs per Lloyd round.",
     tags=("similarity", "ivf"),
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     e = _vecs(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
-    )
+    cent = _kmeans_centroids(e)
     csim = _cosine(F.col("v"), F.col("cv"))
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell_id").asc())
     scored = (

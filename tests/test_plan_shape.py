@@ -165,3 +165,35 @@ def test_broadcast_hint_overrides_planner(spark):
         assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dedup_scan_skips_repartition_when_splits_suffice(spark, tmp_path):
+    """_docs_parallel must NOT inject an Exchange when the documents scan
+    already yields >= defaultParallelism splits — at 100 TB the scan has
+    thousands of splits and an unconditional repartition would shuffle
+    the whole corpus text before tokenization."""
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.dedup import _docs_parallel, _shingle_hashes
+
+    par = spark.sparkContext.defaultParallelism
+    wide_sf = str(tmp_path / "wide_sf")
+    load(spark, SF_DIR, "documents").repartition(par).write.parquet(
+        wide_sf + "/documents.parquet"
+    )
+    # Pin one-file-one-split so the precondition (splits >= parallelism)
+    # holds regardless of Spark's small-file bin-packing.
+    old = spark.conf.get("spark.sql.files.openCostInBytes", None)
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 30))
+    try:
+        docs = _docs_parallel(spark, wide_sf)
+        assert docs.rdd.getNumPartitions() >= par
+        assert "Exchange" not in _plan(docs)
+        # and the full shingle pipeline stays exchange-free too
+        assert "Exchange" not in _plan(_shingle_hashes(spark, wide_sf))
+        # the small stock input (single file < cores) still repartitions
+        assert "Exchange" in _plan(_docs_parallel(spark, SF_DIR))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.files.openCostInBytes")
+        else:
+            spark.conf.set("spark.sql.files.openCostInBytes", old)
