@@ -15,6 +15,7 @@ def load_all_plans() -> None:
         analytics_extra,
         analytics_more,
         analytics_tpch,
+        analytics_tpch2,
         cache_queries,
         clustering,
         core_queries,

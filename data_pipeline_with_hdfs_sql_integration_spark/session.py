@@ -41,6 +41,29 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def jdbc_driver_jars() -> list[str]:
+    """Locally-available JDBC driver jars to put on the session classpath.
+
+    ``SPARK_GRAFT_JDBC_JARS`` (comma-separated) wins; otherwise probe the
+    standard local artifact caches for a DuckDB JDBC driver — when one
+    exists, the JDBC source (sources/jdbc.py) can run live end-to-end
+    against a file-backed DuckDB database (tests/test_jdbc_live.py).
+    """
+    env = os.environ.get("SPARK_GRAFT_JDBC_JARS")
+    if env is not None:
+        return [p for p in env.split(",") if p]
+    import glob
+
+    out: list[str] = []
+    for pat in (
+        "~/.cache/coursier/**/duckdb_jdbc*.jar",
+        "~/.ivy2/**/duckdb_jdbc*.jar",
+        "~/.m2/**/duckdb_jdbc*.jar",
+    ):
+        out.extend(glob.glob(os.path.expanduser(pat), recursive=True))
+    return sorted(out)[:1]
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Set session-mutable confs on an externally-built session."""
     for k, v in RUNTIME_CONFS.items():
@@ -62,6 +85,9 @@ def get_spark(app_name: str = "data_pipeline_with_hdfs_sql_integration_spark", s
         # 128 MB input splits: the right default for large parquet scans.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    jars = jdbc_driver_jars()
+    if jars:
+        builder = builder.config("spark.jars", ",".join(jars))
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

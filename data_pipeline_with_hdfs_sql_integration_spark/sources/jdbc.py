@@ -8,16 +8,41 @@ MySQL with the whole SQL statement shipped to the database
   pushes filters/pruning into the source, and reads N partitions in
   parallel via ``partitionColumn/lowerBound/upperBound/numPartitions``.
 
-No MySQL exists in this environment, so there is no registered query;
-tests cover option construction, and the callsite is
-``api.Pipeline.db_to_store`` with a parquet source standing in.
+No MySQL server exists in this environment, but a DuckDB JDBC driver
+jar does (session.jdbc_driver_jars), so both modes run LIVE end-to-end
+against a file-backed DuckDB database in tests/test_jdbc_live.py:
+seed via ``raw_connection`` DDL, extract via ``query`` /
+``table_partitioned``, with filter pushdown asserted on the plan.
+The registry has no JDBC query only because the correctness driver's
+plain session lacks the driver jar on its classpath.
 """
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def raw_connection(spark: SparkSession, url: str, driver: str):
+    """Open a plain JDBC connection through the session's JVM.
+
+    For DDL/seeding in integration tests (the reference's MySQL is
+    assumed pre-loaded; here we must load it ourselves). The driver
+    class is resolved via the context classloader so jars passed with
+    ``spark.jars`` are visible; java.sql.DriverManager would only see
+    the boot classpath.
+    """
+    jvm = spark._jvm
+    loader = jvm.Thread.currentThread().getContextClassLoader()
+    cls = jvm.java.lang.Class.forName(driver, True, loader)
+    conn = cls.newInstance().connect(url, jvm.java.util.Properties())
+    try:
+        yield conn
+    finally:
+        conn.close()
 
 
 @dataclass
