@@ -16,6 +16,7 @@ def load_all_plans() -> None:
         analytics_more,
         analytics_tpch,
         analytics_tpch2,
+        analytics_tpch3,
         cache_queries,
         clustering,
         core_queries,
