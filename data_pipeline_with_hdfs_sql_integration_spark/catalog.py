@@ -39,6 +39,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan with enough splits to keep every core busy.
+
+    Per-row CPU-bound work (token/shingle hashing, vector math) on a
+    small input (fewer splits than cores) leaves most of the cluster
+    idle — repartition up to cluster parallelism, but ONLY then:
+    `repartition` always materializes a full exchange, and at 100 TB
+    the scan already yields thousands of splits, so an unconditional
+    repartition would shuffle the whole input for nothing. The split
+    count comes from the driver-side file listing (no job), so the
+    check itself is free.
+    """
+    df = load(spark, sf_dir, name)
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which Spark's reader
     rejects; read nanos as long and convert with exact integer division

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load, load_parallel
 from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as tf
 from data_pipeline_with_hdfs_sql_integration_spark.registry import query
 from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
@@ -49,7 +49,7 @@ QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     t = tf.tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -82,7 +82,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = load_parallel(spark, sf_dir, "documents").filter(F.length("text") > 0)
     t = tf.tokens(F.col("text"))
     sw = list(QUALITY_STOPWORDS)
     return docs.select(
@@ -136,7 +136,7 @@ def _lang_score_sql(lang: str) -> str:
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     t = tf.tokens(F.col("text"))
     scored = docs.select(
         "doc_id",
@@ -178,7 +178,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     token_hashes = F.transform(tf.tokens(F.col("text")), lambda s: tf.poly_hash_str(s))
     return docs.select("doc_id", tf.poly_hash_longs(token_hashes).alias("fingerprint"))
 
@@ -203,7 +203,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     lowered = F.lower(F.col("text"))
     return docs.select(
         "doc_id",
@@ -240,7 +240,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tf.tokens(F.col("text"))).alias("tok"))
     return (
         toks.groupBy("tok")
@@ -273,7 +273,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), r"[0-9]+", "<num>"),
@@ -330,7 +330,7 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     apply_runtime_confs(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     n_docs = docs.count()
     toks = docs.select("doc_id", F.explode(tf.tokens(F.col("text"))).alias("tok"))
     tfs = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
@@ -388,7 +388,7 @@ MAX_TOKENS = 5000
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     t = tf.tokens(F.col("text"))
     n_tokens = F.size(t)
     n_distinct = F.size(F.array_distinct(t))
