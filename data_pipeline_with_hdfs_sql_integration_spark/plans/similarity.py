@@ -134,16 +134,29 @@ def _sql_lsh_sig(vcol: str, word: int) -> str:
     return " + ".join(bits)
 
 
-def _lsh_sig(vcol, word: int) -> F.Column:
-    sig = None
+def _lsh_sig_expr(vcol: str, word: int) -> str:
+    """One 62-bit signature word as Spark-SQL TEXT, parsed once.
+
+    Building this as py4j Column ops (124 planes x 64 literal lits)
+    costs ~8000 driver round-trips — measured 33 s of driver-side DF
+    construction per query before any job ran. A single selectExpr
+    parse of the same tree is milliseconds. The fold (aggregate over
+    zip_with, 0D init, acc + x) is operation-for-operation identical
+    to functions/textfns.dot, so signature bits match the oracle's
+    list_reduce fold exactly.
+    """
+    bits = []
     for j in range(LSH_WORD):
         i = word * LSH_WORD + j
         if i >= LSH_PLANES:
             break
-        arr = F.array(*[F.lit(c).cast("double") for c in HYPERPLANES[i]])
-        bit = F.when(tf.dot(vcol, arr) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig + bit
-    return sig
+        arr = "array(" + ", ".join(f"{c}D" for c in HYPERPLANES[i]) + ")"
+        d = (
+            f"aggregate(zip_with({vcol}, {arr}, (x, y) -> x * y), 0D, "
+            f"(acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN ({d}) > 0 THEN {1 << j}L ELSE 0L END)")
+    return " + ".join(bits)
 
 
 @query(
@@ -189,10 +202,10 @@ def _lsh_sig(vcol, word: int) -> F.Column:
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     e = _vecs(spark, sf_dir)
-    sigs = e.select(
+    sigs = e.selectExpr(
         "vec_id", "v",
-        _lsh_sig(F.col("v"), 0).alias("sig_lo"),
-        _lsh_sig(F.col("v"), 1).alias("sig_hi"),
+        f"({_lsh_sig_expr('v', 0)}) AS sig_lo",
+        f"({_lsh_sig_expr('v', 1)}) AS sig_hi",
     )
     q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("sig_lo").alias("qlo"), F.col("sig_hi").alias("qhi")
