@@ -47,6 +47,9 @@ HEADLINE = [
     "text_bpe_token_count",
     "text_tfidf_topterm",
     "pipeline_clean_corpus",
+    "pack_sequences",
+    "contamination_ngram",
+    "quality_repetition",
     "stream_tumbling_counts",
 ]
 

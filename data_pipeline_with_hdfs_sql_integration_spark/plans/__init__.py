@@ -36,6 +36,7 @@ def load_all_plans() -> None:
         subqueries,
         temporal,
         text_analysis,
+        training_prep,
         udtf_queries,
         window_fns,
     )

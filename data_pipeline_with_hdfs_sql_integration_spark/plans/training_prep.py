@@ -1,0 +1,312 @@
+"""Training-data preparation operators (LLM pipeline extensions).
+
+Four first-class operators a 100 TB pretraining pipeline runs between
+"cleaned corpus" and "tokens on disk", none present in the reference
+(which stops at extract/load/aggregate — server.py:24-147):
+
+- pack_sequences          : greedy contiguous packing of tokenized docs
+                            into fixed-length training sequences,
+                            sharded so the prefix-sum never serializes
+- contamination_ngram     : 5-gram overlap of every corpus doc against
+                            a held-out eval set (decontamination)
+- quality_repetition      : Gopher-style repetition metrics (top-2-gram
+                            fraction, duplicate-2-gram fraction) and a
+                            keep/drop verdict per document
+- shuffle_deterministic   : seeded, engine-portable global shuffle into
+                            training shards (hash order, not sort order)
+
+Scale posture: packing and shuffling both partition BY SHARD first —
+the only window functions run inside a shard, so no operator ever
+funnels the corpus through one task. Contamination broadcasts the eval
+side (eval sets are small by construction); the corpus side is one
+explode + equi-join on the gram hash. Repetition metrics are one
+explode + two grouped aggregates, both map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load_parallel
+from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as tf
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+SEQ_LEN = 512  # tokens per packed training sequence
+PACK_SHARDS = 32  # pack within shards: prefix-sum parallelism
+EVAL_MAX_DOC_ID = 25  # doc_id < 25 ⇒ held-out eval set
+CONTAM_NGRAM = 5
+CONTAM_THRESHOLD = 0.01
+TOP_BIGRAM_MAX = 0.06  # keep threshold (top-2-gram share; ~p90 here —
+#   Gopher's prose corpus uses 0.18, this synthetic corpus is far less
+#   repetitive, so the knob is set where it discriminates)
+DUP_BIGRAM_MAX = 0.125  # keep threshold (share of 2-grams that repeat)
+SHUFFLE_SHARDS = 16
+_KNUTH = 2654435761
+_H_MOD = 4294967296
+
+
+# ------------------------------------------------------------------ packing
+@query(
+    "pack_sequences",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   doc_id % {PACK_SHARDS} AS shard,
+                   len({tf.sql_tokens('text')}) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, shard, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS prev_toks
+            FROM toks
+        )
+        SELECT doc_id, shard,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(prev_toks // {SEQ_LEN} AS BIGINT) AS seq_id,
+               CAST(prev_toks % {SEQ_LEN} AS BIGINT) AS seq_offset
+        FROM packed
+    """,
+    doc=f"Sequence packing: concatenate tokenized documents into fixed "
+    f"{SEQ_LEN}-token training sequences. Each doc's placement is the "
+    "exclusive prefix sum of token counts within its shard — seq_id = "
+    "prev//len, offset = prev%len; a doc may straddle a boundary "
+    "(real packers split there). Sharding FIRST is the scale move: an "
+    "unsharded prefix sum is a single-partition window over the whole "
+    "corpus; per-shard windows run one task per shard, and shard "
+    "assignment is pure arithmetic on doc_id (deterministic, no "
+    "shuffle beyond the window's own partitioning).",
+    tags=("training", "window"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tf.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (prev / SEQ_LEN).cast("long").alias("seq_id"),
+        (prev % SEQ_LEN).cast("long").alias("seq_offset"),
+    )
+
+
+# ------------------------------------------------------------ contamination
+_SQL_GRAMS = f"""
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(th) - {CONTAM_NGRAM - 1}),
+                   i -> ((((th[i] * {tf.BASE} + th[i+1]) % {tf.MOD} * {tf.BASE} + th[i+2])
+                         % {tf.MOD} * {tf.BASE} + th[i+3]) % {tf.MOD} * {tf.BASE} + th[i+4])
+                        % {tf.MOD})) AS g
+        FROM (
+            SELECT doc_id,
+                   list_transform({tf.sql_tokens('text')},
+                                  s -> {tf.sql_poly_hash_str('s')}) AS th
+            FROM documents
+        )
+        WHERE len(th) >= {CONTAM_NGRAM}
+"""
+
+
+def _gram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, g: array<long>) — distinct hashed word-5-grams."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    th = F.transform(tf.tokens(F.col("text")), lambda s: tf.poly_hash_str(s))
+    base = docs.select("doc_id", th.alias("th")).filter(F.size("th") >= CONTAM_NGRAM)
+
+    def _g5(i):
+        acc = F.get(F.col("th"), i)
+        for j in range(1, CONTAM_NGRAM):
+            acc = (acc * tf.BASE + F.get(F.col("th"), i + j)) % tf.MOD
+        return acc
+
+    g = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.size("th") - CONTAM_NGRAM), _g5)
+    )
+    return base.select("doc_id", g.alias("g"))
+
+
+@query(
+    "contamination_ngram",
+    oracle=f"""
+        WITH grams AS ({_SQL_GRAMS}),
+        eval_g AS (
+            SELECT doc_id AS eval_id, unnest(g) AS h
+            FROM grams WHERE doc_id < {EVAL_MAX_DOC_ID}
+        ),
+        corp AS (
+            SELECT doc_id, len(g) AS n_grams, unnest(g) AS h
+            FROM grams WHERE doc_id >= {EVAL_MAX_DOC_ID}
+        ),
+        hits AS (
+            SELECT c.doc_id, e.eval_id, c.n_grams,
+                   count(DISTINCT c.h) AS matched
+            FROM corp c JOIN eval_g e ON c.h = e.h
+            GROUP BY c.doc_id, e.eval_id, c.n_grams
+        )
+        SELECT doc_id, eval_id,
+               CAST(matched AS BIGINT) AS matched,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               round(CAST(matched AS DOUBLE) / n_grams, 6) AS overlap
+        FROM hits
+        WHERE round(CAST(matched AS DOUBLE) / n_grams, 6) >= {CONTAM_THRESHOLD}
+    """,
+    doc=f"Benchmark decontamination: {CONTAM_NGRAM}-gram hash overlap of "
+    f"every corpus document against the held-out eval set (doc_id < "
+    f"{EVAL_MAX_DOC_ID} here; in production the eval suite). Flags "
+    f"(corpus_doc, eval_doc) pairs sharing >= {CONTAM_THRESHOLD:.0%} of "
+    "the corpus doc's distinct 5-grams. The eval side is SMALL by "
+    "construction — it broadcasts, so the corpus side is one explode + "
+    "broadcast hash join + grouped count: no shuffle of corpus grams "
+    "at any scale. Gram hashes reuse the token-hash fold (each token "
+    "char-hashed once per doc).",
+    tags=("training", "dedup"),
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    grams = _gram_hashes(spark, sf_dir)
+    eval_g = (
+        grams.filter(F.col("doc_id") < EVAL_MAX_DOC_ID)
+        .select(F.col("doc_id").alias("eval_id"), F.explode("g").alias("h"))
+    )
+    corp = (
+        grams.filter(F.col("doc_id") >= EVAL_MAX_DOC_ID)
+        .select("doc_id", F.size("g").cast("long").alias("n_grams"), F.explode("g").alias("h"))
+    )
+    hits = (
+        corp.join(F.broadcast(eval_g), "h")
+        .groupBy("doc_id", "eval_id", "n_grams")
+        .agg(F.countDistinct("h").alias("matched"))
+    )
+    overlap = F.round(F.col("matched").cast("double") / F.col("n_grams"), 6)
+    return hits.select(
+        "doc_id", "eval_id", "matched", "n_grams", overlap.alias("overlap")
+    ).filter(F.col("overlap") >= CONTAM_THRESHOLD)
+
+
+# ----------------------------------------------------------- gopher quality
+@query(
+    "quality_repetition",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {tf.sql_tokens('text')} AS t FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM toks WHERE len(t) >= 2
+        ),
+        cnt AS (
+            SELECT doc_id, bigram, count(*) AS c
+            FROM bg GROUP BY doc_id, bigram
+        ),
+        m AS (
+            SELECT doc_id,
+                   sum(c) AS total,
+                   max(c) AS top,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+            FROM cnt GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(total AS BIGINT) AS n_bigrams,
+               round(CAST(top AS DOUBLE) / total, 6) AS top_bigram_frac,
+               round(CAST(dup_occ AS DOUBLE) / total, 6) AS dup_bigram_frac,
+               (round(CAST(top AS DOUBLE) / total, 6) <= {TOP_BIGRAM_MAX}
+                AND round(CAST(dup_occ AS DOUBLE) / total, 6) <= {DUP_BIGRAM_MAX})
+                   AS keep
+        FROM m
+    """,
+    doc="Gopher-style repetition quality: per document, the share of "
+    "2-gram occurrences taken by the single most frequent 2-gram "
+    f"(keep <= {TOP_BIGRAM_MAX}) and the share belonging to any "
+    f"repeated 2-gram (keep <= {DUP_BIGRAM_MAX}) — the standard "
+    "boilerplate/looping-text filters. One explode + two grouped "
+    "aggregates, both keyed on doc_id so partial aggregation collapses "
+    "each doc's grams map-side; thresholds compare rounded doubles so "
+    "both engines make identical keep/drop calls.",
+    tags=("training", "text"),
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    t = tf.tokens(F.col("text"))
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
+    bigram = F.concat_ws(" ", F.get(F.col("t"), F.col("i")), F.get(F.col("t"), F.col("i") + 1))
+    bg = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i"),
+        "t",
+    ).select("doc_id", bigram.alias("bigram"))
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    m = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_occ"),
+    )
+    top_frac = F.round(F.col("top").cast("double") / F.col("total"), 6)
+    dup_frac = F.round(F.col("dup_occ").cast("double") / F.col("total"), 6)
+    return m.select(
+        "doc_id",
+        F.col("total").cast("long").alias("n_bigrams"),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac <= TOP_BIGRAM_MAX) & (dup_frac <= DUP_BIGRAM_MAX)).alias("keep"),
+    )
+
+
+# -------------------------------------------------------------- shuffling
+@query(
+    "shuffle_deterministic",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   (CAST(doc_id AS BIGINT) * {_KNUTH}) % {_H_MOD} AS hkey
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(hkey % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY hkey % {SHUFFLE_SHARDS}
+                   ORDER BY hkey ASC, doc_id ASC) AS BIGINT) AS pos
+        FROM keyed
+    """,
+    doc="Deterministic training-data shuffle: every doc gets a Knuth "
+    "multiplicative-hash key; shard = key mod "
+    f"{SHUFFLE_SHARDS}, position = rank of the key within the shard. "
+    "Seeded and engine-portable (pure integer arithmetic, no engine "
+    "RNG), so a re-run or a different engine reproduces the exact "
+    "training order — the property data loaders need for resumable "
+    "epochs. Scale: the only sort is per-shard (window partitioned by "
+    "shard); at 100 TB this is `repartition(shard).sortWithinPartitions` "
+    "— no global sort, no single-task order-by.",
+    tags=("training", "window"),
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    hkey = (F.col("doc_id").cast("long") * _KNUTH) % _H_MOD
+    keyed = docs.select("doc_id", hkey.alias("hkey"))
+    w = Window.partitionBy(F.col("hkey") % SHUFFLE_SHARDS).orderBy(
+        F.col("hkey").asc(), F.col("doc_id").asc()
+    )
+    return keyed.select(
+        "doc_id",
+        (F.col("hkey") % SHUFFLE_SHARDS).cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
