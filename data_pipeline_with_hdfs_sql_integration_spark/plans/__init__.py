@@ -32,6 +32,7 @@ def load_all_plans() -> None:
         scalarfns,
         sessionize,
         similarity,
+        sketches,
         streaming_queries,
         subqueries,
         temporal,

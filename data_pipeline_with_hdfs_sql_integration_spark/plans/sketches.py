@@ -1,0 +1,125 @@
+"""Mergeable-sketch operators with deterministic, oracle-checkable math.
+
+Approximate aggregation is how 100 TB pipelines answer "how often"
+without a full-cardinality shuffle. Engine-native sketches (HLL++ in
+`agg_approx_distinct`) are rows-only checkable because their hash
+internals differ per engine; the count-min sketch here is built from
+this repo's own portable hash constants (functions/textfns.py), so the
+ENTIRE sketch — every bucket count and every estimate — is reproduced
+bit-for-bit by the DuckDB oracle. That turns "approximate" into
+"deterministically approximate": the error is bounded AND the result
+is value-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load_parallel
+from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as tf
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+CMS_DEPTH = 4  # pairwise-independent hash rows (reuse MINHASH_PARAMS[:4])
+CMS_WIDTH = 256  # buckets per row
+CMS_TOPN = 25  # report estimates for the exact top-N tokens
+
+
+def _cms_params() -> list[tuple[int, int]]:
+    return tf.MINHASH_PARAMS[:CMS_DEPTH]
+
+
+def _sql_bucket(th: str, a: int, b: int) -> str:
+    return f"(({a} * {th} + {b}) % {tf.MOD}) % {CMS_WIDTH}"
+
+
+@query(
+    "sketch_count_min_tokens",
+    oracle=f"""
+        WITH occ AS (
+            SELECT {tf.sql_poly_hash_str('tok')} AS th, tok
+            FROM (SELECT unnest({tf.sql_tokens('text')}) AS tok FROM documents)
+        ),
+        sketch AS (
+            {" UNION ALL ".join(
+                f'''SELECT {d} AS d, {_sql_bucket('th', a, b)} AS bucket,
+                           count(*) AS cnt FROM occ GROUP BY 2'''
+                for d, (a, b) in enumerate(_cms_params())
+            )}
+        ),
+        top AS (
+            SELECT tok, th, count(*) AS exact_count
+            FROM occ GROUP BY tok, th
+            ORDER BY exact_count DESC, tok ASC
+            LIMIT {CMS_TOPN}
+        ),
+        probes AS (
+            {" UNION ALL ".join(
+                f'''SELECT tok, exact_count, {d} AS d,
+                           {_sql_bucket('th', a, b)} AS bucket FROM top'''
+                for d, (a, b) in enumerate(_cms_params())
+            )}
+        )
+        SELECT p.tok,
+               CAST(p.exact_count AS BIGINT) AS exact_count,
+               CAST(min(s.cnt) AS BIGINT) AS cms_estimate,
+               CAST(min(s.cnt) - p.exact_count AS BIGINT) AS overestimate
+        FROM probes p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+        GROUP BY p.tok, p.exact_count
+        ORDER BY exact_count DESC, tok ASC
+    """,
+    doc=f"Count-min sketch over token occurrences: {CMS_DEPTH} hash rows x "
+    f"{CMS_WIDTH} buckets built with this repo's portable hash constants, "
+    "then the exact top-"
+    f"{CMS_TOPN} tokens probed against it (estimate = min over rows; "
+    "CMS guarantees estimate >= exact, and the overestimate column "
+    "shows the collision error). The sketch is a grouped count on "
+    f"(row, bucket) — {CMS_DEPTH}x{CMS_WIDTH} cells regardless of corpus size, "
+    "fully map-side combinable and mergeable across shards/streams: "
+    "the 100 TB counting tool when the key cardinality itself is the "
+    "problem. Deterministic hashes make even the 'approximate' values "
+    "oracle-checkable.",
+    tags=("sketch", "text", "approx"),
+)
+def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(tf.tokens(F.col("text"))).alias("tok")
+    ).select("tok", tf.poly_hash_str(F.col("tok")).alias("th"))
+
+    def bucket(d: int):
+        a, b = _cms_params()[d]
+        return ((F.lit(a) * F.col("th") + b) % tf.MOD) % CMS_WIDTH
+
+    # Sketch: one pass, every occurrence contributes to CMS_DEPTH cells.
+    # posexplode over the per-row bucket array keeps it a single scan.
+    cells = occ.select(
+        F.posexplode(F.array(*[bucket(d) for d in range(CMS_DEPTH)])).alias("d", "bucket")
+    )
+    sketch = cells.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+
+    top = (
+        occ.groupBy("tok", "th")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("tok").asc())
+        .limit(CMS_TOPN)
+    )
+    probes = top.select(
+        "tok",
+        "exact_count",
+        F.posexplode(F.array(*[bucket(d) for d in range(CMS_DEPTH)])).alias("d", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "tok",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("tok").asc())
+    )
