@@ -84,10 +84,26 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh: array<long>) — distinct hashed word-3-shingles."""
+    """(doc_id, sh: array<long>) — distinct hashed word-3-shingles.
+
+    (doc_id, th) persists BEFORE the shingle fold: the per-position
+    shingle expression references `th` three times, and Catalyst's
+    CollapseProject would otherwise inline the full char-level
+    token-hash computation into every reference — O(3n) re-hashes of
+    the whole document per doc, quadratic in doc length (measured 73 s
+    cold at sf0.1 through the explode path vs ~1.5 s with the barrier).
+    The hash table is tiny next to raw text; every dedup family reads
+    from it.
+    """
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs_parallel(spark, sf_dir)
     th = F.transform(tf.tokens(F.col("text")), lambda s: tf.poly_hash_str(s))
-    base = docs.select("doc_id", th.alias("th")).filter(F.size("th") >= 3)
+    base = (
+        docs.select("doc_id", th.alias("th"))
+        .filter(F.size("th") >= 3)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def _sh3(i):
         a, b, c = (F.get(F.col("th"), i + j) for j in range(3))
@@ -174,7 +190,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one extra aggregate over exploded shingles + the re-sort join —
     # both shuffles carry (id, hash) pairs only, never raw text.
     raw = _shingle_hashes(spark, sf_dir)
-    ex = raw.select("doc_id", F.explode("sh").alias("h"))
+    # Materialize the exploded (doc_id, hash) pairs BEFORE the frequency
+    # aggregate and the re-sort join: both consume ex, and an
+    # unmaterialized explode re-evaluates the whole shingle-hash lineage
+    # per consumer — worse, the generator's child expression (with the
+    # token-hash array inlined by CollapseProject) re-computes per
+    # emitted element: measured 73 s cold at sf0.1 vs 1.4 s with the
+    # barrier. The pair table is (id, long) — tiny next to raw text.
+    ex = _materialize(raw.select("doc_id", F.explode("sh").alias("h")))
     dfc = ex.groupBy("h").agg(F.count("*").alias("df"))
     ordered = (
         ex.join(dfc, "h")

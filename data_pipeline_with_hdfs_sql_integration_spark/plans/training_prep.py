@@ -124,10 +124,25 @@ _SQL_GRAMS = f"""
 
 
 def _gram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, g: array<long>) — distinct hashed word-5-grams."""
+    """(doc_id, g: array<long>) — distinct hashed word-5-grams.
+
+    The (doc_id, th) projection PERSISTS before the gram fold: the
+    5-gram expression references `th` five times per position, and
+    Catalyst's CollapseProject would otherwise inline the full
+    token-hash computation into every reference — O(5n) re-hashes of
+    the whole document per doc (measured: 135 s -> 1.4 s at sf0.1 for
+    the eval branch alone). The persisted hash table is tiny next to
+    raw text, and both the eval and corpus branches read from it.
+    """
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_parallel(spark, sf_dir, "documents")
     th = F.transform(tf.tokens(F.col("text")), lambda s: tf.poly_hash_str(s))
-    base = docs.select("doc_id", th.alias("th")).filter(F.size("th") >= CONTAM_NGRAM)
+    base = (
+        docs.select("doc_id", th.alias("th"))
+        .filter(F.size("th") >= CONTAM_NGRAM)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def _g5(i):
         acc = F.get(F.col("th"), i)

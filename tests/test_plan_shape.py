@@ -197,3 +197,21 @@ def test_dedup_scan_skips_repartition_when_splits_suffice(spark, tmp_path):
             spark.conf.unset("spark.sql.files.openCostInBytes")
         else:
             spark.conf.set("spark.sql.files.openCostInBytes", old)
+
+
+def test_token_hash_tables_have_materialization_barrier(spark):
+    """The token-hash projections under the shingle/gram folds must sit
+    behind a persist barrier: CollapseProject otherwise inlines the full
+    char-level hash computation into every per-position array reference
+    — O(k*n) re-hashes of the whole document, quadratic in doc length
+    (measured 73 s vs 1.5 s cold at sf0.1). InMemoryRelation in the
+    analyzed plan is the witness that the barrier exists."""
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.dedup import _shingle_hashes
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.training_prep import _gram_hashes
+
+    for df in (_shingle_hashes(spark, SF_DIR), _gram_hashes(spark, SF_DIR)):
+        # Cache substitution happens post-analysis: the optimized plan
+        # shows InMemoryRelation where the persisted hash table sits.
+        assert "InMemoryRelation" in str(df._jdf.queryExecution().optimizedPlan()), (
+            "token-hash table lost its persist barrier"
+        )
