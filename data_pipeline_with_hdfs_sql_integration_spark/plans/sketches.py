@@ -123,3 +123,47 @@ def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_count").desc(), F.col("tok").asc())
     )
+
+
+@query(
+    "stream_sketch_cells",
+    oracle=f"""
+        SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+            {" UNION ALL ".join(
+                f'''SELECT CAST({d} AS INTEGER) AS d,
+                           (({a} * user_id + {b}) % {tf.MOD}) % {CMS_WIDTH} AS bucket
+                    FROM events'''
+                for d, (a, b) in enumerate(_cms_params())
+            )}
+        )
+        GROUP BY d, bucket
+    """,
+    doc="Count-min sketch maintained BY A STREAM: every event updates "
+    f"{CMS_DEPTH} of the {CMS_DEPTH}x{CMS_WIDTH} cells keyed on user_id; the "
+    "streaming state is the sketch itself — bounded at the cell count "
+    "whatever the stream's key cardinality, which is the entire point "
+    "of sketch-backed streaming counters (an exact per-user count's "
+    "state grows with users forever). availableNow-driven here; the "
+    "final cells equal the batch-built sketch on the same events — "
+    "the mergeability property, value-checked against the oracle.",
+    tags=("sketch", "streaming", "approx"),
+)
+def stream_sketch_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    from data_pipeline_with_hdfs_sql_integration_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+    )
+
+    ev = events_stream(spark, sf_dir)
+
+    def bucket(d: int):
+        a, b = _cms_params()[d]
+        return ((F.lit(a) * F.col("user_id") + b) % tf.MOD) % CMS_WIDTH
+
+    cells = ev.select(
+        F.posexplode(F.array(*[bucket(d) for d in range(CMS_DEPTH)])).alias("d", "bucket")
+    ).groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+    spark, name = run_to_memory(cells)
+    return spark.table(name)
