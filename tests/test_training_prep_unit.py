@@ -131,3 +131,24 @@ def test_contamination_flags_planted_duplicate(spark, tmp_path):
     flagged = {(r.doc_id, r.eval_id) for r in rows}
     assert (EVAL_MAX_DOC_ID + 1, 0) in flagged
     assert all(doc != EVAL_MAX_DOC_ID + 2 for doc, _ in flagged)
+
+
+def test_hostile_timezone_repinned_by_queries(spark, duck):
+    """A session whose timezone was switched under us must still produce
+    oracle-identical results: apply_runtime_confs (called by every
+    query fn) repins UTC, so timestamp grouping/formatting cannot
+    drift with the host or a prior user of the session."""
+    from tests.oracle_utils import compare
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in ("fn_datetime_rollup", "stream_tumbling_counts", "o07_pushdown_scan"):
+            spec = _q(name)
+            sdf = spec.fn(spark, SF_DIR)
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+            ok, msg = compare(sdf, duck.sql(spec.oracle))
+            assert ok, f"{name} under hostile timezone: {msg}"
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

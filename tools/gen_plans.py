@@ -22,6 +22,11 @@ PICKS = [
     ("dedup_minhash_lsh", "persisted signatures; band-bucket equi-join"),
     ("q19_disjunctive_predicates", "OR-of-ANDs normalized; residual disjunction post-join"),
     ("window_range_frame", "value-based RANGE frame window, one shuffle on the partition key"),
+    ("q2_min_cost_supplier", "derived partsupp + per-part min share one shuffle key; dims broadcast"),
+    ("pack_sequences", "per-shard window (Exchange on shard key), no global sort; the lower Exchange is the small-input repartition guard, a no-op at scale"),
+    ("contamination_ngram", "eval grams broadcast; corpus side never shuffles"),
+    ("sim_quantized_topk", "integer dot folds over int8 vectors; TakeOrderedAndProject top-k"),
+    ("dedup_ngram_jaccard", "persisted hash tables; id-only prefix join before array fetch"),
 ]
 
 
