@@ -18,6 +18,7 @@ def load_all_plans() -> None:
         analytics_tpch2,
         analytics_tpch3,
         cache_queries,
+        cleaning,
         clustering,
         core_queries,
         dedup,
