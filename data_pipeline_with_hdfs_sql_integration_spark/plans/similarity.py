@@ -390,6 +390,67 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cluster_kmeans",
+    oracle=f"""
+        WITH e AS ({_SQL_VECS}),
+        {_KMEANS_CTES},
+        scored AS (
+            SELECT e.vec_id, cent.cell_id,
+                   {_sql_cosine('e.v', 'cent.cv')} AS cos,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_sql_cosine('e.v', 'cent.cv')} DESC, cent.cell_id ASC) AS rn
+            FROM e, {_KMEANS_FINAL} cent
+        )
+        SELECT cell_id,
+               COUNT(*) AS n_members,
+               SUM(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS sum_cos_fp,
+               MIN(vec_id) AS min_member
+        FROM scored
+        WHERE rn = 1
+        GROUP BY cell_id
+        ORDER BY cell_id
+    """,
+    doc=f"Full k-means clustering as a first-class operator (not just the "
+    f"IVF index build): {IVF_CELLS} cells, {IVF_KMEANS_ITERS} Lloyd rounds "
+    "with deterministic sampled init, then a cluster profile — size, "
+    "fixed-point sum of member-to-centroid cosines (order-independent "
+    "BIGINT, so bit-exact vs the oracle), smallest member id. Assignment "
+    "is a broadcast join + max_by hash aggregate (no per-vector sort); "
+    "at scale each Lloyd round shuffles only cells x dims longs.",
+    tags=("similarity", "clustering"),
+)
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    e = _vecs(spark, sf_dir)
+    cent = _kmeans_centroids(e)
+    csim = _cosine(F.col("v"), F.col("cv"))
+    best = F.max_by(
+        F.struct(F.col("cell_id"), F.col("cos")),
+        F.struct(F.col("cos"), (-F.col("cell_id")).alias("neg")),
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell_id", csim.alias("cos"))
+        .groupBy("vec_id")
+        .agg(best.alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.cell_id").alias("cell_id"),
+            F.col("best.cos").alias("cos"),
+        )
+    )
+    return (
+        assigned.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.floor(F.col("cos") * 1000000 + F.lit(0.5)).cast("long")).alias("sum_cos_fp"),
+            F.min("vec_id").alias("min_member"),
+        )
+        .orderBy("cell_id")
+    )
+
+
 # --------------------------------------------------------- int8 quantized
 def _sql_quant(vcol: str) -> str:
     """DuckDB: (scale, int8-quantized vector) for one embedding."""
