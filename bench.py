@@ -51,6 +51,12 @@ HEADLINE = [
     "contamination_ngram",
     "quality_repetition",
     "stream_tumbling_counts",
+    "graph_pagerank",
+    "cluster_kmeans",
+    "scd2_order_priority",
+    "pii_scrub_events",
+    "text_posting_lists",
+    "anomaly_zscore_orders",
 ]
 
 

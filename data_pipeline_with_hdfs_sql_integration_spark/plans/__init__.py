@@ -23,8 +23,10 @@ def load_all_plans() -> None:
         core_queries,
         dedup,
         formats,
+        graph,
         grouped_map,
         json_queries,
+        linkage,
         merge_ops,
         multimodal,
         profiling,

@@ -1,0 +1,142 @@
+"""Iterative graph analytics over relational edges.
+
+The part<->supplier bipartite graph is implicit in ``lineitem``
+(distinct (l_partkey, l_suppkey) supply edges — the same relation the
+derived-partsupp TPC-H shapes use). PageRank here complements the
+connected-components fixpoint in plans/clustering.py: CC demonstrates
+iterate-until-converged, PageRank demonstrates a fixed number of
+synchronous value-propagation rounds.
+
+Determinism: ranks are BIGINT fixed-point (scale 1e12). Each round is
+integer-only — contribution = rank div degree (exact), damping =
+(sum * 17) div 20 (exact 0.85) — so the reduction is partition-order
+independent and the DuckDB oracle reproduces every round bit-for-bit.
+Each Lloyd-style round is one groupBy shuffle on the destination node;
+degrees ride along in the rank relation, so no per-round re-join
+against a degree table. At 100 TB the edge relation is the only big
+input and it shuffles once per round on node id — the standard
+Pregel-style dataflow, expressed as plain DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point rank units
+PR_BASE = 150_000_000_000  # 0.15 * PR_SCALE
+SUPP_OFFSET = 1_000_000  # supplier node ids live at offset + s
+PR_TOPK = 20
+
+
+def _sql_pagerank() -> tuple[str, str]:
+    parts = [
+        """edges AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ), e2 AS (
+            SELECT p AS src, s + 1000000 AS dst FROM edges
+            UNION ALL
+            SELECT s + 1000000 AS src, p AS dst FROM edges
+        ), deg AS (
+            SELECT src AS node, COUNT(*) AS d FROM e2 GROUP BY src
+        ), r0 AS (
+            SELECT node, d, CAST(1000000000000 AS BIGINT) AS rfp FROM deg
+        )"""
+    ]
+    prev = "r0"
+    for it in range(PR_ITERS):
+        parts.append(
+            f"""c{it} AS (
+            SELECT e2.dst AS node, SUM(r.rfp // r.d) AS csum
+            FROM e2 JOIN {prev} r ON e2.src = r.node
+            GROUP BY e2.dst
+        ), r{it + 1} AS (
+            SELECT r.node, r.d,
+                   CAST({PR_BASE} + (c.csum * 17) // 20 AS BIGINT) AS rfp
+            FROM {prev} r JOIN c{it} c ON r.node = c.node
+        )"""
+        )
+        prev = f"r{it + 1}"
+    return ",\n        ".join(parts), prev
+
+
+_PR_CTES, _PR_FINAL = _sql_pagerank()
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+        WITH {_PR_CTES}
+        SELECT CASE WHEN node >= {SUPP_OFFSET} THEN 'supplier' ELSE 'part' END AS kind,
+               CAST(node % {SUPP_OFFSET} AS BIGINT) AS id,
+               round(CAST(rfp AS DOUBLE) / {PR_SCALE}, 6) AS rank
+        FROM {_PR_FINAL}
+        ORDER BY rfp DESC, node ASC
+        LIMIT {PR_TOPK}
+    """,
+    doc=f"PageRank ({PR_ITERS} synchronous rounds, damping 0.85) over the "
+    "bipartite part<->supplier supply graph from distinct lineitem "
+    "edges. Integer fixed-point rank units make every round exact and "
+    "partition-order independent; per round: one equi-join edges><ranks "
+    "plus one groupBy(dst) shuffle — Pregel dataflow in DataFrame ops. "
+    "Top-20 via TakeOrderedAndProject, no global sort.",
+    tags=("graph",),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load(spark, sf_dir, "lineitem")
+    # The distinct edge relation drives every round AND both union
+    # branches below — persist it (one dedup shuffle total); the
+    # direction-doubling union stays a cheap map over the cache.
+    edges = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    e2 = edges.select(F.col("p").alias("src"), (F.col("s") + SUPP_OFFSET).alias("dst")).unionAll(
+        edges.select((F.col("s") + SUPP_OFFSET).alias("src"), F.col("p").alias("dst"))
+    )
+    ranks = (
+        e2.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(F.col("src").alias("node"), "d", F.lit(PR_SCALE).cast("long").alias("rfp"))
+    )
+    for _ in range(PR_ITERS):
+        # Each round's ranks feed TWO consumers (the contribution join
+        # and the update join), and the next round repeats that — an
+        # unpersisted lineage re-executes O(2^iters) times. The persist
+        # is a distributed barrier (never a driver collect: node count
+        # scales with the data), so every round computes exactly once.
+        ranks = ranks.persist()
+        contrib = (
+            e2.join(ranks, e2.src == ranks.node)
+            .select("dst", F.expr("rfp div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks.node == contrib.dst)
+            .select(
+                "node",
+                "d",
+                (F.lit(PR_BASE) + F.expr("(csum * 17) div 20")).cast("long").alias("rfp"),
+            )
+        )
+    out = (
+        ranks.select(
+            F.when(F.col("node") >= SUPP_OFFSET, F.lit("supplier")).otherwise(F.lit("part")).alias("kind"),
+            (F.col("node") % SUPP_OFFSET).cast("long").alias("id"),
+            F.round(F.col("rfp").cast("double") / PR_SCALE, 6).alias("rank"),
+            "rfp",
+            "node",
+        )
+        .orderBy(F.col("rfp").desc(), F.col("node").asc())
+        .limit(PR_TOPK)
+        .select("kind", "id", "rank")
+    )
+    return out

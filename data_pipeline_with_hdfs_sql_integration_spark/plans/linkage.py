@@ -1,0 +1,145 @@
+"""Record linkage and anomaly detection.
+
+Fuzzy matching: the reference joins on exact keys only (server.py:34-35
+``loans.loan_type_id = loan_types.id``); real-world entity resolution
+needs approximate string joins. The blocked-levenshtein join here is
+the scale-correct shape: an equi-join on a cheap blocking key (first
+character + length band) prunes the candidate space, then the O(m*n)
+edit-distance verify runs only inside blocks — never an all-pairs
+cross join.
+
+Anomaly detection: per-group z-score outliers with variance computed
+from exact integer sums (cents as BIGINT, squares in DECIMAL(38,0)),
+so mean/stddev are bit-identical across engines regardless of
+partition order — the standard float stddev is a partition-order-
+dependent reduction and would flake the value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+FUZZY_MAX_DIST = 2
+ZSCORE_THRESHOLD = 1.6
+
+
+@query(
+    "fuzzy_match_partnames",
+    oracle=f"""
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        probes AS (
+            SELECT p_name AS orig,
+                   concat(substr(p_name, 1, 1), substr(p_name, 3)) AS probe
+            FROM names
+        )
+        SELECT p.probe, n.p_name AS matched,
+               CAST(levenshtein(p.probe, n.p_name) AS INT) AS dist
+        FROM probes p JOIN names n
+          ON substr(p.probe, 1, 1) = substr(n.p_name, 1, 1)
+         AND abs(length(p.probe) - length(n.p_name)) <= {FUZZY_MAX_DIST}
+        WHERE levenshtein(p.probe, n.p_name) <= {FUZZY_MAX_DIST}
+        ORDER BY p.probe, n.p_name
+    """,
+    doc="Blocked fuzzy join (entity resolution): corrupt each distinct "
+    "part name with a deterministic one-char deletion, then re-link it "
+    "to the catalog via levenshtein <= 2. Blocking = first-char equality "
+    "+ length band as the equi-join key; the quadratic edit-distance "
+    "verify runs only within blocks. At 100 TB blocking keys shard the "
+    "shuffle; no cross join exists in the plan.",
+    tags=("linkage", "join"),
+)
+def fuzzy_match_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    probes = names.select(
+        F.col("p_name").alias("orig"),
+        F.concat(F.substring("p_name", 1, 1), F.expr("substr(p_name, 3)")).alias("probe"),
+    )
+    cand = probes.join(
+        names,
+        (F.substring(F.col("probe"), 1, 1) == F.substring(F.col("p_name"), 1, 1))
+        & (
+            F.abs(F.length("probe") - F.length("p_name")) <= FUZZY_MAX_DIST
+        ),
+    )
+    return (
+        cand.filter(F.levenshtein("probe", "p_name") <= FUZZY_MAX_DIST)
+        .select(
+            "probe",
+            F.col("p_name").alias("matched"),
+            F.levenshtein("probe", "p_name").cast("int").alias("dist"),
+        )
+        .orderBy("probe", "matched")
+    )
+
+
+@query(
+    "anomaly_zscore_orders",
+    oracle=f"""
+        WITH j AS (
+            SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), stats AS (
+            SELECT c_mktsegment,
+                   COUNT(*) AS n,
+                   SUM(cents) AS s1,
+                   SUM(CAST(cents * cents AS HUGEINT)) AS s2
+            FROM j GROUP BY c_mktsegment
+        ), z AS (
+            SELECT j.o_orderkey, j.c_mktsegment, j.o_totalprice,
+                   round((CAST(j.cents AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
+                         / sqrt((CAST(s.s2 AS DOUBLE)
+                                 - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n) / s.n),
+                         6) AS zscore
+            FROM j JOIN stats s ON j.c_mktsegment = s.c_mktsegment
+        )
+        SELECT o_orderkey, c_mktsegment, o_totalprice, zscore
+        FROM z
+        WHERE abs(zscore) >= {ZSCORE_THRESHOLD}
+        ORDER BY o_orderkey
+    """,
+    doc="Per-segment z-score outlier detection. Variance comes from "
+    "exact integer sums (cents BIGINT, squares DECIMAL(38,0)) so both "
+    "engines derive bit-identical mean/stddev whatever the partition "
+    "order; z is rounded before thresholding so boundary decisions "
+    "agree. Two scans of the joined relation but the stats side "
+    "reduces to 5 rows (broadcast back) — at scale this is one wide "
+    "scan + one tiny broadcast join.",
+    tags=("linkage", "anomaly"),
+)
+def anomaly_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey",
+        "o_totalprice",
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    stats = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("s2"),
+    )
+    zexpr = F.round(
+        (F.col("cents").cast("double") - F.col("s1").cast("double") / F.col("n"))
+        / F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+            )
+            / F.col("n")
+        ),
+        6,
+    )
+    z = j.join(F.broadcast(stats), "c_mktsegment").select(
+        "o_orderkey", "c_mktsegment", "o_totalprice", zexpr.alias("zscore")
+    )
+    return z.filter(F.abs(F.col("zscore")) >= ZSCORE_THRESHOLD).orderBy("o_orderkey")

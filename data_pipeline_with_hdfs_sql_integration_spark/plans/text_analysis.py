@@ -406,3 +406,52 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~F.col("keep"), 1)).alias("n_filtered"),
         )
     )
+
+
+@query(
+    "text_posting_lists",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({tf.sql_tokens('text')}) AS token FROM documents
+        ), postings AS (
+            SELECT token,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(COUNT(*) AS BIGINT) AS total_tf,
+                   SUM(DISTINCT doc_id) AS sum_doc_ids,
+                   array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 20), ',')
+                       AS head_postings
+            FROM toks GROUP BY token
+        )
+        SELECT token, df, total_tf, sum_doc_ids, head_postings
+        FROM postings
+        ORDER BY df DESC, token ASC
+        LIMIT 50
+    """,
+    doc="Inverted-index build: explode tokens, group into per-term "
+    "posting stats (document frequency, total term frequency, an "
+    "order-independent BIGINT checksum of the posting set, and the "
+    "first 20 sorted doc ids as a bounded posting-list sample). At "
+    "100 TB this is the standard index-construction shuffle — one "
+    "explode + one groupBy(token) with map-side partial aggregation; "
+    "a real deployment writes the full postings to a sink instead of "
+    "truncating, the plan shape is identical.",
+    tags=("text", "index"),
+)
+def text_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    t = tf.tokens(F.col("text"))
+    tok = docs.select("doc_id", F.explode(t).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("df"),
+            F.count(F.lit(1)).alias("total_tf"),
+            F.sum_distinct("doc_id").alias("sum_doc_ids"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 20), ","
+            ).alias("head_postings"),
+        )
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(50)
+    )

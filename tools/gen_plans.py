@@ -27,6 +27,9 @@ PICKS = [
     ("contamination_ngram", "eval grams broadcast; corpus side never shuffles"),
     ("sim_quantized_topk", "integer dot folds over int8 vectors; TakeOrderedAndProject top-k"),
     ("dedup_ngram_jaccard", "persisted hash tables; id-only prefix join before array fetch"),
+    ("scd2_order_priority", "both window passes share ONE sort/exchange on (custkey, time)"),
+    ("graph_pagerank", "per-round InMemoryRelation barrier; edges><ranks BHJ + one groupBy(dst) shuffle per round"),
+    ("fuzzy_match_partnames", "blocked fuzzy join: equi-join on the blocking key, NO cartesian; edit-distance verify post-join"),
 ]
 
 
