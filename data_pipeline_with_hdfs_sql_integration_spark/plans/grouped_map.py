@@ -16,6 +16,7 @@ float-exact oracle for a Python UDAF.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,3 +100,63 @@ def grouped_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
     )
     return ev.groupBy("event_type").applyInPandas(_make_fit_group(), schema=_OUT_SCHEMA)
+
+
+@query(
+    "udaf_weighted_median",
+    oracle="""
+        WITH g AS (
+            SELECT l_suppkey AS suppkey, l_extendedprice AS v,
+                   CAST(l_quantity AS BIGINT) AS wt
+            FROM lineitem
+        ), pv AS (
+            SELECT suppkey, v, SUM(wt) AS wv FROM g GROUP BY suppkey, v
+        ), c AS (
+            SELECT suppkey, v,
+                   SUM(wv) OVER (PARTITION BY suppkey ORDER BY v) AS cum,
+                   SUM(wv) OVER (PARTITION BY suppkey) AS tot
+            FROM pv
+        )
+        SELECT suppkey, MIN(v) AS weighted_median
+        FROM c WHERE 2 * cum >= tot
+        GROUP BY suppkey
+        ORDER BY suppkey
+    """,
+    doc="Quantity-weighted median price per supplier as a pandas_udf "
+    "GROUPED_AGG UDAF (Arrow-vectorized scalar aggregate — the third "
+    "UDF surface next to applyInPandas and @udtf). Weights are exact "
+    "BIGINTs and the median returns a stored value untouched, so the "
+    "Python path is bit-identical to the oracle's window formulation. "
+    "Scale note: GROUPED_AGG materializes each group in one worker — "
+    "fine for bounded groups like suppliers; for few huge groups use "
+    "the oracle's cumulative-window shape instead (pure JVM, same "
+    "result), which is why both formulations live here.",
+    tags=("udaf", "grouped"),
+)
+def udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+
+    @F.pandas_udf("double")
+    def wmedian(v: pd.Series, w: pd.Series) -> float:
+        # Sort by value; the first value whose cumulative weight
+        # reaches half the total is the weighted median. Integer
+        # weights keep the comparison exact (2*cum >= tot).
+        df = pd.DataFrame({"v": v.values, "w": w.astype("int64").values}).sort_values(
+            "v", kind="mergesort", ignore_index=True
+        )
+        cum = df["w"].cumsum()
+        tot = int(df["w"].sum())
+        idx = int((2 * cum >= tot).idxmax())
+        return float(df["v"].iloc[idx])
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("l_extendedprice").alias("v"),
+            F.col("l_quantity").cast("long").alias("wt"),
+        )
+        .groupBy("suppkey")
+        .agg(wmedian(F.col("v"), F.col("wt")).alias("weighted_median"))
+        .orderBy("suppkey")
+    )
