@@ -84,14 +84,27 @@ RE_DIGITS = "[0-9]+"
 def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     ev = load(spark, sf_dir, "events")
-    line = F.concat(
+    return _scrub_report(_scrub_chain(ev)).orderBy("event_type")
+
+
+def _synth_line() -> F.Column:
+    """The per-event raw log line (same expression as the oracle)."""
+    return F.concat(
         F.lit("uid="), F.col("user_id").cast("string"),
         F.lit(" mail=user"), F.col("user_id").cast("string"), F.lit("@example.com"),
         F.lit(" ip=10."), (F.col("user_id") % 256).cast("string"),
         F.lit("."), (F.col("event_id") % 256).cast("string"), F.lit(".7"),
         F.lit(" note="), F.col("event_type"), F.lit(" "), F.col("props"),
     )
-    s0 = ev.select("event_type", line.alias("line"))
+
+
+def _scrub_chain(ev: DataFrame) -> DataFrame:
+    """events-shaped frame -> (event_type, n_email, n_ip, n_num, line).
+
+    Shared by the batch query and the streaming variant so the two are
+    the same operator by construction, not by parallel maintenance.
+    """
+    s0 = ev.select("event_type", _synth_line().alias("line"))
     s1 = s0.select(
         "event_type",
         F.regexp_count("line", F.lit(RE_EMAIL)).cast("long").alias("n_email"),
@@ -102,21 +115,20 @@ def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("line", F.lit(RE_IPV4)).cast("long").alias("n_ip"),
         F.regexp_replace("line", RE_IPV4, "<IP>").alias("line"),
     )
-    s3 = s2.select(
+    return s2.select(
         "event_type", "n_email", "n_ip",
         F.regexp_count("line", F.lit(RE_DIGITS)).cast("long").alias("n_num"),
         F.regexp_replace("line", RE_DIGITS, "<NUM>").alias("line"),
     )
-    return (
-        s3.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("n_email").alias("emails_redacted"),
-            F.sum("n_ip").alias("ips_redacted"),
-            F.sum("n_num").alias("nums_redacted"),
-            F.sum(F.length("line").cast("long")).alias("scrubbed_chars"),
-        )
-        .orderBy("event_type")
+
+
+def _scrub_report(scrubbed: DataFrame) -> DataFrame:
+    return scrubbed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("n_email").alias("emails_redacted"),
+        F.sum("n_ip").alias("ips_redacted"),
+        F.sum("n_num").alias("nums_redacted"),
+        F.sum(F.length("line").cast("long")).alias("scrubbed_chars"),
     )
 
 
@@ -175,3 +187,57 @@ def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "priority", "effective_from", "effective_to",
         F.col("effective_to").isNull().alias("is_current"),
     ).filter(F.col("custkey") < 300)
+
+
+@query(
+    "stream_pii_scrub",
+    oracle=f"""
+        WITH raw AS (
+            SELECT event_type,
+                   concat('uid=', CAST(user_id AS VARCHAR),
+                          ' mail=user', CAST(user_id AS VARCHAR), '@example.com',
+                          ' ip=10.', CAST(user_id % 256 AS VARCHAR),
+                          '.', CAST(event_id % 256 AS VARCHAR), '.7',
+                          ' note=', event_type, ' ', props) AS line
+            FROM events
+        ), s1 AS (
+            SELECT event_type,
+                   CAST(len(regexp_extract_all(line, '{RE_EMAIL}')) AS BIGINT) AS n_email,
+                   regexp_replace(line, '{RE_EMAIL}', '<EMAIL>', 'g') AS line
+            FROM raw
+        ), s2 AS (
+            SELECT event_type, n_email,
+                   CAST(len(regexp_extract_all(line, '{RE_IPV4}')) AS BIGINT) AS n_ip,
+                   regexp_replace(line, '{RE_IPV4}', '<IP>', 'g') AS line
+            FROM s1
+        ), s3 AS (
+            SELECT event_type, n_email, n_ip,
+                   CAST(len(regexp_extract_all(line, '{RE_DIGITS}')) AS BIGINT) AS n_num,
+                   regexp_replace(line, '{RE_DIGITS}', '<NUM>', 'g') AS line
+            FROM s2
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(n_email) AS emails_redacted,
+               SUM(n_ip) AS ips_redacted,
+               SUM(n_num) AS nums_redacted,
+               SUM(CAST(length(line) AS BIGINT)) AS scrubbed_chars
+        FROM s3
+        GROUP BY event_type
+    """,
+    doc="The SAME scrub chain (_scrub_chain, shared code) run as a "
+    "Structured Streaming query over the bounded event stream — "
+    "map-only stages compose onto readStream unchanged, and the "
+    "availableNow result equals the batch semantics (the oracle is "
+    "the batch SQL). Redaction is where stream/batch unification "
+    "matters most: one cleaning implementation, two execution modes.",
+    tags=("cleaning", "streaming"),
+)
+def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    from data_pipeline_with_hdfs_sql_integration_spark.streaming import windows as W
+
+    ev = W.events_stream(spark, sf_dir)
+    agg = _scrub_report(_scrub_chain(ev))
+    spark2, name = W.run_to_memory(agg, output_mode="complete")
+    return spark2.table(name)
