@@ -325,3 +325,116 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hkey") % SHUFFLE_SHARDS).cast("long").alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+CHUNK_SIZE = 64  # tokens per retrieval chunk
+CHUNK_STRIDE = 48  # 16-token overlap between neighbors
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {tf.sql_tokens('text')} AS t FROM documents
+        ), sized AS (
+            SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+        ), chunks AS (
+            SELECT doc_id, n,
+                   CAST(i AS BIGINT) // {CHUNK_STRIDE} AS chunk_idx,
+                   list_slice(t, CAST(i AS BIGINT) + 1,
+                              CAST(i AS BIGINT) + {CHUNK_SIZE}) AS chunk
+            FROM sized, unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS g(i)
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+               {tf.sql_poly_hash_longs(f"list_transform(chunk, x -> {tf.sql_poly_hash_str('x')})")} AS chunk_hash
+        FROM chunks
+        WHERE doc_id < 500
+    """,
+    doc=f"RAG-style document chunking: overlapping {CHUNK_SIZE}-token "
+    f"windows every {CHUNK_STRIDE} tokens (16-token overlap so no "
+    "retrieval boundary splits context). Pure map-side: tokenize, "
+    "generate chunk starts, slice, hash — explode multiplies rows by "
+    "~n/stride but shuffles nothing. The chunk content hash uses the "
+    "shared portable fold so the oracle verifies actual token content, "
+    "not just counts. Output bounded to doc_id<500 for the driver "
+    "compare; the plan is identical unbounded.",
+    tags=("training", "text"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    t = tf.tokens(F.col("text"))
+    sized = docs.select("doc_id", t.alias("t"), F.size(t).alias("n")).filter(F.col("n") > 0)
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+    chunks = sized.select(
+        "doc_id",
+        F.explode(starts).alias("i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        (F.col("i").cast("long") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.slice(F.col("t"), F.col("i") + 1, F.lit(CHUNK_SIZE)).alias("chunk"),
+    )
+    chunk_hash = tf.poly_hash_longs(F.transform(F.col("chunk"), lambda x: tf.poly_hash_str(x)))
+    return chunks.filter(F.col("doc_id") < 500).select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        chunk_hash.alias("chunk_hash"),
+    )
+
+
+SAMPLE_HASH_MOD = 1_000_000
+
+
+@query(
+    "sample_quality_weighted",
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id, lang, source,
+                   {tf.sql_tokens('text')} AS t
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang, source,
+                   CAST(len(list_distinct(t)) AS DOUBLE) / NULLIF(len(t), 0) AS quality,
+                   (CAST(doc_id AS BIGINT) * 2654435761 % 4294967296) % {SAMPLE_HASH_MOD} AS h
+            FROM q WHERE len(t) > 0
+        )
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN h < quality * {SAMPLE_HASH_MOD} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled
+        FROM scored
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    doc="Quality-weighted (importance) sampling: keep a doc with "
+    "probability equal to its distinct-token ratio, decided by a "
+    "deterministic Knuth hash of doc_id — reproducible under "
+    "repartition, engine change and re-run (df.sample is none of "
+    "those), and map-only at any scale. The boundary compare uses the "
+    "exact rational quality * MOD (no float threshold crossing: "
+    "quality is a ratio of small ints, the product is exact in "
+    "double).",
+    tags=("training", "sampling"),
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    t = tf.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id", "lang", "source",
+        (F.size(F.array_distinct(t)).cast("double") / F.nullif(F.size(t), F.lit(0))).alias("quality"),
+        ((F.col("doc_id").cast("long") * 2654435761) % 4294967296 % SAMPLE_HASH_MOD).alias("h"),
+    ).filter(F.size(t) > 0)
+    return (
+        scored.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("h") < F.col("quality") * SAMPLE_HASH_MOD, 1).otherwise(0)
+            ).cast("long").alias("n_sampled"),
+        )
+        .orderBy("lang", "source")
+    )
