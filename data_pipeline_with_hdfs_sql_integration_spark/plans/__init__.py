@@ -22,6 +22,7 @@ def load_all_plans() -> None:
         clustering,
         core_queries,
         dedup,
+        event_analytics,
         formats,
         graph,
         grouped_map,

@@ -1,0 +1,266 @@
+"""Product-analytics shapes over the event stream: cohort retention,
+funnel conversion, time-weighted averages, and gap-filled (LOCF)
+series.
+
+These are the queries an events warehouse serves daily; none exist in
+the reference (its only aggregate is one AVG, server.py:109). All are
+single-scan or broadcast-join plans with per-user narrow state —
+user_id is the shuffle key throughout, so the shapes co-partition and
+AQE can reuse exchanges between stages.
+
+Numeric posture: the time-weighted average works in exact integers
+(cents x microseconds fit BIGINT for this schema; documented bound in
+the query doc), so the only float op is the final division — the same
+discipline every other value-oracled aggregate here follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.registry import query
+from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+        WITH firstp AS (
+            SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT c.cohort_day,
+                   datediff('day', c.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+                       AS day_offset,
+                   e.user_id
+            FROM events e JOIN firstp c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+        )
+        SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+               COUNT(*) AS n_active_users
+        FROM activity
+        GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset
+    """,
+    doc="Cohort retention: users cohorted by first-purchase day, then "
+    "distinct purchase-active users per (cohort, day offset). Two "
+    "aggregations and one join, all keyed on user_id/cohort — one "
+    "shuffle key family, broadcastable cohort side when cohorts are "
+    "filtered.",
+    tags=("events", "analytics"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    cohort = p.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    activity = (
+        p.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("int").alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, min(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS c_ts
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click' AND e.ts > s.s_ts
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+               (SELECT COUNT(*) FROM c) AS n_click_after,
+               (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+    doc="Ordered funnel (signup -> first click after -> first purchase "
+    "after): each stage is a grouped min over the events that follow "
+    "the previous stage's timestamp, joined on user_id. Three "
+    "aggregations on ONE shuffle key; the stage frontier shrinks "
+    "monotonically so each join's build side is smaller than the "
+    "last.",
+    tags=("events", "analytics"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+@query(
+    "twa_user_value",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   epoch_us(ts) AS us,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS next_us
+            FROM events
+        ), seg AS (
+            SELECT user_id, cents * (next_us - us) AS contrib, next_us - us AS dur
+            FROM seq WHERE next_us IS NOT NULL
+        )
+        SELECT user_id,
+               round(CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE) / 100.0, 6)
+                   AS twa_value
+        FROM seg
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="Time-weighted average of the step function each user's value "
+    "traces (LOCF between observations): sum(value_i * dt_i) / sum(dt_i). "
+    "Exact integers end to end — cents(<=2e5) x gap-microseconds(<=2.6e12) "
+    "stays under 2^63 per term and per user-sum for this schema — so the "
+    "only float op is the final division. One window + one aggregate on "
+    "the same user_id sort: a single shuffle.",
+    tags=("events", "temporal"),
+)
+def twa_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    )
+    seg = seq.filter(F.col("next_us").isNotNull()).select(
+        "user_id",
+        (F.col("cents") * (F.col("next_us") - F.col("us"))).alias("contrib"),
+        (F.col("next_us") - F.col("us")).alias("dur"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum("contrib").cast("double") / F.sum("dur").cast("double") / 100.0, 6
+            ).alias("twa_value")
+        )
+        .orderBy("user_id")
+    )
+
+
+GAPFILL_USERS = 30
+GAPFILL_HOURS = 72  # 3 days from the stream's origin
+
+
+@query(
+    "gapfill_locf",
+    oracle=f"""
+        WITH grid AS (
+            SELECT u.user_id, g.h AS hour_ts
+            FROM (SELECT DISTINCT user_id FROM events WHERE user_id < {GAPFILL_USERS}) u,
+                 (SELECT unnest(generate_series(
+                      TIMESTAMP '2024-01-01 00:00:00',
+                      TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '{GAPFILL_HOURS - 1} hours',
+                      INTERVAL '1 hour')) AS h) g
+        ), obs AS (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC)
+                       AS rn
+            FROM events WHERE user_id < {GAPFILL_USERS}
+        )
+        SELECT g.user_id, g.hour_ts, round(o.value, 2) AS locf_value
+        FROM grid g
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM obs WHERE rn = 1) o
+          ON g.user_id = o.user_id AND g.hour_ts >= o.ts
+        ORDER BY g.user_id, g.hour_ts
+    """,
+    doc="Gap filling with last-observation-carried-forward: an hourly "
+    "grid per user, each slot filled with the latest observation at or "
+    "before it (NULL before the first). Spark has no ASOF join: the "
+    "union-tag trick interleaves grid slots with observations in ONE "
+    "(user, time) window pass and forward-fills via last(ignorenulls) "
+    "— the same one-shuffle shape as the as-of join in "
+    "plans/temporal.py. The DuckDB oracle uses its native ASOF LEFT "
+    "JOIN, so two independent formulations must agree.",
+    tags=("events", "temporal"),
+)
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < GAPFILL_USERS)
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(GAPFILL_HOURS).select(
+                (
+                    F.lit("2024-01-01 00:00:00").cast("timestamp")
+                    + F.make_interval(hours=F.col("id").cast("int"))
+                ).alias("hour_ts")
+            )
+        )
+    )
+    # Tag and interleave: observations sort before a grid slot at the
+    # same instant only if strictly earlier (ties: grid first so an
+    # observation exactly ON the hour is still picked up — matches
+    # hour_ts >= o.ts). Duplicate (user, ts) observations keep the
+    # highest event_id, mirroring the oracle's rn = 1.
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    obs = (
+        ev.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("t"), F.lit(0).alias("is_grid"), F.col("value"))
+    )
+    slots = grid.select(
+        "user_id", F.col("hour_ts").alias("t"), F.lit(1).alias("is_grid"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = obs.unionByName(slots).withColumn(
+        "locf", F.last("value", ignorenulls=True).over(w_fill)
+    )
+    return (
+        filled.filter(F.col("is_grid") == 1)
+        .select("user_id", F.col("t").alias("hour_ts"), F.round("locf", 2).alias("locf_value"))
+        .orderBy("user_id", "hour_ts")
+    )
