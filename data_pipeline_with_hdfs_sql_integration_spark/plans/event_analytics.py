@@ -28,11 +28,14 @@ from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_
     "cohort_retention",
     oracle="""
         WITH firstp AS (
-            SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+            -- cohort_day stays TIMESTAMP (day-truncated), not DATE:
+            -- pandas-based canonicalizers widen DATE to midnight
+            -- datetimes asymmetrically between engines.
+            SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
             FROM events WHERE event_type = 'purchase' GROUP BY user_id
         ), activity AS (
             SELECT DISTINCT c.cohort_day,
-                   datediff('day', c.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+                   datediff('day', c.cohort_day, date_trunc('day', e.ts))
                        AS day_offset,
                    e.user_id
             FROM events e JOIN firstp c ON e.user_id = c.user_id
@@ -55,12 +58,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     ev = load(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase")
-    cohort = p.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    cohort = p.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
     activity = (
         p.join(cohort, "user_id")
         .select(
             "cohort_day",
-            F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("int").alias("day_offset"),
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
             "user_id",
         )
         .distinct()
