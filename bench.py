@@ -57,6 +57,10 @@ HEADLINE = [
     "pii_scrub_events",
     "text_posting_lists",
     "anomaly_zscore_orders",
+    "chunk_documents",
+    "gapfill_locf",
+    "twa_user_value",
+    "udaf_weighted_median",
 ]
 
 

@@ -302,3 +302,39 @@ def sql_interface_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+_TPCH_Q1_SQL = """
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_charge,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "sql_interface_tpch_q1",
+    oracle=_TPCH_Q1_SQL,
+    doc="Dialect-parity proof: the LITERAL same SQL text (module "
+    "constant _TPCH_Q1_SQL, a Q1 pricing summary) runs unmodified "
+    "through spark.sql over registered views AND through DuckDB as "
+    "its own oracle — zero per-engine edits, exact decimal sums. "
+    "This is the strongest statement the SQL front door can make: a "
+    "user's ANSI query needs no translation layer.",
+    tags=("sql", "api"),
+)
+def sql_interface_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import register_views
+
+    apply_runtime_confs(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q1_SQL)
