@@ -24,73 +24,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return all_queries()["o09_avg_int_trunc"].fn(spark, "/root/testdata/sf0.001")
 
 
-# Names the round-1 driver verified (CORRECTNESS_r01.json). The driver
-# checks queries in dict order and may cap the per-round count, so the
-# never-yet-verified half registers FIRST to guarantee every query gets
-# a driver-side green row across rounds.
-_ROUND1_CHECKED = frozenset(
-    {
-        "agg_pricing_summary", "join_revenue_topk", "join_region_revenue",
-        "window_topk_per_group", "window_running_sum", "join_semi_anti",
-        "agg_rollup", "set_ops_customer_nations", "agg_histogram_bins",
-        "agg_filtered_counts", "emb_norm_stats", "agg_salted_counts",
-        # agg_collect_sorted_lists deliberately NOT listed: its r1 row was
-        # red (canonicalizer crash, since fixed) so it re-verifies early.
-        "layout_partition_pruning", "agg_cube",
-        "agg_pivot_segments", "agg_distinct_counts", "agg_percentiles",
-        "agg_approx_distinct", "q6_forecast_revenue", "q10_returned_items",
-        "q14_promo_revenue_share", "q15_top_supplier",
-        "q19_disjunctive_predicates", "q12_priority_class_counts",
-        "o10_partition_cache_values", "o11_cache_state_machine",
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine",
-        "dedup_clusters", "transform_unpivot", "dedup_keep_representatives",
-        "o01_source_scan", "o02_broadcast_join", "o03_band_filter",
-        "o04_projection", "o05_parquet_sink_roundtrip", "o06_parquet_scan",
-        "o07_pushdown_scan", "o08_equality_filter", "o09_avg_int_trunc",
-        "o12_explode_histogram", "o13_block_locations",
-        "sql_interface_region_revenue", "format_csv_roundtrip",
-        "format_json_roundtrip",
-    }
-)
+
+
+def _driver_verified() -> frozenset[str]:
+    """Names with a green (or intentional rows-only) driver row in ANY
+    CORRECTNESS_r*.json the driver has dropped so far. Reading the
+    artifacts directly keeps the rotation maintenance-free across
+    rounds: a failed or never-reached query automatically re-queues at
+    the front of the next round's check window."""
+    import json
+
+    seen: set[str] = set()
+    for path in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("rows_match") is True or row.get("err") == "no_oracle":
+                seen.add(name)
+    return frozenset(seen)
 
 
 def _ordered_specs():
-    """Order: round-1 queries still lacking a green driver row, then
-    queries added after round 1, then the round-1-verified set."""
+    """Never-driver-verified queries first (the driver checks in dict
+    order and may cap the per-round count), then the verified set."""
     specs = all_queries()
-    pending = {n: s for n, s in specs.items() if n not in _ROUND1_CHECKED and n in _ROUND1_REGISTERED}
-    new = {n: s for n, s in specs.items() if n not in _ROUND1_REGISTERED}
-    rest = {n: s for n, s in specs.items() if n in _ROUND1_CHECKED}
-    return {**pending, **new, **rest}
+    verified = _driver_verified()
+    pending = {n: s for n, s in specs.items() if n not in verified}
+    rest = {n: s for n, s in specs.items() if n in verified}
+    return {**pending, **rest}
 
 
-# Everything that existed in round 1 (checked or not) — names NOT in
-# this set were added later and queue behind the round-1 backlog.
-_ROUND1_REGISTERED = _ROUND1_CHECKED | frozenset(
-    {
-        "agg_collect_sorted_lists", "format_orc_roundtrip",
-        "grouped_linreg_trend", "json_extract_agg", "json_struct_projection",
-        "merge_upsert_customers", "multimodal_features",
-        "multimodal_metadata_stats", "multimodal_frame_sample",
-        "arrow_doc_byte_stats", "profile_orders", "rollup_hourly_to_daily",
-        "rollup_latest_per_key", "sample_hash_bernoulli", "sample_stratified",
-        "fn_datetime_rollup", "fn_string_report", "sessionize_events",
-        "fn_null_semantics", "sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
-        "sim_cosine_topk_arrow", "stream_tumbling_counts",
-        "stream_sliding_counts", "stream_session_windows",
-        "stream_static_join", "stream_dedup_counts", "stream_stream_join",
-        "stream_stateful_user_totals", "stream_merge_snapshot",
-        "subq_exists_priority", "subq_scalar_avg", "subq_in_having",
-        "join_outer_count_histogram", "subq_scalar_anti",
-        "subq_not_in_null_aware", "temporal_asof_join",
-        "temporal_range_join_counts", "text_token_stats", "text_quality",
-        "text_langid", "text_fingerprint", "text_bpe_token_count",
-        "text_heavy_hitters", "text_normalize", "text_tfidf_topterm",
-        "pipeline_clean_corpus", "udtf_word_positions",
-        "window_lag_lead_ntile", "window_range_frame",
-    }
-)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
