@@ -1,13 +1,16 @@
 """Similarity search over the embedding column (array<float>, 64-dim).
 
-Three tiers, all oracle-checked:
+Five tiers, all oracle-checked:
 
 - brute-force cosine top-k  : exact baseline; Spark plans it as a
   distributed TakeOrderedAndProject (no global sort materialized)
-- random-hyperplane LSH ANN : 16-bit sign signature, hamming<=3
-  multi-probe, exact rerank of candidates — constant candidate cost
-- IVF ANN                   : coarse quantizer (16 centroids), assign
-  by max cosine, probe the 4 nearest cells, exact rerank
+- random-hyperplane LSH ANN : 124-bit sign signatures, constant
+  hamming-top-C candidate budget, exact rerank
+- IVF ANN                   : seeded-k-means coarse quantizer, probe
+  the nprobe nearest cells, exact rerank
+- int8 scalar quantization  : 4x memory, exact integer dot folds
+- product quantization      : 4x3-bit codes + ADC lookup-table scan,
+  exact BIGINT candidate distances, exact rerank
 
 FP determinism: every dot product is a sequential left fold
 (functions/textfns.dot ≙ sql_dot), floats are cast to double before
@@ -582,4 +585,195 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round(_cos(F.col("v"), F.col("qv")), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(TOPK)
+    )
+
+
+# ------------------------------------------------------ product quantization
+PQ_M = 4  # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M  # 16 dims each
+PQ_CODES = 8  # codebook entries per subspace -> 4x3 bits per vector
+PQ_CAND = 80  # ADC candidates reranked exactly
+
+
+def _l2(a, b):
+    """Rounded sequential-fold squared L2 (order matches _sql_l2)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _sql_l2(a: str, b: str) -> str:
+    diff = "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    return (
+        f"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), p -> {diff} * {diff})), "
+        f"(x, y) -> x + y), 6)"
+    )
+
+
+def _sql_pq_ctes() -> str:
+    """DuckDB CTE chain for the PQ index build + ADC search."""
+    sums = ", ".join(
+        f"sum(CAST(floor(sub[{d + 1}] * {_FP} + 0.5) AS BIGINT)) AS s{d}"
+        for d in range(PQ_SUBDIM)
+    )
+    comps = ", ".join(
+        f"CAST(s{d} AS DOUBLE) / (CAST(n AS DOUBLE) * {_FP})" for d in range(PQ_SUBDIM)
+    )
+    sub = f"list_slice(v, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM})"
+    return f"""
+        seeds AS (
+            SELECT vec_id, v, rn - 1 AS code FROM (
+                SELECT vec_id, v,
+                       row_number() OVER (ORDER BY (CAST(vec_id AS BIGINT) * {_SEED_MULT}) % {_SEED_MOD} ASC, vec_id ASC) AS rn
+                FROM e)
+            WHERE rn <= {PQ_CODES}
+        ),
+        subs AS (
+            SELECT e.vec_id, CAST(t.m AS INT) AS m, {sub} AS sub
+            FROM e, generate_series(0, {PQ_M - 1}) t(m)
+        ),
+        cent0 AS (
+            SELECT CAST(t.m AS INT) AS m, s.code, {sub.replace('v', 's.v')} AS c
+            FROM seeds s, generate_series(0, {PQ_M - 1}) t(m)
+        ),
+        a0 AS (
+            SELECT vec_id, m, sub, code FROM (
+                SELECT s.vec_id, s.m, s.sub, c.code,
+                       row_number() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY {_sql_l2('s.sub', 'c.c')} ASC, c.code ASC) AS rn
+                FROM subs s JOIN cent0 c ON s.m = c.m)
+            WHERE rn = 1
+        ),
+        agg0 AS (SELECT m, code, count(*) AS n, {sums} FROM a0 GROUP BY m, code),
+        cent1 AS (SELECT m, code, [{comps}] AS c FROM agg0),
+        enc AS (
+            SELECT vec_id, m, code FROM (
+                SELECT s.vec_id, s.m, c.code,
+                       row_number() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY {_sql_l2('s.sub', 'c.c')} ASC, c.code ASC) AS rn
+                FROM subs s JOIN cent1 c ON s.m = c.m)
+            WHERE rn = 1
+        ),
+        lut AS (
+            SELECT c.m, c.code,
+                   CAST(floor({_sql_l2('q.sub', 'c.c')} * 1000000 + 0.5) AS BIGINT) AS qdfp
+            FROM (SELECT m, sub FROM subs WHERE vec_id = {QUERY_VEC_ID}) q
+            JOIN cent1 c ON q.m = c.m
+        ),
+        adc AS (
+            SELECT n.vec_id, SUM(l.qdfp) AS adc
+            FROM enc n JOIN lut l ON n.m = l.m AND n.code = l.code
+            WHERE n.vec_id <> {QUERY_VEC_ID}
+            GROUP BY n.vec_id
+        ),
+        cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {PQ_CAND}),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
+    """
+
+
+@query(
+    "sim_ann_pq",
+    oracle=f"""
+        WITH e AS ({_SQL_VECS}),
+        {_sql_pq_ctes()}
+        SELECT c.vec_id, {_sql_cosine('e.v', 'q.qv')} AS cosine
+        FROM cand c JOIN e ON c.vec_id = e.vec_id, q
+        ORDER BY cosine DESC, c.vec_id ASC
+        LIMIT {IVF_TOPK}
+    """,
+    doc=f"ANN via product quantization: {PQ_M} subspaces x {PQ_SUBDIM} "
+    f"dims, {PQ_CODES}-entry codebook per subspace (seeded init + one "
+    "Lloyd round, fixed-point integer means — bit-replicable), encode "
+    f"each vector as {PQ_M} codes ({PQ_M}x3 bits, a ~170x memory "
+    "reduction vs float32), search by asymmetric distance: the query "
+    "precomputes a (subspace, code) -> distance lookup table, candidate "
+    "distance is an exact BIGINT sum of table entries (no float "
+    f"order-dependence), top-{PQ_CAND} candidates rerank exactly. "
+    "Completes the ANN toolbox: LSH (signatures), IVF (partitions), "
+    "int8 SQ (memory), PQ (extreme compression + table-driven scan). "
+    "At 100 TB the codes table is the index: 2 bytes/vector scanned "
+    "with a broadcast 32-row LUT — a map-only pass plus one "
+    "TakeOrderedAndProject.",
+    tags=("similarity", "pq"),
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    spark_ = spark
+    e = _vecs(spark, sf_dir)
+    subs = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sub"),
+    )
+    # Seed codebooks from the PQ_CODES Knuth-hash-smallest vectors —
+    # constant-size driver materialization (codebooks are the PQ analog
+    # of k-means centers; 4x8x16 doubles at ANY corpus scale).
+    seed_rows = (
+        e.orderBy(
+            ((F.col("vec_id").cast("long") * _SEED_MULT) % _SEED_MOD).asc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(PQ_CODES)
+        .collect()
+    )
+    cent_rows = [
+        (m, code, list(r["v"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]))
+        for code, r in enumerate(seed_rows)
+        for m in range(PQ_M)
+    ]
+    cent = spark_.createDataFrame(cent_rows, "m int, code int, c array<double>")
+
+    def _assign(cent_df: DataFrame) -> DataFrame:
+        d = _l2(F.col("sub"), F.col("c"))
+        return (
+            subs.join(F.broadcast(cent_df), "m")
+            .select("vec_id", "m", "sub", "code", d.alias("d"))
+            .groupBy("vec_id", "m")
+            .agg(
+                F.first("sub").alias("sub"),
+                F.min_by("code", F.struct(F.col("d"), F.col("code"))).alias("code"),
+            )
+        )
+
+    # One Lloyd round: fixed-point BIGINT means per (subspace, code).
+    a0 = _assign(cent)
+    sums = [
+        F.expr(f"sum(cast(floor(element_at(sub, {d + 1}) * {_FP} + 0.5) as bigint))").alias(f"s{d}")
+        for d in range(PQ_SUBDIM)
+    ]
+    comps = [F.expr(f"cast(s{d} as double) / (cast(n as double) * {_FP})") for d in range(PQ_SUBDIM)]
+    agg0 = a0.groupBy("m", "code").agg(F.count(F.lit(1)).alias("n"), *sums)
+    cent1 = spark_.createDataFrame(
+        agg0.select("m", "code", F.array(*comps).alias("c")).collect(),
+        "m int, code int, c array<double>",
+    )
+    enc = _assign(cent1).select("vec_id", "m", "code")
+    qsubs = subs.filter(F.col("vec_id") == QUERY_VEC_ID).select("m", F.col("sub").alias("qsub"))
+    lut = (
+        qsubs.join(cent1, "m")
+        .select(
+            "m", "code",
+            F.floor(_l2(F.col("qsub"), F.col("c")) * 1000000 + F.lit(0.5)).cast("long").alias("qdfp"),
+        )
+    )
+    adc = (
+        enc.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdfp").alias("adc"))
+    )
+    cand = adc.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(PQ_CAND).select("vec_id")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    return (
+        cand.join(e, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(IVF_TOPK)
     )

@@ -23,3 +23,7 @@ def test_lsh_recall_floor(spark):
 
 def test_ivf_recall_floor(spark):
     assert _recall(spark, "sim_ann_ivf") >= 0.7
+
+
+def test_pq_recall_floor(spark):
+    assert _recall(spark, "sim_ann_pq") >= 0.7
