@@ -42,6 +42,7 @@ HEADLINE = [
     "sim_cosine_topk_arrow",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "sim_ann_pq",
     "subq_scalar_avg",
     "text_fingerprint",
     "text_bpe_token_count",
