@@ -28,10 +28,11 @@ from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_
     "cohort_retention",
     oracle="""
         WITH firstp AS (
-            -- cohort_day stays TIMESTAMP (day-truncated), not DATE:
-            -- pandas-based canonicalizers widen DATE to midnight
-            -- datetimes asymmetrically between engines.
-            SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+            -- cohort_day must be TIMESTAMP (day-truncated), never DATE:
+            -- DuckDB's date_trunc('day') yields DATE, which Spark has
+            -- no counterpart column type for here, and canonicalizers
+            -- widen DATE to midnight datetimes asymmetrically.
+            SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
             FROM events WHERE event_type = 'purchase' GROUP BY user_id
         ), activity AS (
             SELECT DISTINCT c.cohort_day,
