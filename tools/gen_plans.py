@@ -30,6 +30,7 @@ PICKS = [
     ("scd2_order_priority", "both window passes share ONE sort/exchange on (custkey, time)"),
     ("graph_pagerank", "per-round InMemoryRelation barrier; edges><ranks BHJ + one groupBy(dst) shuffle per round"),
     ("fuzzy_match_partnames", "blocked fuzzy join: equi-join on the blocking key, NO cartesian; edit-distance verify post-join"),
+    ("sim_ann_pq", "PQ ADC search: broadcast 32-row LUT joined to the codes scan, exact BIGINT sums, TakeOrderedAndProject candidates"),
 ]
 
 
