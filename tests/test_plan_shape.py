@@ -215,3 +215,53 @@ def test_token_hash_tables_have_materialization_barrier(spark):
         assert "InMemoryRelation" in str(df._jdf.queryExecution().optimizedPlan()), (
             "token-hash table lost its persist barrier"
         )
+
+
+def test_scd2_windows_share_one_sort(spark):
+    """Both window passes (lag change-points, lead interval-close) use
+    the same (custkey, time) partitioning+ordering, so Catalyst plans
+    exactly ONE exchange and ONE sort."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    import re
+
+    plan = _plan(all_queries()["scd2_order_priority"].fn(spark, SF_DIR))
+    # formatted output names each node twice (tree + detail) — count
+    # the detail headers "(N) Exchange" / "(N) Sort".
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 1, plan
+
+
+def test_fuzzy_join_is_blocked_not_cartesian(spark):
+    """The levenshtein verify must run INSIDE equi-join blocks — a plan
+    with a cartesian/NL join would be the quadratic shape blocking
+    exists to prevent."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    plan = _plan(all_queries()["fuzzy_match_partnames"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled — an equi-join either way
+
+
+def test_pagerank_rounds_have_persist_barriers(spark):
+    """Each round's ranks persist (InMemoryRelation); without the
+    barrier, lineage re-executes O(2^rounds)."""
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.graph import PR_ITERS
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["graph_pagerank"].fn(spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("InMemoryRelation") >= PR_ITERS
+
+
+def test_pq_adc_scan_broadcasts_lut(spark):
+    """The asymmetric-distance scan joins the codes table against the
+    (subspace, code) lookup table by BROADCAST — the LUT is 32 rows at
+    any corpus size, so a shuffle there would be a scale bug."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    plan = _plan(all_queries()["sim_ann_pq"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
