@@ -455,3 +455,65 @@ def text_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("token").asc())
         .limit(50)
     )
+
+
+@query(
+    "stream_clean_corpus",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, source, {tf.sql_tokens('text')} AS t FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, lang, source,
+                   len(t) AS n_tokens,
+                   len(list_distinct(t)) AS n_distinct
+            FROM toks
+        ),
+        verdicts AS (
+            SELECT lang, source,
+                   (n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+                    AND n_distinct * 10 >= n_tokens * 3) AS keep
+            FROM feats
+        )
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (NOT keep) AS BIGINT) AS n_filtered
+        FROM verdicts
+        GROUP BY lang, source
+    """,
+    doc="The corpus-cleaning gates (same length/repetition thresholds "
+    "as pipeline_clean_corpus) run over DOCUMENTS AS A STREAM: "
+    "token-gate stages are stateless map work, so they compose onto "
+    "readStream unchanged and only the final per-(lang, source) count "
+    "is streaming state — one row per group, bounded at any corpus "
+    "size. availableNow result equals the batch semantics (the oracle "
+    "IS the batch SQL). With pii -> scrub and documents -> gates, the "
+    "whole ingest-cleaning front of a training pipeline runs in either "
+    "execution mode from one code path.",
+    tags=("streaming", "text"),
+)
+def stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.streaming import windows as W
+
+    apply_runtime_confs(spark)
+    docs = W.documents_stream(spark, sf_dir)
+    t = tf.tokens(F.col("text"))
+    n_tokens = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    keep = (
+        (n_tokens >= MIN_TOKENS)
+        & (n_tokens <= MAX_TOKENS)
+        & (n_distinct * 10 >= n_tokens * 3)
+    )
+    agg = (
+        docs.select("lang", "source", keep.alias("keep"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.count(F.when(~F.col("keep"), 1)).alias("n_filtered"),
+        )
+    )
+    spark2, name = W.run_to_memory(agg, output_mode="complete")
+    return spark2.table(name)

@@ -188,3 +188,17 @@ def session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -
         "user_id",
         "n_events",
     )
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a bounded file stream (schema pinned from
+    the static footer; plain types, no nanos conversion needed)."""
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    digest = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:16]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"dps_docstream_{digest}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.islink(link):
+        os.symlink(path, link)
+    return spark.readStream.schema(schema).parquet(stream_dir)
