@@ -137,3 +137,68 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"))
     )
+
+
+@query(
+    "agg_corr_price_qty",
+    oracle="""
+        WITH g AS (
+            SELECT l_returnflag AS flag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+                   CAST(l_quantity AS BIGINT) AS y
+            FROM lineitem
+        ), s AS (
+            SELECT flag,
+                   COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(CAST(x * y AS HUGEINT)) AS sxy,
+                   SUM(CAST(x * x AS HUGEINT)) AS sxx,
+                   SUM(CAST(y * y AS HUGEINT)) AS syy
+            FROM g GROUP BY flag
+        )
+        SELECT flag,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS corr_price_qty
+        FROM s
+        ORDER BY flag
+    """,
+    doc="Pearson correlation per group from exact integer sums (price "
+    "cents BIGINT, cross/square sums in DECIMAL(38,0)) — the built-in "
+    "corr() is a float reduction whose last ulps depend on partition "
+    "merge order and would flake a value oracle; the sums formulation "
+    "is order-independent and still one pass, map-side combinable.",
+    tags=("agg", "stats"),
+)
+def agg_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load(spark, sf_dir, "lineitem")
+    g = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    s = g.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    corr = F.round(
+        (n * F.col("sxy").cast("double") - sx * sy)
+        / F.sqrt(
+            (n * F.col("sxx").cast("double") - sx * sx)
+            * (n * F.col("syy").cast("double") - sy * sy)
+        ),
+        6,
+    )
+    return s.select("flag", corr.alias("corr_price_qty")).orderBy("flag")

@@ -85,3 +85,41 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_orders_60d"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("spend_60d"),
     )
+
+
+@query(
+    "window_percent_rank_cume",
+    oracle="""
+        SELECT c_custkey,
+               c_mktsegment,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd,
+               CAST(ntile(10) OVER w AS INT) AS decile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        QUALIFY c_custkey < 400
+        ORDER BY c_custkey
+    """,
+    doc="Relative-rank window functions (percent_rank / cume_dist / "
+    "decile ntile) over one (segment, balance) sort — all three share "
+    "a single window pass. Ratios are exact rationals of row counts, "
+    "rounded identically; ties are impossible by the (balance, "
+    "custkey) total order. QUALIFY bounds the compared output without "
+    "changing the window input.",
+    tags=("window",),
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    customer = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        customer.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.ntile(10).over(w).cast("int").alias("decile"),
+        )
+        .filter(F.col("c_custkey") < 400)
+        .orderBy("c_custkey")
+    )
