@@ -92,3 +92,91 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@query(
+    "audit_referential_integrity",
+    oracle="""
+        SELECT 'lineitem->orders' AS relation,
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+        UNION ALL
+        SELECT 'orders->customer',
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'customer->nation',
+               CAST((SELECT count(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'nation->region',
+               CAST((SELECT count(*) FROM nation n
+                     WHERE NOT EXISTS (SELECT 1 FROM region r
+                                       WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem->part',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM part p
+                                       WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem->supplier',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                       WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+        ORDER BY relation
+    """,
+    doc="Referential-integrity audit: orphan counts for every foreign-key "
+    "edge of the star schema in one result. Each check is a LEFT ANTI "
+    "join count; dimension parents broadcast explicitly, fact-sized "
+    "parents (orders, customer) shuffle — AQE downgrades those to "
+    "broadcast at small SF on its own. The data-quality guard an ETL "
+    "pipeline runs after every load; the reference has no integrity "
+    "checking at all (it trusts MySQL's dump, server.py:33-39).",
+    tags=("profiling", "quality"),
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+
+    def orphans(
+        name: str,
+        child: DataFrame,
+        ckey: str,
+        parent: DataFrame,
+        pkey: str,
+        small_parent: bool,
+    ) -> DataFrame:
+        # Broadcast only parents that stay small at any scale (the
+        # dimension tables). Fact-sized parents (orders, customer)
+        # must shuffle-anti-join — forcing a broadcast there would be
+        # the classic does-not-survive-100TB bug; AQE still downgrades
+        # to broadcast at small SF on its own.
+        keys = parent.select(pkey)
+        if small_parent:
+            keys = F.broadcast(keys)
+        n = child.join(keys, child[ckey] == F.col(pkey), "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        return n.select(F.lit(name).alias("relation"), "n_orphans")
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    checks = [
+        orphans("lineitem->orders", li, "l_orderkey", orders, "o_orderkey", False),
+        orphans("orders->customer", orders, "o_custkey", customer, "c_custkey", False),
+        orphans("customer->nation", customer, "c_nationkey", nation, "n_nationkey", True),
+        orphans("nation->region", nation, "n_regionkey", region, "r_regionkey", True),
+        orphans("lineitem->part", li, "l_partkey", part, "p_partkey", True),
+        orphans("lineitem->supplier", li, "l_suppkey", supplier, "s_suppkey", True),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("relation")
