@@ -202,3 +202,47 @@ def agg_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return s.select("flag", corr.alias("corr_price_qty")).orderBy("flag")
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INT)
+                   AS grouping_id,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        ORDER BY grouping_id, priority, status
+    """,
+    doc="Explicit GROUPING SETS (not derivable from the rollup/cube "
+    "queries: an arbitrary set list plus grouping_id disambiguation of "
+    "real NULLs vs subtotal rows). One Expand + one hash aggregate — "
+    "the shuffle carries |sets| x |groups| rows, constant in fact "
+    "size after map-side combine.",
+    tags=("agg", "groupingsets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import register_views
+
+    apply_runtime_confs(spark)
+    register_views(spark, sf_dir)
+    # groupingSets has no stable DataFrame builder pre-4.0 — the SQL
+    # form IS the DataFrame plan (same Expand+Aggregate).
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INT)
+                   AS grouping_id,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        ORDER BY grouping_id, priority, status
+        """
+    )
