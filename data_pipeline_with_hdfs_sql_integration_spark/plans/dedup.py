@@ -515,3 +515,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= EMB_COSINE_THRESHOLD)
     )
+
+
+@query(
+    "stream_dedup_docs",
+    oracle="""
+        WITH contents AS (
+            SELECT DISTINCT lower(sha256(text)) AS text_hash FROM documents
+        )
+        SELECT substr(text_hash, 1, 1) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_contents
+        FROM contents
+        GROUP BY substr(text_hash, 1, 1)
+        ORDER BY bucket
+    """,
+    doc="Streaming exact dedup of a corpus under at-least-once delivery: "
+    "every document arrives TWICE (duplicated file stream), "
+    "dropDuplicates on the content sha absorbs both replays and "
+    "cross-delivery duplicates, and the surviving distinct-content "
+    "census (bucketed by leading hex digit — content-determined, so "
+    "deterministic under either arrival order) equals the batch "
+    "answer. Dedup state is one row per distinct content; a real "
+    "deployment adds an event-time watermark TTL to bound it.",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.streaming import windows as W
+
+    apply_runtime_confs(spark)
+    docs = W.documents_stream_duplicated(spark, sf_dir)
+    deduped = docs.select(
+        F.lower(F.sha2(F.col("text"), 256)).alias("text_hash")
+    ).dropDuplicates(["text_hash"])
+    agg = (
+        deduped.select(F.substring("text_hash", 1, 1).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_contents"))
+    )
+    spark2, name = W.run_to_memory(agg, output_mode="complete")
+    return spark2.table(name)

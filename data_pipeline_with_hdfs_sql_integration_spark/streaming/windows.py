@@ -202,3 +202,18 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.islink(link):
         os.symlink(path, link)
     return spark.readStream.schema(schema).parquet(stream_dir)
+
+
+def documents_stream_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document stream with every file delivered TWICE (two
+    symlinks) — at-least-once corpus ingestion for dedup to absorb."""
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    digest = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:16]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"dps_docstream2x_{digest}")
+    os.makedirs(stream_dir, exist_ok=True)
+    for name in ("documents_a.parquet", "documents_b.parquet"):
+        link = os.path.join(stream_dir, name)
+        if not os.path.islink(link):
+            os.symlink(path, link)
+    return spark.readStream.schema(schema).parquet(stream_dir)
