@@ -554,3 +554,108 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark2, name = W.run_to_memory(agg, output_mode="complete")
     return spark2.table(name)
+
+
+# ----------------------------------------------- embedding LSH (scale path)
+# Banded random-hyperplane LSH over the WHOLE embeddings table — the
+# unbounded counterpart of dedup_embedding_cosine (which is an exact
+# cross join deliberately capped at vec_id < EMB_SUBSET). Band width is
+# THE scale knob: avg bucket size is N / 2^width, so width grows as
+# log2(N) to hold buckets (and therefore candidate pairs per band)
+# constant — at 100 TB you'd run ~wider bands from the same 124-bit
+# signature, trading per-band recall for more bands. 6-bit bands are
+# sized for the test corpora (500-2000 vectors).
+EMB_LSH_BAND_BITS = 6
+EMB_LSH_BANDS_PER_WORD = 10  # 60 of each word's 62 bits
+EMB_LSH_BANDS = 2 * EMB_LSH_BANDS_PER_WORD
+
+
+def _emb_lsh_bucket_exprs_sql() -> str:
+    """DuckDB list literal of the 20 globally-distinct bucket keys."""
+    exprs = []
+    for i in range(EMB_LSH_BANDS):
+        word = "sig_lo" if i < EMB_LSH_BANDS_PER_WORD else "sig_hi"
+        shift = EMB_LSH_BAND_BITS * (i % EMB_LSH_BANDS_PER_WORD)
+        mask = (1 << EMB_LSH_BAND_BITS) - 1
+        exprs.append(f"(CAST({i * (mask + 1)} AS BIGINT) + (({word} >> {shift}) & {mask}))")
+    return "[" + ", ".join(exprs) + "]"
+
+
+def _register_dedup_embedding_lsh() -> None:
+    # Function-local import keeps the module dependency one-way even if
+    # similarity ever grows a dedup import.
+    from data_pipeline_with_hdfs_sql_integration_spark.plans import similarity as sim
+
+    @query(
+        "dedup_embedding_lsh",
+        oracle=f"""
+            WITH e AS ({sim._SQL_VECS}),
+            sigs AS (SELECT vec_id,
+                            {sim._sql_lsh_sig('v', 0)} AS sig_lo,
+                            {sim._sql_lsh_sig('v', 1)} AS sig_hi
+                     FROM e),
+            bands AS (SELECT vec_id, unnest({_emb_lsh_bucket_exprs_sql()}) AS bucket
+                      FROM sigs),
+            cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                     FROM bands a JOIN bands b
+                       ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT c.vec_a, c.vec_b,
+                   {sim._sql_cosine('ea.v', 'eb.v')} AS cosine
+            FROM cand c
+            JOIN e ea ON ea.vec_id = c.vec_a
+            JOIN e eb ON eb.vec_id = c.vec_b
+            WHERE {sim._sql_cosine('ea.v', 'eb.v')} >= {EMB_COSINE_THRESHOLD}
+        """,
+        doc=f"Embedding near-dup at corpus scale (no vec_id bound, unlike "
+        f"the exact dedup_embedding_cosine baseline): {sim.LSH_PLANES}-bit "
+        f"hyperplane sign signatures (16 bytes/vector, computed once), "
+        f"{EMB_LSH_BANDS} bands of {EMB_LSH_BAND_BITS} bits, candidates from "
+        "a bucket EQUI-join (never a cross join), exact sequential-fold "
+        "cosine verify on only the candidate pairs. Work is linear in N: "
+        "signatures O(N), bucket join O(N x avg bucket), verify O(pairs); "
+        "band width is chosen ~log2(N / target bucket size) so buckets "
+        "stay constant-sized as the corpus grows. Probabilistic recall "
+        "(unlike simhash's pigeonhole-exact bands) — the oracle replicates "
+        "the identical banding, so the check is implementation parity.",
+        tags=("dedup", "embedding", "lsh"),
+    )
+    def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        apply_runtime_confs(spark)
+        e = sim._vecs(spark, sf_dir)
+        sigs = _materialize(
+            e.selectExpr(
+                "vec_id",
+                f"({sim._lsh_sig_expr('v', 0)}) AS sig_lo",
+                f"({sim._lsh_sig_expr('v', 1)}) AS sig_hi",
+            )
+        )
+        mask = (1 << EMB_LSH_BAND_BITS) - 1
+        buckets = []
+        for i in range(EMB_LSH_BANDS):
+            word = F.col("sig_lo") if i < EMB_LSH_BANDS_PER_WORD else F.col("sig_hi")
+            shift = EMB_LSH_BAND_BITS * (i % EMB_LSH_BANDS_PER_WORD)
+            buckets.append(
+                F.shiftright(word, shift).bitwiseAND(F.lit(mask)) + F.lit(i * (mask + 1))
+            )
+        bands = sigs.select("vec_id", F.explode(F.array(*buckets)).alias("bucket"))
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+            .distinct()
+        )
+        ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+        eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+        return (
+            cand.join(ea, "vec_a")
+            .join(eb, "vec_b")
+            .select(
+                "vec_a",
+                "vec_b",
+                sim._cosine(F.col("va"), F.col("vb")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= EMB_COSINE_THRESHOLD)
+        )
+
+
+_register_dedup_embedding_lsh()
