@@ -195,6 +195,75 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "layout_dynamic_partition_pruning",
+    oracle="""
+        WITH days AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        tot AS (SELECT sum(n) AS s, count(*) AS k FROM days),
+        hot AS (SELECT d FROM days, tot WHERE n * k > s)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events e JOIN hot ON CAST(date_trunc('day', e.ts) AS DATE) = hot.d
+        GROUP BY event_type
+    """,
+    doc="DYNAMIC partition pruning — the star-join counterpart of "
+    "layout_partition_pruning's static prune: the fact is the same "
+    "day-partitioned events layout, the dim is a materialized day "
+    "dimension carrying a precomputed tier column ('hot' = day with "
+    "above-mean traffic, decided by exact integer cross-multiplication "
+    "at build time). The query filters the DIM on tier='hot' (a literal "
+    "predicate on a non-join column — nothing Catalyst can statically "
+    "transfer to the fact side), and Spark injects a "
+    "dynamicpruningexpression subquery into the fact scan's "
+    "PartitionFilters: only the hot days' directories are read, driven "
+    "by the broadcast dim at runtime (asserted in "
+    "tests/test_plan_shape.py). At 100 TB this is THE pattern for "
+    "date-dim star joins — the alternative reads every partition of "
+    "the fact before the join filter lands.",
+    tags=("layout", "pruning", "join"),
+)
+def layout_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        table_path,
+    )
+
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    fact_path = deterministic_tmp_dir("layout_day", table_path(sf_dir, "events"))
+    if not os.path.exists(os.path.join(fact_path, "_SUCCESS")):
+        ev.withColumn("event_day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+            "event_day"
+        ).parquet(fact_path)
+    dim_path = deterministic_tmp_dir("day_dim_tier", table_path(sf_dir, "events"))
+    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+        days = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("n"))
+        tot = days.agg(F.sum("n").alias("s"), F.count("*").alias("k"))
+        dim = days.crossJoin(F.broadcast(tot)).select(
+            "d",
+            F.col("n").alias("n_day_events"),
+            F.when(F.col("n") * F.col("k") > F.col("s"), F.lit("hot"))
+            .otherwise(F.lit("cold"))
+            .alias("tier"),
+        )
+        dim.coalesce(1).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    hot = spark.read.parquet(dim_path).filter(F.col("tier") == "hot").select("d")
+    return (
+        fact.join(hot, fact.event_day == hot.d)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
     "agg_collect_sorted_lists",
     oracle="""
         SELECT c_nationkey,

@@ -132,6 +132,17 @@ def test_day_layout_prunes_partitions(spark):
     assert len(after) == 2 and "event_day" in after[1][:300]
 
 
+def test_day_layout_dpp_subquery_on_fact_scan(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    plan = _plan(all_queries()["layout_dynamic_partition_pruning"].fn(spark, SF_DIR))
+    # The fact scan must carry a runtime dynamicpruning subquery fed by
+    # the tier='hot' dim — NOT a static partition predicate (the dim
+    # filter is on a non-join column, so nothing is statically
+    # transferable).
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_cached_table_plans_inmemory_scan(spark):
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
 
