@@ -30,7 +30,23 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key: str | None,
+    left_key: str | None = None,
+    right_key: str | None = None,
+) -> DataFrame:
     """Join two same-bucketed tables; the plan must show no Exchange on
-    either side (asserted in tests/test_bucketing.py)."""
-    return spark.table(left_table).join(spark.table(right_table), key)
+    either side (asserted in tests/test_bucketing.py).
+
+    Pass ``key`` when both sides share the column name, or
+    ``left_key``/``right_key`` when they differ. The merge hint pins
+    SortMergeJoin so the bucketed layout (not a small-table broadcast)
+    carries the join — hint-based, so no session conf is mutated."""
+    left = spark.table(left_table).hint("merge")
+    right = spark.table(right_table)
+    if key is not None:
+        return left.join(right, key)
+    return left.join(right, left[left_key] == right[right_key])

@@ -195,6 +195,68 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "layout_bucketed_join",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc="Bucketed co-located join surfaced as a query (the API lives in "
+    "operators/bucketing.py): both join sides are written ONCE bucketed "
+    "by the join key (bucketBy + sortBy, external-path tables under the "
+    "deterministic fixture dir), so the fact-dim join runs with ZERO "
+    "exchange and zero sort on either side — bucket i joins bucket i "
+    "where it already sits. At 100 TB this converts the biggest join "
+    "cost (shuffling the fact) into a one-time write-layout decision; "
+    "every later join/groupBy on the bucket key rides free. The merge "
+    "hint pins SortMergeJoin WITHOUT touching session confs (at test "
+    "scale Catalyst would otherwise broadcast the small dim and hide "
+    "the bucket path; disabling autoBroadcastJoinThreshold would leak "
+    "into other queries sharing the driver's session). Plan asserted: "
+    "SelectedBucketsCount on both scans, the only Exchange is the "
+    "final 5-row aggregate's.",
+    tags=("layout", "bucketing", "join"),
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        table_path,
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.bucketing import (
+        bucketed_join,
+    )
+
+    apply_runtime_confs(spark)
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        path = deterministic_tmp_dir(f"bucketed_{tbl}", table_path(sf_dir, tbl))
+        # Table identifier carries the same content-version digest as
+        # the path: a regenerated source fixture gets a fresh name, and
+        # two sf_dirs can coexist in one session's catalog.
+        name = f"b_{tbl}_{os.path.basename(path).rsplit('_', 1)[-1]}"
+        if not spark.catalog.tableExists(name):
+            (
+                load(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .format("parquet")
+                .option("path", path)
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        if tbl == "orders":
+            lt = name
+        else:
+            rt = name
+    j = bucketed_join(spark, lt, rt, None, left_key="o_custkey", right_key="c_custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
     "layout_dynamic_partition_pruning",
     oracle="""
         WITH days AS (

@@ -132,6 +132,19 @@ def test_day_layout_prunes_partitions(spark):
     assert len(after) == 2 and "event_day" in after[1][:300]
 
 
+def test_bucketed_join_query_has_single_final_exchange(spark):
+    import re
+
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    plan = _plan(all_queries()["layout_bucketed_join"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    assert plan.count("SelectedBucketsCount") == 2
+    # Join sides read pre-bucketed and pre-sorted: the ONLY exchange in
+    # the whole plan is the final 5-row aggregate's.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
 def test_day_layout_dpp_subquery_on_fact_scan(spark):
     from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
 
