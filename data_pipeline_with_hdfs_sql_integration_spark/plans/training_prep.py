@@ -327,6 +327,91 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target language mix (percent of the token budget) and the budget
+# itself as a fraction of corpus tokens — integer percentages so quota
+# arithmetic is exact BIGINT on both engines.
+MIX_WEIGHTS = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+MIX_BUDGET_DIV = 2  # budget = total corpus tokens // 2
+
+
+@query(
+    "mix_weighted_budget",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(len({tf.sql_tokens('text')}) AS BIGINT) AS n_tok,
+                   (CAST(doc_id AS BIGINT) * {_KNUTH}) % {_H_MOD} AS hkey
+            FROM documents
+        ),
+        tot AS (SELECT sum(n_tok) AS total FROM d),
+        w(lang, pct) AS (VALUES {", ".join(f"('{k}', CAST({v} AS BIGINT))" for k, v in MIX_WEIGHTS.items())}),
+        cum AS (
+            SELECT lang, n_tok,
+                   sum(n_tok) OVER (PARTITION BY lang ORDER BY hkey ASC, doc_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d
+        )
+        SELECT cum.lang,
+               ((tot.total // {MIX_BUDGET_DIV}) * w.pct) // 100 AS quota_tokens,
+               CAST(count(*) FILTER (cum.cum <= ((tot.total // {MIX_BUDGET_DIV}) * w.pct) // 100) AS BIGINT) AS n_docs_kept,
+               CAST(coalesce(sum(cum.n_tok) FILTER (cum.cum <= ((tot.total // {MIX_BUDGET_DIV}) * w.pct) // 100), 0) AS BIGINT) AS tokens_kept,
+               CAST(count(*) AS BIGINT) AS n_docs_total,
+               CAST(sum(cum.n_tok) AS BIGINT) AS tokens_total
+        FROM cum JOIN w USING (lang), tot
+        GROUP BY cum.lang, quota_tokens
+    """,
+    doc="Source/language mixing to a token budget (the Pile/Dolma-style "
+    "mixture step between cleaning and tokenization): the overall "
+    f"budget is corpus tokens // {MIX_BUDGET_DIV}, split across "
+    "languages by integer percentage weights; within each language, "
+    "documents are taken in deterministic Knuth-hash order (a seeded "
+    "shuffle, so the kept set is a uniform sample reproducible across "
+    "engines and re-runs) until the running token total reaches the "
+    "quota. All quota arithmetic is exact BIGINT — both engines make "
+    "identical boundary decisions. Scale: the window input is METADATA "
+    "only (doc_id, lang, n_tok — ~24 bytes/doc, never the text), "
+    "partitioned by language; for finer parallelism than one task per "
+    "language, the same greedy-prefix semantics shard exactly like "
+    "pack_sequences' exclusive prefix sums.",
+    tags=("training", "mixing"),
+)
+def mix_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tf.tokens(F.col("text"))).cast("long").alias("n_tok"),
+        ((F.col("doc_id").cast("long") * _KNUTH) % _H_MOD).alias("hkey"),
+    )
+    tot = d.agg(F.sum("n_tok").alias("total"))
+    w = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(k, v) for k, v in MIX_WEIGHTS.items()], "lang string, pct long"
+        )
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("hkey").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.select("lang", "n_tok", F.sum("n_tok").over(win).alias("cum"))
+    quota = F.expr(f"((total DIV {MIX_BUDGET_DIV}) * pct) DIV 100")
+    kept = F.col("cum") <= F.col("quota_tokens")
+    return (
+        cum.join(w, "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("quota_tokens", quota)
+        .groupBy("lang", "quota_tokens")
+        .agg(
+            F.count(F.when(kept, 1)).alias("n_docs_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0)).cast("long").alias("tokens_kept"),
+            F.count("*").alias("n_docs_total"),
+            F.sum("n_tok").alias("tokens_total"),
+        )
+    )
+
+
 CHUNK_SIZE = 64  # tokens per retrieval chunk
 CHUNK_STRIDE = 48  # 16-token overlap between neighbors
 
