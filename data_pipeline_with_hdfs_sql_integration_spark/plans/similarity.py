@@ -142,24 +142,27 @@ def _lsh_sig_expr(vcol: str, word: int) -> str:
 
     Building this as py4j Column ops (124 planes x 64 literal lits)
     costs ~8000 driver round-trips — measured 33 s of driver-side DF
-    construction per query before any job ran. A single selectExpr
-    parse of the same tree is milliseconds. The fold (aggregate over
-    zip_with, 0D init, acc + x) is operation-for-operation identical
-    to functions/textfns.dot, so signature bits match the oracle's
-    list_reduce fold exactly.
+    construction per query before any job ran. And even as text, one
+    flat CASE-per-bit expression is ~0.5 MB that costs ~3 s of
+    parse/analyze per query; the HOF form below (a fold over bit
+    indices against ONE array-of-arrays plane literal) is ~100x
+    smaller and parses in milliseconds. The per-plane dot (aggregate
+    over zip_with, 0D init, acc + x) is operation-for-operation
+    identical to functions/textfns.dot, and the bit sum is the same
+    ascending-order integer total as the old CASE chain, so signature
+    words are bit-identical to the oracle's fold.
     """
-    bits = []
-    for j in range(LSH_WORD):
-        i = word * LSH_WORD + j
-        if i >= LSH_PLANES:
-            break
-        arr = "array(" + ", ".join(f"{c}D" for c in HYPERPLANES[i]) + ")"
-        d = (
-            f"aggregate(zip_with({vcol}, {arr}, (x, y) -> x * y), 0D, "
-            f"(acc, x) -> acc + x)"
-        )
-        bits.append(f"(CASE WHEN ({d}) > 0 THEN {1 << j}L ELSE 0L END)")
-    return " + ".join(bits)
+    n_bits = min(LSH_WORD, LSH_PLANES - word * LSH_WORD)
+    planes = "array(" + ", ".join(
+        "array(" + ", ".join(f"{c}D" for c in HYPERPLANES[word * LSH_WORD + j]) + ")"
+        for j in range(n_bits)
+    ) + ")"
+    return (
+        f"aggregate(sequence(0, {n_bits - 1}), 0L, (acc, i) -> acc + "
+        f"(CASE WHEN aggregate(zip_with({vcol}, element_at({planes}, i + 1), "
+        f"(x, y) -> x * y), 0D, (a, d) -> a + d) > 0 "
+        f"THEN shiftleft(1L, i) ELSE 0L END))"
+    )
 
 
 @query(
