@@ -62,6 +62,10 @@ HEADLINE = [
     "gapfill_locf",
     "twa_user_value",
     "udaf_weighted_median",
+    "dedup_embedding_lsh",
+    "mix_weighted_budget",
+    "layout_bucketed_join",
+    "layout_dynamic_partition_pruning",
 ]
 
 
