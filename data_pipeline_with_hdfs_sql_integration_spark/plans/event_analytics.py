@@ -270,3 +270,70 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("t").alias("hour_ts"), F.round("locf", 2).alias("locf_value"))
         .orderBy("user_id", "hour_ts")
     )
+
+
+# CEP patterns: (label, regex over 1-char event codes). Event-type
+# first letters are unique in this schema (c,e,p,s,v), so the journey
+# string is a lossless per-user event-sequence encoding.
+CEP_PATTERNS = [
+    ("signup_first", "^s"),       # journey starts with signup
+    ("quick_funnel", "scp"),      # signup -> click -> purchase, consecutive
+    ("burst_views", "v{4,}"),     # 4+ consecutive views
+    ("ends_in_error", "e$"),      # last event is an error
+    ("error_free", "^[^e]*$"),    # no error anywhere
+]
+
+
+@query(
+    "cep_journey_patterns",
+    oracle=f"""
+        WITH j AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_type) AS journey
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               {", ".join(
+                   f"CAST(count(*) FILTER (regexp_matches(journey, '{rx}')) AS BIGINT) AS n_{label}"
+                   for label, rx in CEP_PATTERNS
+               )}
+        FROM j
+    """,
+    doc="Complex-event-processing pattern match (MATCH_RECOGNIZE-lite): "
+    "each user's events collapse to a journey string (1 char per event, "
+    "ordered by (ts, event_type) — a total order because the code "
+    "depends only on event_type, so equal-key ties cannot change the "
+    "string), then regex predicates count users per behavioral pattern "
+    "in ONE aggregate. Unlike funnel_conversion's fixed 3-stage ladder, "
+    "the pattern language here is arbitrary regular expressions over "
+    "the event alphabet (anchors, consecutive-run quantifiers, "
+    "class negation — chosen to split the user base non-degenerately "
+    "on this corpus). Scale: the only shuffle is the per-user "
+    "groupBy carrying (ts, 1-char) pairs; journeys are bounded by "
+    "per-user event counts (add a time-window split for unbounded "
+    "users); regex evaluation is map-side on the reduced journey "
+    "table; the output is one row.",
+    tags=("events", "cep"),
+)
+def cep_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    j = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_type"))),
+                    lambda s: F.substring(s["event_type"], 1, 1),
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    aggs = [F.count("*").alias("n_users")]
+    for label, rx in CEP_PATTERNS:
+        aggs.append(
+            F.count(F.when(F.col("journey").rlike(rx), 1)).alias(f"n_{label}")
+        )
+    return j.agg(*aggs)
