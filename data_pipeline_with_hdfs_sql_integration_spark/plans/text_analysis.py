@@ -517,3 +517,53 @@ def stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark2, name = W.run_to_memory(agg, output_mode="complete")
     return spark2.table(name)
+
+
+PHRASE_W1, PHRASE_W2 = "table", "scan"
+
+
+@query(
+    "search_phrase_docs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {tf.sql_tokens('text')} AS t FROM documents
+        ),
+        hits AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(generate_series(1, len(t) - 1),
+                        i -> t[i] = '{PHRASE_W1}' AND t[i+1] = '{PHRASE_W2}'))
+                        AS BIGINT) AS n_occurrences
+            FROM toks WHERE len(t) >= 2
+        )
+        SELECT doc_id, n_occurrences FROM hits WHERE n_occurrences > 0
+    """,
+    doc=f"Phrase search ('{PHRASE_W1} {PHRASE_W2}') via positional "
+    "posting intersection — the standard inverted-index phrase plan: "
+    "posexplode to (doc_id, pos, token), keep ONLY the two terms' "
+    "postings (selective filters land before the shuffle, so only the "
+    "phrase terms' postings move — not the corpus), then an equi-join "
+    "on (doc_id, pos) with the second term's positions shifted by one, "
+    "and a per-doc count. At 100 TB the postings come from a "
+    "pre-built positional index (text_posting_lists' layout plus a "
+    "positions column) instead of tokenizing at query time; the "
+    "join-on-shifted-positions plan is identical. The oracle computes "
+    "the same counts per-row with a list comprehension — different "
+    "implementation, same semantics, so parity checks meaning rather "
+    "than plan.",
+    tags=("text", "search"),
+)
+def search_phrase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tf.tokens(F.col("text"))).alias("pos", "token")
+    )
+    a = pos.filter(F.col("token") == PHRASE_W1).select("doc_id", "pos")
+    b = pos.filter(F.col("token") == PHRASE_W2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
