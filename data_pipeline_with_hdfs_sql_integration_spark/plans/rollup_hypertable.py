@@ -113,3 +113,73 @@ def rollup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("double").alias("last_value"),
         )
     )
+
+
+@query(
+    "rollup_rolling_median",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   event_type,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                       AS day_micros
+            FROM events GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT day, event_type, day_micros,
+                   list(day_micros) OVER (
+                       PARTITION BY event_type
+                       ORDER BY datediff('day', TIMESTAMP '1970-01-01', day)
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS w
+            FROM daily
+        )
+        SELECT day, event_type,
+               CAST(len(w) AS INT) AS n_days_in_window,
+               CAST((list_sort(w)[(len(w) + 1) // 2]
+                     + list_sort(w)[len(w) // 2 + 1])
+                    / 2000000.0 AS DOUBLE) AS rolling_median_value
+        FROM win
+    """,
+    doc="Exact rolling median of daily value totals over a trailing "
+    "7-day window per event_type (the robust-smoothing op for "
+    "time-series anomaly baselines — medians don't decompose, so no "
+    "continuous aggregate covers them). Daily totals are exact BIGINT "
+    "micros (decimal sums x 1e6); the window is a value-based RANGE "
+    "frame over epoch-day numbers (calendar days, not row counts, so "
+    "gaps in the series shrink the window rather than silently "
+    "stretching it); the median is computed EXPLICITLY from the sorted "
+    "window list ((lo+hi)/2 over exact integers, one double division) "
+    "rather than each engine's quantile interpolation, whose float "
+    "paths differ in the last ulp. Scale: the window input is the "
+    "|days x types| daily rollup, not raw events — the only full "
+    "shuffle is the daily group-by; collect-over-window state is "
+    "bounded at 7 values per row.",
+    tags=("timeseries", "window", "rollup"),
+)
+def rollup_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("long")
+        .alias("day_micros")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    s = F.array_sort(F.collect_list("day_micros").over(w))
+    n = F.size(s)
+    lo = F.element_at(s, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(s, (n / 2).cast("int") + 1)
+    return daily.select(
+        "day",
+        "event_type",
+        n.alias("n_days_in_window"),
+        ((lo + hi) / F.lit(2000000.0)).alias("rolling_median_value"),
+    )
