@@ -553,13 +553,22 @@ PHRASE_W1, PHRASE_W2 = "table", "scan"
     tags=("text", "search"),
 )
 def search_phrase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     apply_runtime_confs(spark)
     docs = load_parallel(spark, sf_dir, "documents")
     pos = docs.select(
         "doc_id", F.posexplode(tf.tokens(F.col("text"))).alias("pos", "token")
     )
-    a = pos.filter(F.col("token") == PHRASE_W1).select("doc_id", "pos")
-    b = pos.filter(F.col("token") == PHRASE_W2).select(
+    # Persist the two terms' postings BEFORE branching: without the
+    # barrier each branch re-scans and re-tokenizes the whole corpus
+    # (measured 2 scans in the plan); with it the corpus is tokenized
+    # once and only the tiny posting table is read twice.
+    pos_f = pos.filter(F.col("token").isin(PHRASE_W1, PHRASE_W2)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a = pos_f.filter(F.col("token") == PHRASE_W1).select("doc_id", "pos")
+    b = pos_f.filter(F.col("token") == PHRASE_W2).select(
         "doc_id", (F.col("pos") - 1).alias("pos")
     )
     return (

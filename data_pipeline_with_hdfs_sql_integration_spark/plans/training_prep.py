@@ -376,14 +376,20 @@ MIX_BUDGET_DIV = 2  # budget = total corpus tokens // 2
     tags=("training", "mixing"),
 )
 def mix_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     apply_runtime_confs(spark)
     docs = load_parallel(spark, sf_dir, "documents")
+    # Persisted barrier: the metadata table feeds BOTH the corpus-total
+    # aggregate and the per-language window — without it each branch
+    # re-tokenizes the whole corpus (measured 2 scans in the plan).
+    # ~24 bytes/doc, trivially cacheable at any corpus size.
     d = docs.select(
         "doc_id",
         "lang",
         F.size(tf.tokens(F.col("text"))).cast("long").alias("n_tok"),
         ((F.col("doc_id").cast("long") * _KNUTH) % _H_MOD).alias("hkey"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = d.agg(F.sum("n_tok").alias("total"))
     w = F.broadcast(
         docs.sparkSession.createDataFrame(
