@@ -140,3 +140,45 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("kind", "id", "rank")
     )
     return out
+
+
+_RECURSIVE_ORG_SQL = """
+WITH RECURSIVE org AS (
+    SELECT s_suppkey AS id, 0 AS depth FROM supplier WHERE s_suppkey = 0
+    UNION ALL
+    SELECT s.s_suppkey AS id, o.depth + 1 AS depth
+    FROM supplier s JOIN org o
+      ON CAST(floor((s.s_suppkey - 1) / 2.0) AS BIGINT) = o.id
+    WHERE s.s_suppkey >= 1
+)
+SELECT CAST(depth AS INT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM org JOIN supplier ON s_suppkey = id
+GROUP BY depth
+"""
+
+
+@query(
+    "recursive_hierarchy_rollup",
+    oracle=_RECURSIVE_ORG_SQL,
+    doc="Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4): "
+    "the LITERAL same SQL text runs unmodified in Spark and DuckDB — "
+    "dialect parity for recursion, like sql_interface_tpch_q1 for "
+    "aggregation. The hierarchy is a derived binary-heap org chart "
+    "over supplier (parent(k) = floor((k-1)/2), root 0 — arithmetic, "
+    "acyclic, depth log2 N), traversed root-down with a per-depth "
+    "count + exact-decimal acctbal rollup. Spark executes each "
+    "recursion step as a join of the previous level against supplier "
+    "— O(log N) bounded iterations, each a broadcast-able equi-join; "
+    "the iterative-DataFrame equivalent of this shape is "
+    "dedup_clusters' connected components, which handles the cyclic "
+    "case a recursive UNION ALL cannot.",
+    tags=("sql", "recursive", "graph"),
+)
+def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import register_views
+
+    apply_runtime_confs(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_ORG_SQL)
