@@ -246,3 +246,50 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY grouping_id, priority, status
         """
     )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+        WITH counts AS (
+            SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY c_mktsegment, c_nationkey
+        ),
+        ranked AS (
+            SELECT c_mktsegment, c_nationkey, n,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY n DESC, c_nationkey ASC) AS rk
+            FROM counts
+        )
+        SELECT c_mktsegment,
+               CAST(c_nationkey AS BIGINT) AS mode_nationkey,
+               n AS mode_count
+        FROM ranked WHERE rk = 1
+    """,
+    doc="Statistical mode per group with a DETERMINISTIC tie-break "
+    "(most-frequent nation per market segment): both engines' built-in "
+    "mode()/any_value pick an arbitrary winner under ties, which flakes "
+    "value comparison — so the mode is computed as count + row_number "
+    "ordered (n DESC, key ASC). Two-level aggregation keeps it scalable: "
+    "the first group-by reduces the fact to |segment x nation| rows "
+    "map-side, the window runs over that tiny table.",
+    tags=("agg", "window"),
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    c = load(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("c_nationkey").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("long").alias("mode_nationkey"),
+            F.col("n").alias("mode_count"),
+        )
+    )
