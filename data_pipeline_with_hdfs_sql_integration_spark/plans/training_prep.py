@@ -529,3 +529,75 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def _split_case_sql(idcol: str) -> str:
+    h = f"((CAST({idcol} AS BIGINT) * {_KNUTH}) % {_H_MOD}) % 10"
+    return (
+        f"CASE WHEN {h} < 8 THEN 'train' WHEN {h} = 8 THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def _register_split_leakage_audit() -> None:
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.dedup import (
+        SQL_MINHASH_PAIRS_CTES,
+    )
+
+    @query(
+        "split_leakage_audit",
+        oracle=f"""
+            WITH {SQL_MINHASH_PAIRS_CTES},
+            labeled AS (
+                SELECT {_split_case_sql('doc_a')} AS sa,
+                       {_split_case_sql('doc_b')} AS sb
+                FROM prs
+            )
+            SELECT least(sa, sb) AS split_lo,
+                   greatest(sa, sb) AS split_hi,
+                   CAST(count(*) AS BIGINT) AS n_dup_pairs
+            FROM labeled
+            GROUP BY least(sa, sb), greatest(sa, sb)
+        """,
+        doc="Train/val/test split leakage audit — the check every "
+        "pretraining pipeline should run and few do: documents split "
+        "8/1/1 by deterministic Knuth hash (the same seeded-split "
+        "mechanism as shuffle_deterministic, so the assignment is "
+        "reproducible and layout-independent), then the MinHash-LSH "
+        "near-duplicate pairs are labeled by their endpoints' splits "
+        "and counted per unordered split pair. Off-diagonal rows "
+        "(train/val, train/test) are evaluation-set contamination via "
+        "near-duplicates — the leakage exact-match decontamination "
+        "(contamination_ngram) misses. Composes two existing scale-safe "
+        "stages: the pair generation is the banded bucket-join "
+        "(constant work per doc), the audit itself is one tiny "
+        "aggregate over the pair table.",
+        tags=("training", "dedup", "audit"),
+    )
+    def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_pipeline_with_hdfs_sql_integration_spark.plans.dedup import (
+            dedup_minhash_lsh,
+        )
+
+        apply_runtime_confs(spark)
+        pairs = dedup_minhash_lsh(spark, sf_dir)
+
+        def split(idcol):
+            h = (F.col(idcol).cast("long") * _KNUTH) % _H_MOD % 10
+            return (
+                F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+            )
+
+        labeled = pairs.select(
+            split("doc_a").alias("sa"), split("doc_b").alias("sb")
+        )
+        return (
+            labeled.groupBy(
+                F.least("sa", "sb").alias("split_lo"),
+                F.greatest("sa", "sb").alias("split_hi"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        )
+
+
+_register_split_leakage_audit()
