@@ -43,7 +43,11 @@ def _driver_verified() -> frozenset[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("rows_match") is True or row.get("err") == "no_oracle":
+            # Verified = full value-hash pass, or an intentional
+            # rows-only query. rows_match alone is NOT enough: a
+            # rows-green/hash-red row (e.g. an oracle dtype mismatch)
+            # must re-queue at the front of the next check window.
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
                 seen.add(name)
     return frozenset(seen)
 

@@ -67,10 +67,10 @@ RE_DIGITS = "[0-9]+"
         )
         SELECT event_type,
                COUNT(*) AS n_events,
-               SUM(n_email) AS emails_redacted,
-               SUM(n_ip) AS ips_redacted,
-               SUM(n_num) AS nums_redacted,
-               SUM(CAST(length(line) AS BIGINT)) AS scrubbed_chars
+               CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+               CAST(SUM(n_ip) AS BIGINT) AS ips_redacted,
+               CAST(SUM(n_num) AS BIGINT) AS nums_redacted,
+               CAST(SUM(CAST(length(line) AS BIGINT)) AS BIGINT) AS scrubbed_chars
         FROM s3
         GROUP BY event_type
         ORDER BY event_type
@@ -218,10 +218,10 @@ def scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                COUNT(*) AS n_events,
-               SUM(n_email) AS emails_redacted,
-               SUM(n_ip) AS ips_redacted,
-               SUM(n_num) AS nums_redacted,
-               SUM(CAST(length(line) AS BIGINT)) AS scrubbed_chars
+               CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+               CAST(SUM(n_ip) AS BIGINT) AS ips_redacted,
+               CAST(SUM(n_num) AS BIGINT) AS nums_redacted,
+               CAST(SUM(CAST(length(line) AS BIGINT)) AS BIGINT) AS scrubbed_chars
         FROM s3
         GROUP BY event_type
     """,

@@ -644,15 +644,27 @@ def _register_dedup_embedding_lsh() -> None:
             .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
             .distinct()
         )
-        ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-        eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+        # Norms once per VECTOR (N rows), not once per candidate pair:
+        # sqrt(dot(v,v)) on the same doubles is bit-identical wherever
+        # it is computed, so the oracle's per-pair form still matches —
+        # this just removes two of the three interpreted 64-dim folds
+        # from the (much larger) pair-verify stage.
+        en = e.select("vec_id", "v", F.sqrt(tf.dot(F.col("v"), F.col("v"))).alias("nrm"))
+        ea = en.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        )
+        eb = en.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        )
         return (
             cand.join(ea, "vec_a")
             .join(eb, "vec_b")
             .select(
                 "vec_a",
                 "vec_b",
-                sim._cosine(F.col("va"), F.col("vb")).alias("cosine"),
+                F.round(
+                    tf.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                ).alias("cosine"),
             )
             .filter(F.col("cosine") >= EMB_COSINE_THRESHOLD)
         )

@@ -410,7 +410,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT cell_id,
                COUNT(*) AS n_members,
-               SUM(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS sum_cos_fp,
+               CAST(SUM(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cos_fp,
                MIN(vec_id) AS min_member
         FROM scored
         WHERE rn = 1

@@ -417,7 +417,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT token,
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
                    CAST(COUNT(*) AS BIGINT) AS total_tf,
-                   SUM(DISTINCT doc_id) AS sum_doc_ids,
+                   CAST(SUM(DISTINCT doc_id) AS BIGINT) AS sum_doc_ids,
                    array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 20), ',')
                        AS head_postings
             FROM toks GROUP BY token

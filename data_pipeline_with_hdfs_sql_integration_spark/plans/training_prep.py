@@ -352,7 +352,7 @@ MIX_BUDGET_DIV = 2  # budget = total corpus tokens // 2
             FROM d
         )
         SELECT cum.lang,
-               ((tot.total // {MIX_BUDGET_DIV}) * w.pct) // 100 AS quota_tokens,
+               CAST(((tot.total // {MIX_BUDGET_DIV}) * w.pct) // 100 AS BIGINT) AS quota_tokens,
                CAST(count(*) FILTER (cum.cum <= ((tot.total // {MIX_BUDGET_DIV}) * w.pct) // 100) AS BIGINT) AS n_docs_kept,
                CAST(coalesce(sum(cum.n_tok) FILTER (cum.cum <= ((tot.total // {MIX_BUDGET_DIV}) * w.pct) // 100), 0) AS BIGINT) AS tokens_kept,
                CAST(count(*) AS BIGINT) AS n_docs_total,

@@ -42,6 +42,16 @@ def _rows(records: list[dict], cols: list[str]) -> list[tuple]:
     return out
 
 
+def _dtype_kind(series) -> str:
+    """Coarse pandas dtype kind: i/u -> 'i', f -> 'f', M -> 'M', else 'O'."""
+    k = series.dtype.kind
+    if k in "iu":
+        return "i"
+    if k in "fMmb":
+        return k
+    return "O"
+
+
 def compare(spark_df, duck_rel) -> tuple[bool, str]:
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_rel.columns)
@@ -51,6 +61,23 @@ def compare(spark_df, duck_rel) -> tuple[bool, str]:
     import pandas as pd
 
     duck_df = duck_rel.fetchdf()
+    # Driver-fidelity dtype gate: the driver canonicalizes BOTH results
+    # through pandas and hashes dtype-sensitively, so a Spark BIGINT
+    # column against a DuckDB HUGEINT (fetchdf -> float64) fails there
+    # even when every value is numerically equal. Mirror that by
+    # comparing coarse dtype kinds of the two pandas frames. (A
+    # nullable int column with actual NULLs floats on BOTH sides, so
+    # kinds still agree — no false alarm.)
+    spark_pdf = pd.DataFrame.from_records(s_records, columns=s_cols) if s_records else None
+    if spark_pdf is not None and len(duck_df):
+        for c in s_cols:
+            sk, dk = _dtype_kind(spark_pdf[c]), _dtype_kind(duck_df[c])
+            if "O" not in (sk, dk) and sk != dk:
+                return False, (
+                    f"pandas dtype kind mismatch on {c!r}: spark={spark_pdf[c].dtype} "
+                    f"duck={duck_df[c].dtype} — the driver hash will differ even if "
+                    "values agree (CAST the oracle column, e.g. HUGEINT -> BIGINT)"
+                )
     # astype(object) first: pandas silently re-coerces None back to
     # NaN/NaT inside float/datetime columns otherwise.
     duck_df = duck_df.astype(object).where(pd.notnull(duck_df), None)
@@ -68,6 +95,11 @@ def compare(spark_df, duck_rel) -> tuple[bool, str]:
 def _cell_eq(x, y) -> bool:
     if x is None or y is None:
         return x is None and y is None
+    # Cell-level compare stays value-based (5 == 5.0): column-level
+    # dtype mismatches are the compare() dtype gate's job, and a
+    # nullable int column legitimately yields int-vs-float cells here.
+    if isinstance(x, bool) != isinstance(y, bool):
+        return False
     if isinstance(x, float) and isinstance(y, float):
         if math.isnan(x) and math.isnan(y):
             return True
