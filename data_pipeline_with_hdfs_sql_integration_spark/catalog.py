@@ -58,15 +58,38 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-    rejects; read nanos as long and convert with exact integer division
-    (double division would lose precision past 2^53 ns)."""
-    from pyspark.sql import functions as F
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Make `ts` a timestamp regardless of the fixture's physical layout.
 
+    The schema is inferred, never declared (mirroring server.py:39,107),
+    so the loader must adapt to whatever the generator wrote:
+    - TIMESTAMP(NANOS) read as long (legacy.parquet.nanosAsLong):
+      convert with exact integer division — double division would lose
+      precision past 2^53 ns.
+    - TIMESTAMP_NTZ (plain timestamp[us/ms] parquet): cast to the
+      session-timezone TIMESTAMP. The session TZ is pinned to UTC
+      (session.py), so the cast is value-preserving, and downstream
+      event-time code (unix_micros, watermarks) expects TIMESTAMP.
+    - TIMESTAMP: pass through.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load events with `ts` normalized to a timestamp (see
+    normalize_events_ts). nanosAsLong stays on so a legacy
+    TIMESTAMP(NANOS) fixture reads as long instead of erroring."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -228,11 +228,12 @@ def stream_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage)
     for name in ("events_a.parquet", "events_b.parquet"):
         os.symlink(path, os.path.join(stage, name))
-    ev = (
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import normalize_events_ts
+
+    ev = normalize_events_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     stream_merge_latest_snapshot(spark, ev, f"{root}/snap", f"{root}/ckpt")
     return spark.read.parquet(f"{root}/snap").select(

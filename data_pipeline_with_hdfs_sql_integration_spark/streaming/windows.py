@@ -18,14 +18,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import normalize_events_ts, table_path
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded file stream (schema pinned from the
-    static footer — streams cannot infer). The file stores
-    TIMESTAMP(NANOS): read nanos-as-long, convert via exact integer
-    division (see catalog.load_events)."""
+    static footer — streams cannot infer). `ts` is normalized to a
+    timestamp whatever the physical layout (see catalog.normalize_events_ts)."""
     path = table_path(sf_dir, "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
@@ -40,7 +39,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.islink(link):
         os.symlink(path, link)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(stream)
 
 
 def run_to_memory(agg: DataFrame, output_mode: str = "complete") -> tuple[SparkSession, str]:
@@ -74,7 +73,7 @@ def events_stream_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.islink(link):
             os.symlink(path, link)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(stream)
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str, width: str = "1 hour", watermark: str = "15 minutes") -> DataFrame:
