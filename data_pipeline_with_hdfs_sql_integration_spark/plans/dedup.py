@@ -560,31 +560,84 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Banded random-hyperplane LSH over the WHOLE embeddings table — the
 # unbounded counterpart of dedup_embedding_cosine (which is an exact
 # cross join deliberately capped at vec_id < EMB_SUBSET). Band width is
-# THE scale knob: avg bucket size is N / 2^width, so width grows as
-# log2(N) to hold buckets (and therefore candidate pairs per band)
-# constant — at 100 TB you'd run ~wider bands from the same 124-bit
-# signature, trading per-band recall for more bands. 6-bit bands are
-# sized for the test corpora (500-2000 vectors).
-EMB_LSH_BAND_BITS = 6
-EMB_LSH_BANDS_PER_WORD = 10  # 60 of each word's 62 bits
-EMB_LSH_BANDS = 2 * EMB_LSH_BANDS_PER_WORD
+# THE scale knob: avg bucket size is N / 2^width, so width must grow as
+# ~log2(N / target_bucket) to hold buckets (and therefore candidate
+# pairs per band) constant. It is COMPUTED from the corpus size at
+# build time — one count() job, the same price MLlib pays to size an
+# index — via a pure-integer rule (ceil-log2 by bit length, no float
+# log2 whose last-ulp rounding could differ between engines):
+#
+#     width = clamp(MIN..MAX, bitlength(ceil(N / TARGET_BUCKET) - 1))
+#
+# The DuckDB oracle mirrors the identical rule in SQL
+# (length(bin(m-1)) == bitlength(m-1)), so both engines derive the
+# same banding from the same data at any scale factor.
+EMB_LSH_TARGET_BUCKET = 32  # target avg vectors per bucket
+EMB_LSH_MIN_BITS = 4
+EMB_LSH_MAX_BITS = 16  # beyond this, grow planes/bands instead
+EMB_LSH_WORD_BITS = 62  # usable bits per signature word
 
 
-def _emb_lsh_bucket_exprs_sql() -> str:
-    """DuckDB list literal of the 20 globally-distinct bucket keys."""
-    exprs = []
-    for i in range(EMB_LSH_BANDS):
-        word = "sig_lo" if i < EMB_LSH_BANDS_PER_WORD else "sig_hi"
-        shift = EMB_LSH_BAND_BITS * (i % EMB_LSH_BANDS_PER_WORD)
-        mask = (1 << EMB_LSH_BAND_BITS) - 1
-        exprs.append(f"(CAST({i * (mask + 1)} AS BIGINT) + (({word} >> {shift}) & {mask}))")
-    return "[" + ", ".join(exprs) + "]"
+def emb_lsh_band_bits(n: int) -> int:
+    """Band width for an n-vector corpus (see module comment)."""
+    m = max(1, -(-n // EMB_LSH_TARGET_BUCKET))  # ceil(n / target)
+    bits = 1 if m <= 1 else (m - 1).bit_length()
+    return max(EMB_LSH_MIN_BITS, min(EMB_LSH_MAX_BITS, bits))
+
+
+def _emb_lsh_ham_max() -> int:
+    """Signature-hamming prefilter bound for candidate pairs.
+
+    The exact 64-dim cosine fold is ~30x the cost of two bit_counts on
+    longs already in hand, so candidates first pass a hamming gate on
+    the 124-bit signatures. For a pair AT the cosine threshold the
+    expected hamming is P*f with f = acos(threshold)/pi (sign-LSH
+    collision law); the bound sits 1.9 sigma above that, so
+    at-threshold true pairs pass with ~97% probability (higher-cosine
+    pairs essentially always) while uncorrelated collisions (mean P/2)
+    are cut ~2.7x. Measured at sf0.1: 557k -> 243k folds, result set
+    716 -> 712. Deterministic, and mirrored verbatim in the oracle SQL,
+    so parity is exact."""
+    import math
+
+    from data_pipeline_with_hdfs_sql_integration_spark.plans import similarity as sim
+
+    f = math.acos(EMB_COSINE_THRESHOLD) / math.pi
+    mean = sim.LSH_PLANES * f
+    sigma = math.sqrt(sim.LSH_PLANES * f * (1.0 - f))
+    return math.ceil(mean + 1.9 * sigma)
+
+
+def _emb_lsh_bands_sql() -> str:
+    """DuckDB `bands` CTE body: one (vec_id, bucket) row per band, with
+    the band width `w` derived from count(*) by the same integer rule
+    as emb_lsh_band_bits. Bucket keys are globally distinct across
+    bands (band_index * 2^w + band_value)."""
+    T = EMB_LSH_TARGET_BUCKET
+    W = EMB_LSH_WORD_BITS
+    return f"""
+        SELECT s.vec_id,
+               b.i * (CAST(1 AS BIGINT) << nw.w)
+               + ((CASE WHEN b.i < ({W} // nw.w) THEN s.sig_lo ELSE s.sig_hi END
+                   >> (nw.w * (b.i % ({W} // nw.w))))
+                  & ((CAST(1 AS BIGINT) << nw.w) - 1)) AS bucket
+        FROM sigs s
+        CROSS JOIN (
+            SELECT GREATEST({EMB_LSH_MIN_BITS}, LEAST({EMB_LSH_MAX_BITS},
+                       CASE WHEN m <= 1 THEN 1
+                            ELSE CAST(length(bin(m - 1)) AS BIGINT) END)) AS w
+            FROM (SELECT GREATEST(1, (count(*) + {T - 1}) // {T}) AS m FROM e)
+        ) nw
+        CROSS JOIN LATERAL (SELECT unnest(range(0, 2 * ({W} // nw.w))) AS i) b
+    """
 
 
 def _register_dedup_embedding_lsh() -> None:
     # Function-local import keeps the module dependency one-way even if
     # similarity ever grows a dedup import.
     from data_pipeline_with_hdfs_sql_integration_spark.plans import similarity as sim
+
+    ham_max = _emb_lsh_ham_max()
 
     @query(
         "dedup_embedding_lsh",
@@ -594,14 +647,19 @@ def _register_dedup_embedding_lsh() -> None:
                             {sim._sql_lsh_sig('v', 0)} AS sig_lo,
                             {sim._sql_lsh_sig('v', 1)} AS sig_hi
                      FROM e),
-            bands AS (SELECT vec_id, unnest({_emb_lsh_bucket_exprs_sql()}) AS bucket
-                      FROM sigs),
+            bands AS ({_emb_lsh_bands_sql()}),
             cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
                      FROM bands a JOIN bands b
-                       ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+                       ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            candh AS (SELECT c.vec_a, c.vec_b
+                      FROM cand c
+                      JOIN sigs sa ON sa.vec_id = c.vec_a
+                      JOIN sigs sb ON sb.vec_id = c.vec_b
+                      WHERE bit_count(xor(sa.sig_lo, sb.sig_lo))
+                          + bit_count(xor(sa.sig_hi, sb.sig_hi)) <= {ham_max})
             SELECT c.vec_a, c.vec_b,
                    {sim._sql_cosine('ea.v', 'eb.v')} AS cosine
-            FROM cand c
+            FROM candh c
             JOIN e ea ON ea.vec_id = c.vec_a
             JOIN e eb ON eb.vec_id = c.vec_b
             WHERE {sim._sql_cosine('ea.v', 'eb.v')} >= {EMB_COSINE_THRESHOLD}
@@ -609,18 +667,30 @@ def _register_dedup_embedding_lsh() -> None:
         doc=f"Embedding near-dup at corpus scale (no vec_id bound, unlike "
         f"the exact dedup_embedding_cosine baseline): {sim.LSH_PLANES}-bit "
         f"hyperplane sign signatures (16 bytes/vector, computed once), "
-        f"{EMB_LSH_BANDS} bands of {EMB_LSH_BAND_BITS} bits, candidates from "
-        "a bucket EQUI-join (never a cross join), exact sequential-fold "
-        "cosine verify on only the candidate pairs. Work is linear in N: "
-        "signatures O(N), bucket join O(N x avg bucket), verify O(pairs); "
-        "band width is chosen ~log2(N / target bucket size) so buckets "
-        "stay constant-sized as the corpus grows. Probabilistic recall "
-        "(unlike simhash's pigeonhole-exact bands) — the oracle replicates "
-        "the identical banding, so the check is implementation parity.",
+        f"banded bucket candidates from a bucket EQUI-join (never a cross "
+        "join), exact sequential-fold cosine verify on only the candidate "
+        "pairs. Work is linear in N: signatures O(N), bucket join "
+        "O(N x avg bucket), verify O(pairs); band width is COMPUTED as "
+        f"~log2(N / {EMB_LSH_TARGET_BUCKET}) from a build-time count() "
+        "(emb_lsh_band_bits, integer-exact, mirrored in the oracle SQL) so "
+        "buckets stay constant-sized as the corpus grows. Probabilistic "
+        "recall (unlike simhash's pigeonhole-exact bands) — the oracle "
+        "replicates the identical banding, so the check is implementation "
+        "parity.",
         tags=("dedup", "embedding", "lsh"),
     )
     def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+
         apply_runtime_confs(spark)
+        # Size the banding from the corpus: one cheap count(*) over the
+        # raw scan (column-pruned to nothing — parquet answers it from
+        # row-group metadata). At 100 TB this is the index build step's
+        # only full-listing job.
+        n = load(spark, sf_dir, "embeddings").count()
+        width = emb_lsh_band_bits(n)
+        bands_per_word = EMB_LSH_WORD_BITS // width
+        n_bands = 2 * bands_per_word
         e = sim._vecs(spark, sf_dir)
         sigs = _materialize(
             e.selectExpr(
@@ -629,11 +699,11 @@ def _register_dedup_embedding_lsh() -> None:
                 f"({sim._lsh_sig_expr('v', 1)}) AS sig_hi",
             )
         )
-        mask = (1 << EMB_LSH_BAND_BITS) - 1
+        mask = (1 << width) - 1
         buckets = []
-        for i in range(EMB_LSH_BANDS):
-            word = F.col("sig_lo") if i < EMB_LSH_BANDS_PER_WORD else F.col("sig_hi")
-            shift = EMB_LSH_BAND_BITS * (i % EMB_LSH_BANDS_PER_WORD)
+        for i in range(n_bands):
+            word = F.col("sig_lo") if i < bands_per_word else F.col("sig_hi")
+            shift = width * (i % bands_per_word)
             buckets.append(
                 F.shiftright(word, shift).bitwiseAND(F.lit(mask)) + F.lit(i * (mask + 1))
             )
@@ -644,17 +714,39 @@ def _register_dedup_embedding_lsh() -> None:
             .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
             .distinct()
         )
+        # Broadcast hints are SIZE-GATED on the corpus count already in
+        # hand: signatures are 24 B/vector (broadcastable to ~5M
+        # vectors), full vectors ~520 B (broadcastable to ~100k). Past
+        # those, fall back to plain equi-joins — AQE plans the shuffle
+        # and Catalyst may still auto-broadcast off real stats.
+        b_sig = F.broadcast if n <= 5_000_000 else (lambda df: df)
+        b_vec = F.broadcast if n <= 100_000 else (lambda df: df)
+        # Hamming prefilter before the exact fold (see _emb_lsh_ham_max):
+        # two bit_counts on joined longs kill ~55% of the candidates the
+        # exact cosine would reject anyway.
+        sa = b_sig(
+            sigs.select(F.col("vec_id").alias("vec_a"), F.col("sig_lo").alias("alo"), F.col("sig_hi").alias("ahi"))
+        )
+        sb = b_sig(
+            sigs.select(F.col("vec_id").alias("vec_b"), F.col("sig_lo").alias("blo"), F.col("sig_hi").alias("bhi"))
+        )
+        ham = (
+            F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+            + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+        )
+        cand = cand.join(sa, "vec_a").join(sb, "vec_b").filter(ham <= ham_max).select("vec_a", "vec_b")
         # Norms once per VECTOR (N rows), not once per candidate pair:
         # sqrt(dot(v,v)) on the same doubles is bit-identical wherever
         # it is computed, so the oracle's per-pair form still matches —
         # this just removes two of the three interpreted 64-dim folds
-        # from the (much larger) pair-verify stage.
+        # from the (much larger) pair-verify stage. Vector-attach joins
+        # broadcast: the per-vector table is dwarfed by the pair set.
         en = e.select("vec_id", "v", F.sqrt(tf.dot(F.col("v"), F.col("v"))).alias("nrm"))
-        ea = en.select(
-            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        ea = b_vec(
+            en.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
         )
-        eb = en.select(
-            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        eb = b_vec(
+            en.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
         )
         return (
             cand.join(ea, "vec_a")

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_pipeline_with_hdfs_sql_integration_spark.catalog import load_parallel
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load, load_parallel
 from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as tf
 from data_pipeline_with_hdfs_sql_integration_spark.registry import query
 from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
@@ -74,6 +74,28 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+
+
+def _vecs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scan-native partitioning (no repartition exchange): for
+    # NumPy-vectorized pandas_udf paths the per-row cost is tiny, so
+    # fragmenting the input into parallelism-many Arrow batches costs
+    # more (exchange + per-batch worker round-trips) than it buys; at
+    # scale the scan itself already yields thousands of splits.
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """Persist a small derived table referenced more than once (e.g. a
+    signature index feeding both the query-side lookup and the
+    candidate scan) — signatures are 16 bytes/vector, tiny next to the
+    raw vectors at any scale, and without this every reference re-runs
+    the interpreter-bound signature fold over the whole corpus."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 _SQL_VECS = "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
@@ -208,10 +230,15 @@ def _lsh_sig_expr(vcol: str, word: int) -> str:
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     e = _vecs(spark, sf_dir)
-    sigs = e.selectExpr(
-        "vec_id", "v",
-        f"({_lsh_sig_expr('v', 0)}) AS sig_lo",
-        f"({_lsh_sig_expr('v', 1)}) AS sig_hi",
+    # Persisted: referenced twice (query-vector lookup + candidate
+    # scan); recomputing means two full interpreter-bound signature
+    # folds over the corpus instead of one.
+    sigs = _persist(
+        e.selectExpr(
+            "vec_id", "v",
+            f"({_lsh_sig_expr('v', 0)}) AS sig_lo",
+            f"({_lsh_sig_expr('v', 1)}) AS sig_hi",
+        )
     )
     q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("sig_lo").alias("qlo"), F.col("sig_hi").alias("qhi")
@@ -580,7 +607,7 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             nq += q[d] * q[d]
         return pd.Series(dot / (np.sqrt(nv) * np.sqrt(nq)))
 
-    e = _vecs(spark, sf_dir)
+    e = _vecs_scan(spark, sf_dir)
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
