@@ -1,0 +1,115 @@
+"""End-to-end tests for the JSON/HTTP service skin (service.py) —
+the transport analog of reference server.py:149-160 + client.py:9-35,
+driven verb-by-verb over a real socket."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import urllib.error
+import urllib.request
+
+import pytest
+
+from data_pipeline_with_hdfs_sql_integration_spark.api import Pipeline
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.service import (
+    LenderHttpClient,
+    LenderHttpService,
+    serve_grpc,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def service(spark):
+    root = tempfile.mkdtemp(prefix="dps_svc_")
+    pipe = Pipeline(
+        spark=spark,
+        main_path=os.path.join(root, "main.parquet"),
+        cache_root=os.path.join(root, "partitions"),
+        key_col="c_nationkey",
+        value_col="o_totalprice",
+    )
+    orders = load(spark, SF_DIR, "orders")
+    cust = load(spark, SF_DIR, "customer").select("c_custkey", "c_nationkey")
+    svc = LenderHttpService(
+        pipe,
+        db_to_store_fn=lambda: pipe.db_to_store(
+            orders,
+            band_col="o_totalprice",
+            band=(1000.0, 400000.0),
+            dim=cust,
+            join_on=orders.o_custkey == cust.c_custkey,
+            attempts=1,
+            sleep_s=0.0,
+        ),
+    )
+    port = svc.start()
+    try:
+        yield svc, LenderHttpClient(port)
+    finally:
+        svc.stop()
+
+
+def test_three_verbs_over_http(service, spark):
+    svc, client = service
+
+    # DbToHdfs first: it materializes the main dataset the other verbs read.
+    status = client.db_to_hdfs()["status"]
+    assert status.startswith("Imported ") and "rows" in status
+
+    # CalcAvgLoan: create → reuse state machine, proto field names.
+    first = client.calc_avg_loan(5)
+    assert first["error"] == "" and first["source"] == "create" and first["avg_loan"] > 0
+    second = client.calc_avg_loan(5)
+    assert second["source"] == "reuse" and second["avg_loan"] == first["avg_loan"]
+
+    # Value parity with a direct grouped aggregate (server.py:109 truncation).
+    from pyspark.sql import functions as F
+
+    expected = (
+        spark.read.parquet(svc.pipeline.main_path)
+        .filter(F.col("c_nationkey") == 5)
+        .agg(F.avg("o_totalprice"))
+        .collect()[0][0]
+    )
+    assert first["avg_loan"] == int(expected)
+
+    # BlockLocations: host → block-count map over the main dataset.
+    blocks = client.block_locations()
+    assert blocks["error"] == "" and sum(blocks["block_entries"].values()) >= 1
+
+
+def test_calc_avg_loan_missing_key_is_in_band_error(service):
+    _, client = service
+    client.db_to_hdfs()
+    resp = client.calc_avg_loan(9999)
+    assert resp["avg_loan"] == 0 and resp["source"] == "" and resp["error"]
+
+
+def test_block_locations_bad_path_is_in_band_error(service):
+    _, client = service
+    resp = client.block_locations("/definitely/not/a/file.parquet")
+    assert resp["block_entries"] == {} and resp["error"]
+
+
+def test_unknown_verb_is_404(service):
+    svc, client = service
+    req = urllib.request.Request(f"{client.base}/NoSuchRpc", data=b"{}", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req, timeout=10)
+    assert err.value.code == 404
+
+
+def test_grpc_skin_gated_without_grpcio(service):
+    svc, _ = service
+    try:
+        import grpc  # noqa: F401
+
+        pytest.skip("grpcio installed; gate only applies without it")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        serve_grpc(svc.pipeline)
