@@ -39,6 +39,45 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """A byte-size conf ('134217728', '134217728b', '128MB', ...) as int."""
+    import re
+
+    try:
+        raw = spark.conf.get(key)
+    except Exception:
+        return default
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?b?)\s*", str(raw), re.IGNORECASE)
+    if not m:
+        return default
+    mult = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    return int(m.group(1)) * mult[m.group(2).lower().rstrip("b")]
+
+
+def _estimated_scan_splits(spark: SparkSession, path: str) -> int:
+    """Driver-side estimate of the scan's partition count from the file
+    listing alone — no plan-to-RDD conversion, no job. Mirrors Spark's
+    FilePartition bin-packing: files are chunked at maxPartitionBytes
+    and packed with an openCostInBytes surcharge per file."""
+    max_bytes = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    total = 0
+    n_files = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                total += os.path.getsize(os.path.join(root, f))
+                n_files += 1
+    elif os.path.exists(path):
+        total = os.path.getsize(path)
+        n_files = 1
+    else:  # non-local path (hdfs://, s3://...) — let Spark answer
+        return -1
+    return max(1, -(-(total + n_files * open_cost) // max_bytes))
+
+
 def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan with enough splits to keep every core busy.
 
@@ -48,12 +87,15 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     `repartition` always materializes a full exchange, and at 100 TB
     the scan already yields thousands of splits, so an unconditional
     repartition would shuffle the whole input for nothing. The split
-    count comes from the driver-side file listing (no job), so the
-    check itself is free.
+    count comes from the driver-side file listing (no job, no
+    plan-to-RDD hop); only non-local paths fall back to asking Spark.
     """
     df = load(spark, sf_dir, name)
     parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    splits = _estimated_scan_splits(spark, table_path(sf_dir, name))
+    if splits < 0:
+        splits = df.rdd.getNumPartitions()
+    if splits < parallelism:
         df = df.repartition(parallelism)
     return df
 
