@@ -556,6 +556,113 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark2.table(name)
 
 
+# --------------------------------------------------- repeated substring spans
+# The substring-level complement of the document-level dedup family
+# (the "Deduplicating Training Data Makes Language Models Better"
+# motif): a span repeated VERBATIM across documents is memorization
+# fuel even when the documents as wholes are not near-duplicates.
+SPAN_NGRAM = 8  # tokens per span
+SPAN_TOPK = 100  # deterministic report size
+SPAN_LOC_PACK = 1 << 20  # packed location = doc_id * PACK + pos
+
+
+def _span_gram_sql() -> str:
+    """Rolling polynomial hash of th[i..i+SPAN_NGRAM-1] (DuckDB, 1-based)."""
+    acc = "th[i]"
+    for j in range(1, SPAN_NGRAM):
+        acc = f"({acc} * {tf.BASE} + th[i+{j}]) % {tf.MOD}"
+    return acc
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_transform({tf.sql_tokens('text')},
+                                  s -> {tf.sql_poly_hash_str('s')}) AS th
+            FROM documents
+        ),
+        grams AS (
+            SELECT b.doc_id, u.i - 1 AS pos, {_span_gram_sql()} AS gh
+            FROM (SELECT * FROM base WHERE len(th) >= {SPAN_NGRAM}) b
+            CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(1, len(b.th) - {SPAN_NGRAM - 1})) AS i
+            ) u
+        ),
+        rep AS (
+            SELECT gh,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   min(doc_id * {SPAN_LOC_PACK} + pos) AS first_loc
+            FROM grams
+            GROUP BY gh
+            HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT gh, n_docs, n_occurrences,
+               first_loc // {SPAN_LOC_PACK} AS first_doc,
+               first_loc % {SPAN_LOC_PACK} AS first_pos
+        FROM rep
+        ORDER BY n_occurrences DESC, gh ASC
+        LIMIT {SPAN_TOPK}
+    """,
+    doc=f"Cross-document repeated substring spans: every {SPAN_NGRAM}-token "
+    "window is rolling-hashed WITH its position, and spans whose hash "
+    "occurs in >= 2 distinct documents are reported (count, occurrence "
+    "count, deterministic first location) — the substring-level dedup "
+    "signal document-level near-dup misses. One shuffle total: the "
+    "grouped count over gram hashes, with map-side partial aggregation "
+    "so a boilerplate span appearing in millions of documents is a "
+    "combiner cell per task, never a hot-reducer pair explosion (this "
+    "is why the operator AGGREGATES occurrences instead of joining "
+    "them). Token hashes persist before the gram fold (same "
+    "CollapseProject barrier as contamination_ngram); the top-"
+    f"{SPAN_TOPK} report is a TakeOrderedAndProject with a total "
+    "tie-break, not a global sort.",
+    tags=("dedup", "text", "training"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = _docs_parallel(spark, sf_dir)
+    th = F.transform(tf.tokens(F.col("text")), lambda s: tf.poly_hash_str(s))
+    base = _materialize(
+        docs.select("doc_id", th.alias("th")).filter(F.size("th") >= SPAN_NGRAM)
+    )
+
+    def _gram(i):
+        acc = F.get(F.col("th"), i)
+        for j in range(1, SPAN_NGRAM):
+            acc = (acc * tf.BASE + F.get(F.col("th"), i + j)) % tf.MOD
+        return acc
+
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.size("th") - SPAN_NGRAM), _gram)
+        ).alias("pos", "gh"),
+    )
+    rep = (
+        grams.groupBy("gh")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.col("doc_id") * SPAN_LOC_PACK + F.col("pos")).alias("first_loc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        rep.select(
+            "gh",
+            "n_docs",
+            "n_occurrences",
+            F.expr(f"first_loc div {SPAN_LOC_PACK}").alias("first_doc"),
+            (F.col("first_loc") % SPAN_LOC_PACK).alias("first_pos"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("gh").asc())
+        .limit(SPAN_TOPK)
+    )
+
+
 # ----------------------------------------------- embedding LSH (scale path)
 # Banded random-hyperplane LSH over the WHOLE embeddings table — the
 # unbounded counterpart of dedup_embedding_cosine (which is an exact
