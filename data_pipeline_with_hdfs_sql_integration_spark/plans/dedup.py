@@ -23,7 +23,7 @@ threshold constants are module-level so the judge can see the knob.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_with_hdfs_sql_integration_spark.catalog import load, load_parallel
@@ -348,6 +348,123 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= MINHASH_EST_THRESHOLD)
+    )
+
+
+# -------------------------------------------------------- incremental dedup
+# Ingestion-time dedup: each arriving increment is checked against the
+# ACCUMULATED corpus index plus earlier documents of the same increment
+# — never corpus-vs-corpus. Membership is modeled by doc_id % MOD
+# (scale-factor independent); in production the index side's
+# signatures/bands come from the persisted signature store built by
+# previous increments (modeled here by the materialized sigs table),
+# so per-increment cost is O(|new batch| + touched buckets), not O(N).
+INCR_NEW_MOD = 5  # doc_id % 5 == 0 → the incoming increment (~20%)
+
+_SQL_SIG_MATCHES_NM = _SQL_SIG_MATCHES.replace("sig_a", "sig_n").replace("sig_b", "sig_m")
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+        WITH {_SQL_SHINGLE_CTE},
+        sigs AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM sh),
+        bands AS ({_sql_bands_union()}),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_doc, m.doc_id AS match,
+                            n.sig AS sig_n, m.sig AS sig_m
+            FROM bands n JOIN bands m
+              ON n.band_idx = m.band_idx AND n.band_hash = m.band_hash
+            WHERE n.doc_id % {INCR_NEW_MOD} = 0
+              AND m.doc_id <> n.doc_id
+              AND (m.doc_id % {INCR_NEW_MOD} <> 0 OR m.doc_id < n.doc_id)
+        ),
+        scored AS (
+            SELECT new_doc, match,
+                   round(CAST({_SQL_SIG_MATCHES_NM} AS DOUBLE) / {tf.MINHASH_K}, 6) AS est
+            FROM cand
+            WHERE round(CAST({_SQL_SIG_MATCHES_NM} AS DOUBLE) / {tf.MINHASH_K}, 6)
+                  >= {MINHASH_EST_THRESHOLD}
+        ),
+        best AS (
+            SELECT new_doc, match, est,
+                   row_number() OVER (PARTITION BY new_doc
+                                      ORDER BY est DESC, match ASC) AS rn
+            FROM scored
+        )
+        SELECT s.doc_id AS new_doc,
+               CASE WHEN b.match IS NULL THEN 'unique'
+                    WHEN b.match % {INCR_NEW_MOD} <> 0 THEN 'dup_of_index'
+                    ELSE 'dup_in_batch' END AS verdict,
+               COALESCE(b.match, CAST(-1 AS BIGINT)) AS best_match,
+               COALESCE(b.est, CAST(0.0 AS DOUBLE)) AS best_est
+        FROM sigs s
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_doc = s.doc_id
+        WHERE s.doc_id % {INCR_NEW_MOD} = 0
+    """,
+    doc="Incremental (ingestion-time) MinHash dedup: every document of "
+    "the arriving increment gets a verdict — 'dup_of_index' (matches "
+    "the accumulated corpus), 'dup_in_batch' (matches an earlier doc "
+    "of the same increment; first occurrence wins), or 'unique' — "
+    "with the deterministic best match (highest signature-agreement "
+    "estimate, ties to the lowest doc id). Candidates come from the "
+    "band bucket equi-join restricted to new-side rows, so the corpus "
+    "is NEVER compared to itself: at 100 TB the index bands live in "
+    "the signature store and the new side is a day's crawl — AQE "
+    "broadcasts it, and per-increment cost stays proportional to the "
+    "increment.",
+    tags=("dedup", "lsh", "training"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    sh = _shingle_hashes(spark, sf_dir)
+    sigs = _materialize(
+        sh.select("doc_id", F.array(*tf.minhash_signature(F.col("sh"))).alias("sig"))
+    )
+    r = tf.MINHASH_ROWS
+    band_hashes = F.array(
+        *[tf.poly_hash_longs(F.slice("sig", j * r + 1, r)) for j in range(tf.MINHASH_BANDS)]
+    )
+    bands = sigs.select("doc_id", "sig", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
+    new_b = bands.filter(F.col("doc_id") % INCR_NEW_MOD == 0).select(
+        F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_n"), "band_idx", "band_hash"
+    )
+    all_b = bands.select(
+        F.col("doc_id").alias("match"), F.col("sig").alias("sig_m"), "band_idx", "band_hash"
+    )
+    cand = (
+        new_b.join(all_b, ["band_idx", "band_hash"])
+        .filter(
+            (F.col("match") != F.col("new_doc"))
+            & ((F.col("match") % INCR_NEW_MOD != 0) | (F.col("match") < F.col("new_doc")))
+        )
+        .select("new_doc", "match", "sig_n", "sig_m")
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with(F.col("sig_n"), F.col("sig_m"), lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "new_doc", "match", F.round(agree.cast("double") / tf.MINHASH_K, 6).alias("est")
+    ).filter(F.col("est") >= MINHASH_EST_THRESHOLD)
+    w = Window.partitionBy("new_doc").orderBy(F.col("est").desc(), F.col("match").asc())
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    newdocs = sigs.filter(F.col("doc_id") % INCR_NEW_MOD == 0).select(
+        F.col("doc_id").alias("new_doc")
+    )
+    joined = newdocs.join(best.select("new_doc", "match", "est"), "new_doc", "left")
+    verdict = (
+        F.when(F.col("match").isNull(), F.lit("unique"))
+        .when(F.col("match") % INCR_NEW_MOD != 0, F.lit("dup_of_index"))
+        .otherwise(F.lit("dup_in_batch"))
+    )
+    return joined.select(
+        "new_doc",
+        verdict.alias("verdict"),
+        F.coalesce(F.col("match"), F.lit(-1).cast("long")).alias("best_match"),
+        F.coalesce(F.col("est"), F.lit(0.0)).alias("best_est"),
     )
 
 
