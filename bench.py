@@ -63,6 +63,9 @@ HEADLINE = [
     "twa_user_value",
     "udaf_weighted_median",
     "dedup_embedding_lsh",
+    "dedup_substring_spans",
+    "dedup_incremental_minhash",
+    "sim_ann_lsh_batch",
     "mix_weighted_budget",
     "layout_bucketed_join",
     "layout_dynamic_partition_pruning",

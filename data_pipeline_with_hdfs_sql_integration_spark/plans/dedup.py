@@ -987,3 +987,123 @@ def _register_dedup_embedding_lsh() -> None:
 
 
 _register_dedup_embedding_lsh()
+
+
+# -------------------------------------------------------- batch ANN (bucketed)
+# Lives here (not similarity.py) because it shares the scale-aware
+# banding infrastructure above; single-query ANN tiers are in
+# plans/similarity.py. vec_id % BATCH_QUERY_MOD picks a ~1% query set
+# at any scale factor.
+BATCH_QUERY_MOD = 97
+
+
+def _register_sim_ann_lsh_batch() -> None:
+    from data_pipeline_with_hdfs_sql_integration_spark.plans import similarity as sim
+
+    @query(
+        "sim_ann_lsh_batch",
+        oracle=f"""
+            WITH e AS ({sim._SQL_VECS}),
+            sigs AS (SELECT vec_id,
+                            {sim._sql_lsh_sig('v', 0)} AS sig_lo,
+                            {sim._sql_lsh_sig('v', 1)} AS sig_hi
+                     FROM e),
+            bands AS ({_emb_lsh_bands_sql()}),
+            cand AS (SELECT DISTINCT q.vec_id AS query_id, x.vec_id AS vec_id
+                     FROM bands q JOIN bands x ON q.bucket = x.bucket
+                     WHERE q.vec_id % {BATCH_QUERY_MOD} = 0
+                       AND x.vec_id <> q.vec_id),
+            scored AS (
+                SELECT c.query_id, c.vec_id,
+                       {sim._sql_cosine('eq.v', 'ex.v')} AS cosine
+                FROM cand c
+                JOIN e eq ON eq.vec_id = c.query_id
+                JOIN e ex ON ex.vec_id = c.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= {sim.IVF_TOPK}
+        """,
+        doc="BATCH ANN: top-10 neighbors for a whole query set (vec_id % "
+        f"{BATCH_QUERY_MOD} == 0, ~1% of the corpus) in ONE pass — the "
+        "realistic shape when deduplicating or linking a batch rather "
+        "than answering one lookup. Single-query ANN (sim_ann_lsh) "
+        "ranks the whole corpus by hamming per query, which is O(Q x N) "
+        "when batched; here candidates come from the scale-aware banded "
+        "bucket EQUI-join (shared with dedup_embedding_lsh), so cost is "
+        "O(corpus bands + query-side bucket collisions) — independent "
+        "of Q x N. Exact cosine rerank on candidates only; per-query "
+        "top-10 via one window pass. Probabilistic recall, oracle "
+        "replicates the identical banding.",
+        tags=("similarity", "lsh", "batch"),
+    )
+    def sim_ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+
+        apply_runtime_confs(spark)
+        n = load(spark, sf_dir, "embeddings").count()
+        width = emb_lsh_band_bits(n)
+        bands_per_word = EMB_LSH_WORD_BITS // width
+        n_bands = 2 * bands_per_word
+        e = sim._vecs(spark, sf_dir)
+        sigs = _materialize(
+            e.selectExpr(
+                "vec_id",
+                f"({sim._lsh_sig_expr('v', 0)}) AS sig_lo",
+                f"({sim._lsh_sig_expr('v', 1)}) AS sig_hi",
+            )
+        )
+        mask = (1 << width) - 1
+        buckets = []
+        for i in range(n_bands):
+            word = F.col("sig_lo") if i < bands_per_word else F.col("sig_hi")
+            shift = width * (i % bands_per_word)
+            buckets.append(
+                F.shiftright(word, shift).bitwiseAND(F.lit(mask)) + F.lit(i * (mask + 1))
+            )
+        bands = sigs.select("vec_id", F.explode(F.array(*buckets)).alias("bucket"))
+        qb = bands.filter(F.col("vec_id") % BATCH_QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), "bucket"
+        )
+        cand = (
+            qb.join(bands, "bucket")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+            .distinct()
+        )
+        # Vector-attach joins: broadcast only below the size gate (the
+        # corpus is never assumed broadcastable — same rule as the
+        # near-dup verify above).
+        b_vec = F.broadcast if n <= 100_000 else (lambda df: df)
+        en = e.select("vec_id", "v", F.sqrt(tf.dot(F.col("v"), F.col("v"))).alias("nrm"))
+        eq = b_vec(
+            en.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+        )
+        ex = b_vec(
+            en.select("vec_id", F.col("v").alias("xv"), F.col("nrm").alias("xn"))
+        )
+        scored = (
+            cand.join(eq, "query_id")
+            .join(ex, "vec_id")
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(tf.dot(F.col("qv"), F.col("xv")) / (F.col("qn") * F.col("xn")), 6).alias(
+                    "cosine"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= sim.IVF_TOPK)
+            .select("query_id", "vec_id", "cosine", "rank")
+        )
+
+
+_register_sim_ann_lsh_batch()
