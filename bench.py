@@ -103,12 +103,20 @@ def main() -> None:
         timings[name] = _time(run)
 
     # Partition-cache create vs reuse (reference benchmark shape:
-    # performance_analyzer.py:36-67, 5 keys, cold then warm).
+    # performance_analyzer.py:36-67, 5 keys, cold then warm). The
+    # create→reuse RATIO is the designated reproducible metric
+    # (BASELINE.md), and a one-shot measurement of sub-second runs is
+    # GC-noise-vulnerable — so take the min of repeated passes:
+    # reuse is idempotent, and create repeats via invalidate().
     from data_pipeline_with_hdfs_sql_integration_spark.plans.cache_queries import CACHE_KEYS, build_cache
 
     cache = build_cache(spark, SF_DIR, tempfile.mkdtemp(prefix="dps_bench_cache_"))
-    t_create = _time(lambda: [cache.calc_avg(k) for k in CACHE_KEYS])
-    t_reuse = _time(lambda: [cache.calc_avg(k) for k in CACHE_KEYS])
+    creates = []
+    for _ in range(2):
+        cache.invalidate()
+        creates.append(_time(lambda: [cache.calc_avg(k) for k in CACHE_KEYS]))
+    t_create = min(creates)
+    t_reuse = min(_time(lambda: [cache.calc_avg(k) for k in CACHE_KEYS]) for _ in range(3))
     timings["cache_create"] = t_create
     timings["cache_reuse"] = t_reuse
 
