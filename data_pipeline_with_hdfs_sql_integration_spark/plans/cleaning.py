@@ -98,6 +98,21 @@ def _synth_line() -> F.Column:
     )
 
 
+def _mask_stage(pattern: str, mask: str) -> tuple[F.Column, F.Column]:
+    """(match_count, masked_line) from ONE regex pass over `line`.
+
+    split on the pattern yields the non-match segments: count = parts-1
+    and re-joining with the mask literal reproduces regexp_replace
+    exactly (same non-overlapping leftmost-match semantics, and none of
+    the patterns can match empty). The former regexp_count +
+    regexp_replace pair ran the same regex twice per stage — this
+    halves the regex work of the whole chain, and codegen's
+    subexpression elimination evaluates the split once per row.
+    """
+    parts = F.split(F.col("line"), pattern, -1)
+    return (F.size(parts) - 1).cast("long"), F.array_join(parts, mask)
+
+
 def _scrub_chain(ev: DataFrame) -> DataFrame:
     """events-shaped frame -> (event_type, n_email, n_ip, n_num, line).
 
@@ -105,20 +120,13 @@ def _scrub_chain(ev: DataFrame) -> DataFrame:
     the same operator by construction, not by parallel maintenance.
     """
     s0 = ev.select("event_type", _synth_line().alias("line"))
-    s1 = s0.select(
-        "event_type",
-        F.regexp_count("line", F.lit(RE_EMAIL)).cast("long").alias("n_email"),
-        F.regexp_replace("line", RE_EMAIL, "<EMAIL>").alias("line"),
-    )
-    s2 = s1.select(
-        "event_type", "n_email",
-        F.regexp_count("line", F.lit(RE_IPV4)).cast("long").alias("n_ip"),
-        F.regexp_replace("line", RE_IPV4, "<IP>").alias("line"),
-    )
+    n_email, l1 = _mask_stage(RE_EMAIL, "<EMAIL>")
+    s1 = s0.select("event_type", n_email.alias("n_email"), l1.alias("line"))
+    n_ip, l2 = _mask_stage(RE_IPV4, "<IP>")
+    s2 = s1.select("event_type", "n_email", n_ip.alias("n_ip"), l2.alias("line"))
+    n_num, l3 = _mask_stage(RE_DIGITS, "<NUM>")
     return s2.select(
-        "event_type", "n_email", "n_ip",
-        F.regexp_count("line", F.lit(RE_DIGITS)).cast("long").alias("n_num"),
-        F.regexp_replace("line", RE_DIGITS, "<NUM>").alias("line"),
+        "event_type", "n_email", "n_ip", n_num.alias("n_num"), l3.alias("line")
     )
 
 
