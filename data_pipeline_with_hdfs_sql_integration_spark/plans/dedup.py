@@ -916,13 +916,9 @@ def _register_dedup_embedding_lsh() -> None:
         bands_per_word = EMB_LSH_WORD_BITS // width
         n_bands = 2 * bands_per_word
         e = sim._vecs(spark, sf_dir)
-        sigs = _materialize(
-            e.selectExpr(
-                "vec_id",
-                f"({sim._lsh_sig_expr('v', 0)}) AS sig_lo",
-                f"({sim._lsh_sig_expr('v', 1)}) AS sig_hi",
-            )
-        )
+        # Signatures come from the build-once parquet index, not a
+        # per-query fold over raw vectors (sim.lsh_signature_store).
+        sigs = sim.lsh_signature_store(spark, sf_dir)
         mask = (1 << width) - 1
         buckets = []
         for i in range(n_bands):
@@ -1051,13 +1047,9 @@ def _register_sim_ann_lsh_batch() -> None:
         bands_per_word = EMB_LSH_WORD_BITS // width
         n_bands = 2 * bands_per_word
         e = sim._vecs(spark, sf_dir)
-        sigs = _materialize(
-            e.selectExpr(
-                "vec_id",
-                f"({sim._lsh_sig_expr('v', 0)}) AS sig_lo",
-                f"({sim._lsh_sig_expr('v', 1)}) AS sig_hi",
-            )
-        )
+        # Signatures come from the build-once parquet index, not a
+        # per-query fold over raw vectors (sim.lsh_signature_store).
+        sigs = sim.lsh_signature_store(spark, sf_dir)
         mask = (1 << width) - 1
         buckets = []
         for i in range(n_bands):

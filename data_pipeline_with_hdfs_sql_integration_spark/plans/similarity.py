@@ -98,6 +98,35 @@ def _persist(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def lsh_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sig_lo, sig_hi) — the 124-bit signature INDEX, built
+    once per corpus version and read back as parquet thereafter.
+
+    This is the 'signature store' every banded-LSH consumer
+    (dedup_embedding_lsh, sim_ann_lsh_batch, incremental dedup) assumes
+    at 100 TB: signatures are computed in the index-build job, not per
+    query — per-query cost is a 16 B/vector scan, never the
+    interpreter-bound hyperplane fold over raw vectors. Keyed to the
+    fixture's identity+version (catalog.deterministic_tmp_dir), so a
+    regenerated corpus can never serve stale signatures.
+    """
+    import os
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        table_path,
+    )
+
+    store = deterministic_tmp_dir("lshsigs", table_path(sf_dir, "embeddings"))
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        _vecs(spark, sf_dir).selectExpr(
+            "vec_id",
+            f"({_lsh_sig_expr('v', 0)}) AS sig_lo",
+            f"({_lsh_sig_expr('v', 1)}) AS sig_hi",
+        ).write.mode("overwrite").parquet(store)
+    return spark.read.parquet(store)
+
+
 _SQL_VECS = "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
 
 
