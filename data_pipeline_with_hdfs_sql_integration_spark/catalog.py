@@ -140,6 +140,31 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def publish_store(store: str, write_fn) -> None:
+    """Materialize a derived parquet store exactly once, atomically.
+
+    Builds into a process-unique staging dir, then renames it into
+    place — rename is atomic on a POSIX filesystem, so a concurrent
+    builder (another test session, the driver) either wins the rename
+    or finds the published store and discards its own staging copy.
+    A plain write.mode('overwrite') straight to the store path would
+    let two builders interleave files. No-op if already published.
+    """
+    import shutil
+
+    if os.path.exists(os.path.join(store, "_SUCCESS")):
+        return
+    if os.path.exists(store):  # crashed/partial build from an old scheme
+        shutil.rmtree(store, ignore_errors=True)
+    staging = f"{store}.staging.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_fn(staging)
+    try:
+        os.rename(staging, store)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # raced: other builder won
+
+
 def deterministic_tmp_dir(kind: str, source_path: str) -> str:
     """Stable scratch dir for artifacts derived from `source_path`,
     keyed on the source's identity AND content version (mtime+size),

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
     deterministic_tmp_dir,
     load,
+    publish_store,
     table_path,
 )
 from data_pipeline_with_hdfs_sql_integration_spark.operators.partition_cache import PartitionCache
@@ -45,10 +46,14 @@ def build_cache(spark: SparkSession, sf_dir: str, cache_root: str | None = None)
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     main_path = deterministic_tmp_dir("cachemain", table_path(sf_dir, "orders"))
-    if not os.path.exists(os.path.join(main_path, "_SUCCESS")):
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner").write.mode(
-            "overwrite"
-        ).parquet(main_path)
+    publish_store(
+        main_path,
+        lambda staging: orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+        )
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
     root = cache_root or tempfile.mkdtemp(prefix="dps_cache_")
     return PartitionCache(spark, spark.read.parquet(main_path), KEY_COL, VALUE_COL, root)
 

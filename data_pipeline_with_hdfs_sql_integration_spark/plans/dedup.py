@@ -92,18 +92,20 @@ def minhash_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer (pair generation, clustering, leakage audits, incremental
     dedup) scans 192 B/doc instead of re-tokenizing raw text. Keyed to
     the fixture's identity+version so regenerated corpora rebuild."""
-    import os
-
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
         deterministic_tmp_dir,
+        publish_store,
         table_path,
     )
 
     store = deterministic_tmp_dir("minhashsigs", table_path(sf_dir, "documents"))
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
-        _shingle_hashes(spark, sf_dir).select(
-            "doc_id", F.array(*tf.minhash_signature(F.col("sh"))).alias("sig")
-        ).write.mode("overwrite").parquet(store)
+    publish_store(
+        store,
+        lambda staging: _shingle_hashes(spark, sf_dir)
+        .select("doc_id", F.array(*tf.minhash_signature(F.col("sh"))).alias("sig"))
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
     return spark.read.parquet(store)
 
 

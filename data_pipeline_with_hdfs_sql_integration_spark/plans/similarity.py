@@ -110,20 +110,24 @@ def lsh_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's identity+version (catalog.deterministic_tmp_dir), so a
     regenerated corpus can never serve stale signatures.
     """
-    import os
-
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
         deterministic_tmp_dir,
+        publish_store,
         table_path,
     )
 
     store = deterministic_tmp_dir("lshsigs", table_path(sf_dir, "embeddings"))
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
-        _vecs(spark, sf_dir).selectExpr(
+    publish_store(
+        store,
+        lambda staging: _vecs(spark, sf_dir)
+        .selectExpr(
             "vec_id",
             f"({_lsh_sig_expr('v', 0)}) AS sig_lo",
             f"({_lsh_sig_expr('v', 1)}) AS sig_hi",
-        ).write.mode("overwrite").parquet(store)
+        )
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
     return spark.read.parquet(store)
 
 
