@@ -134,3 +134,41 @@ def test_estimated_splits_scales_with_bytes(spark, tmp_path):
 
 def test_estimated_splits_nonlocal_sentinel(spark):
     assert _estimated_scan_splits(spark, "hdfs://nowhere/x.parquet") == -1
+
+
+# --------------------------------------------------- publish_store
+def test_publish_store_builds_once_and_survives_races(tmp_path):
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import publish_store
+
+    store = str(tmp_path / "store")
+    calls = []
+
+    def build(staging):
+        calls.append(staging)
+        os.makedirs(staging)
+        open(os.path.join(staging, "part-0"), "w").write("data")
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    publish_store(store, build)
+    assert os.path.exists(os.path.join(store, "_SUCCESS")) and len(calls) == 1
+    # Second call: already published — builder not invoked.
+    publish_store(store, build)
+    assert len(calls) == 1
+    # Losing a race: store appears between build and rename — the
+    # staging copy is discarded, the published store is untouched.
+    marker = os.path.join(store, "part-0")
+    before = open(marker).read()
+
+    def racing_build(staging):
+        calls.append(staging)
+        os.makedirs(staging)
+        open(os.path.join(staging, "part-0"), "w").write("other")
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    # Simulate a partial (crashed) store: no _SUCCESS → rebuilt.
+    os.remove(os.path.join(store, "_SUCCESS"))
+    publish_store(store, racing_build)
+    assert os.path.exists(os.path.join(store, "_SUCCESS"))
+    assert open(marker).read() == "other"  # partial store was replaced
+    assert not any(p.name.startswith("store.staging") for p in tmp_path.iterdir())
+    assert before == "data"
