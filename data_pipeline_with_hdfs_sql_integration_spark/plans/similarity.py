@@ -740,6 +740,97 @@ def _sql_pq_ctes() -> str:
     """
 
 
+def _pq_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """PQ index build job → (codebook, codes) DataFrames.
+
+    Codebook = per-subspace seeded-init + one fixed-point Lloyd round
+    (bit-replicable across engines); codes = each vector's nearest
+    codebook entry per subspace.
+    """
+    e = _vecs(spark, sf_dir)
+    subs = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sub"),
+    )
+    # Seed codebooks from the PQ_CODES Knuth-hash-smallest vectors —
+    # constant-size driver materialization (codebooks are the PQ analog
+    # of k-means centers; 4x8x16 doubles at ANY corpus scale).
+    seed_rows = (
+        e.orderBy(
+            ((F.col("vec_id").cast("long") * _SEED_MULT) % _SEED_MOD).asc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(PQ_CODES)
+        .collect()
+    )
+    cent_rows = [
+        (m, code, list(r["v"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]))
+        for code, r in enumerate(seed_rows)
+        for m in range(PQ_M)
+    ]
+    cent = spark.createDataFrame(cent_rows, "m int, code int, c array<double>")
+
+    def _assign(cent_df: DataFrame) -> DataFrame:
+        d = _l2(F.col("sub"), F.col("c"))
+        return (
+            subs.join(F.broadcast(cent_df), "m")
+            .select("vec_id", "m", "sub", "code", d.alias("d"))
+            .groupBy("vec_id", "m")
+            .agg(
+                F.first("sub").alias("sub"),
+                F.min_by("code", F.struct(F.col("d"), F.col("code"))).alias("code"),
+            )
+        )
+
+    # One Lloyd round: fixed-point BIGINT means per (subspace, code).
+    a0 = _assign(cent)
+    sums = [
+        F.expr(f"sum(cast(floor(element_at(sub, {d + 1}) * {_FP} + 0.5) as bigint))").alias(f"s{d}")
+        for d in range(PQ_SUBDIM)
+    ]
+    comps = [F.expr(f"cast(s{d} as double) / (cast(n as double) * {_FP})") for d in range(PQ_SUBDIM)]
+    agg0 = a0.groupBy("m", "code").agg(F.count(F.lit(1)).alias("n"), *sums)
+    cent1 = spark.createDataFrame(
+        agg0.select("m", "code", F.array(*comps).alias("c")).collect(),
+        "m int, code int, c array<double>",
+    )
+    enc = _assign(cent1).select("vec_id", "m", "code")
+    return cent1, enc
+
+
+def pq_index_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(codebook, codes) read from the build-once parquet PQ index.
+
+    The codes table IS the index at scale (2 bytes/vector); the query
+    job scans it with a broadcast LUT and never touches raw vectors
+    until the exact rerank. Keyed to the fixture's identity+version.
+    Parquet round-trips the codebook doubles exactly, so query results
+    are bit-identical to an in-session build.
+    """
+    import os
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        publish_store,
+        table_path,
+    )
+
+    store = deterministic_tmp_dir("pqindex", table_path(sf_dir, "embeddings"))
+
+    def build(staging: str) -> None:
+        codebook, codes = _pq_build(spark, sf_dir)
+        codebook.write.parquet(os.path.join(staging, "codebook"))
+        codes.write.parquet(os.path.join(staging, "codes"))
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    publish_store(store, build)
+    return (
+        spark.read.parquet(os.path.join(store, "codebook")),
+        spark.read.parquet(os.path.join(store, "codes")),
+    )
+
+
 @query(
     "sim_ann_pq",
     oracle=f"""
@@ -767,57 +858,18 @@ def _sql_pq_ctes() -> str:
 )
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    spark_ = spark
     e = _vecs(spark, sf_dir)
-    subs = e.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
-        F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sub"),
-    )
-    # Seed codebooks from the PQ_CODES Knuth-hash-smallest vectors —
-    # constant-size driver materialization (codebooks are the PQ analog
-    # of k-means centers; 4x8x16 doubles at ANY corpus scale).
-    seed_rows = (
-        e.orderBy(
-            ((F.col("vec_id").cast("long") * _SEED_MULT) % _SEED_MOD).asc(),
-            F.col("vec_id").asc(),
+    cent1, enc = pq_index_store(spark, sf_dir)
+    # Query-side subvectors come from the ONE query vector — the full
+    # corpus is never re-sliced at query time.
+    qsubs = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            F.col("v"),
         )
-        .limit(PQ_CODES)
-        .collect()
+        .select("m", F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("qsub"))
     )
-    cent_rows = [
-        (m, code, list(r["v"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]))
-        for code, r in enumerate(seed_rows)
-        for m in range(PQ_M)
-    ]
-    cent = spark_.createDataFrame(cent_rows, "m int, code int, c array<double>")
-
-    def _assign(cent_df: DataFrame) -> DataFrame:
-        d = _l2(F.col("sub"), F.col("c"))
-        return (
-            subs.join(F.broadcast(cent_df), "m")
-            .select("vec_id", "m", "sub", "code", d.alias("d"))
-            .groupBy("vec_id", "m")
-            .agg(
-                F.first("sub").alias("sub"),
-                F.min_by("code", F.struct(F.col("d"), F.col("code"))).alias("code"),
-            )
-        )
-
-    # One Lloyd round: fixed-point BIGINT means per (subspace, code).
-    a0 = _assign(cent)
-    sums = [
-        F.expr(f"sum(cast(floor(element_at(sub, {d + 1}) * {_FP} + 0.5) as bigint))").alias(f"s{d}")
-        for d in range(PQ_SUBDIM)
-    ]
-    comps = [F.expr(f"cast(s{d} as double) / (cast(n as double) * {_FP})") for d in range(PQ_SUBDIM)]
-    agg0 = a0.groupBy("m", "code").agg(F.count(F.lit(1)).alias("n"), *sums)
-    cent1 = spark_.createDataFrame(
-        agg0.select("m", "code", F.array(*comps).alias("c")).collect(),
-        "m int, code int, c array<double>",
-    )
-    enc = _assign(cent1).select("vec_id", "m", "code")
-    qsubs = subs.filter(F.col("vec_id") == QUERY_VEC_ID).select("m", F.col("sub").alias("qsub"))
     lut = (
         qsubs.join(cent1, "m")
         .select(
