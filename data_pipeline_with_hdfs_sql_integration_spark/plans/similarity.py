@@ -353,6 +353,57 @@ def _kmeans_centroids(e: DataFrame) -> DataFrame:
     return cent
 
 
+def ivf_index_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) from the build-once parquet IVF index.
+
+    centroids = (cell_id, cv) — cells × dims doubles; assignments =
+    (vec_id, cell_id, cos) — each vector's max-cosine cell and the
+    cosine to it. Built by one index job per corpus version; the query
+    job probes cells and the clustering profile aggregates assignments
+    without ever re-running k-means. Assignment uses the same
+    (cos, -cell_id) max_by total order as the oracle's row_number, so
+    stored rows are bit-identical to an in-session build.
+    """
+    import os
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        publish_store,
+        table_path,
+    )
+
+    store = deterministic_tmp_dir("ivfindex", table_path(sf_dir, "embeddings"))
+
+    def build(staging: str) -> None:
+        e = _vecs(spark, sf_dir)
+        cent = _kmeans_centroids(e)
+        csim = _cosine(F.col("v"), F.col("cv"))
+        best = F.max_by(
+            F.struct(F.col("cell_id"), F.col("cos")),
+            F.struct(F.col("cos"), (-F.col("cell_id")).alias("neg")),
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cell_id", csim.alias("cos"))
+            .groupBy("vec_id")
+            .agg(best.alias("best"))
+            .select(
+                "vec_id",
+                F.col("best.cell_id").alias("cell_id"),
+                F.col("best.cos").alias("cos"),
+            )
+        )
+        cent.write.parquet(os.path.join(staging, "centroids"))
+        assigned.write.parquet(os.path.join(staging, "assignments"))
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    publish_store(store, build)
+    return (
+        spark.read.parquet(os.path.join(store, "centroids")),
+        spark.read.parquet(os.path.join(store, "assignments")),
+    )
+
+
 def _sql_kmeans_ctes() -> tuple[str, str]:
     """DuckDB CTE chain mirroring _kmeans_centroids; returns (ctes, final_name)."""
     sums = ", ".join(
@@ -431,22 +482,24 @@ _KMEANS_CTES, _KMEANS_FINAL = _sql_kmeans_ctes()
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     e = _vecs(spark, sf_dir)
-    cent = _kmeans_centroids(e)
-    csim = _cosine(F.col("v"), F.col("cv"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell_id").asc())
-    scored = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cell_id", csim.alias("csim"))
-        .withColumn("rn", F.row_number().over(w))
-    )
-    assigned = scored.filter(F.col("rn") == 1).select("vec_id", "v", "cell_id")
-    qcells = scored.filter(
-        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= IVF_NPROBE)
-    ).select("cell_id")
+    cent, assigned = ivf_index_store(spark, sf_dir)
+    # Query probe: the ONE query vector against cells × dims centroids.
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    qcells = (
+        q.crossJoin(F.broadcast(cent))
+        .select("cell_id", _cosine(F.col("qv"), F.col("cv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("cell_id").asc())
+        .limit(IVF_NPROBE)
+        .select("cell_id")
+    )
+    # Candidates = vectors assigned to the probed cells; only they are
+    # re-read from the corpus for the exact rerank (at scale the
+    # assignment table is the partition key and this is a pruned read).
     cand = (
         assigned.join(F.broadcast(qcells), "cell_id")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+        .join(e, "vec_id")
         .crossJoin(F.broadcast(q))
     )
     return (
@@ -488,24 +541,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    e = _vecs(spark, sf_dir)
-    cent = _kmeans_centroids(e)
-    csim = _cosine(F.col("v"), F.col("cv"))
-    best = F.max_by(
-        F.struct(F.col("cell_id"), F.col("cos")),
-        F.struct(F.col("cos"), (-F.col("cell_id")).alias("neg")),
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cell_id", csim.alias("cos"))
-        .groupBy("vec_id")
-        .agg(best.alias("best"))
-        .select(
-            "vec_id",
-            F.col("best.cell_id").alias("cell_id"),
-            F.col("best.cos").alias("cos"),
-        )
-    )
+    # The cluster profile is a pure aggregate over the stored
+    # assignment table — k-means runs in the index-build job, once.
+    _cent, assigned = ivf_index_store(spark, sf_dir)
     return (
         assigned.groupBy("cell_id")
         .agg(
