@@ -121,9 +121,15 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hash table is tiny next to raw text; every dedup family reads
     from it.
     """
+    return _shingles_of(_docs_parallel(spark, sf_dir))
+
+
+def _shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) from any (doc_id, text, ...) frame — the df-based
+    core of _shingle_hashes, reused by the streaming ingestion gate on
+    per-micro-batch frames."""
     from pyspark.storagelevel import StorageLevel
 
-    docs = _docs_parallel(spark, sf_dir)
     th = F.transform(tf.tokens(F.col("text")), lambda s: tf.poly_hash_str(s))
     base = (
         docs.select("doc_id", th.alias("th"))
@@ -137,6 +143,16 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = F.array_distinct(F.transform(F.sequence(F.lit(0), F.size("th") - 3), _sh3))
     return base.select("doc_id", sh.alias("sh"))
+
+
+def _minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band_idx, band_hash) — one row per band of each
+    signature; the bucket keys every MinHash candidate join runs on."""
+    r = tf.MINHASH_ROWS
+    band_hashes = F.array(
+        *[tf.poly_hash_longs(F.slice("sig", j * r + 1, r)) for j in range(tf.MINHASH_BANDS)]
+    )
+    return sigs.select("doc_id", "sig", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
 
 
 # ------------------------------------------------------------------- exact
@@ -340,11 +356,7 @@ SQL_MINHASH_PAIRS_CTES = f"""{_SQL_SHINGLE_CTE},
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     sigs = minhash_signature_store(spark, sf_dir)
-    r = tf.MINHASH_ROWS
-    band_hashes = F.array(
-        *[tf.poly_hash_longs(F.slice("sig", j * r + 1, r)) for j in range(tf.MINHASH_BANDS)]
-    )
-    bands = sigs.select("doc_id", "sig", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
+    bands = _minhash_bands(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -441,11 +453,7 @@ _SQL_SIG_MATCHES_NM = _SQL_SIG_MATCHES.replace("sig_a", "sig_n").replace("sig_b"
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     sigs = minhash_signature_store(spark, sf_dir)
-    r = tf.MINHASH_ROWS
-    band_hashes = F.array(
-        *[tf.poly_hash_longs(F.slice("sig", j * r + 1, r)) for j in range(tf.MINHASH_BANDS)]
-    )
-    bands = sigs.select("doc_id", "sig", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
+    bands = _minhash_bands(sigs)
     new_b = bands.filter(F.col("doc_id") % INCR_NEW_MOD == 0).select(
         F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_n"), "band_idx", "band_hash"
     )
@@ -486,6 +494,130 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("match"), F.lit(-1).cast("long")).alias("best_match"),
         F.coalesce(F.col("est"), F.lit(0.0)).alias("best_est"),
     )
+
+
+@query(
+    "stream_incremental_dedup",
+    oracle=f"""
+        WITH {_SQL_SHINGLE_CTE},
+        sigs AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM sh),
+        bands AS ({_sql_bands_union()}),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_doc, m.doc_id AS match,
+                            n.sig AS sig_n, m.sig AS sig_m
+            FROM bands n JOIN bands m
+              ON n.band_idx = m.band_idx AND n.band_hash = m.band_hash
+            WHERE n.doc_id % {INCR_NEW_MOD} = 0
+              AND m.doc_id % {INCR_NEW_MOD} <> 0
+        ),
+        scored AS (
+            SELECT new_doc, match,
+                   round(CAST({_SQL_SIG_MATCHES_NM} AS DOUBLE) / {tf.MINHASH_K}, 6) AS est
+            FROM cand
+            WHERE round(CAST({_SQL_SIG_MATCHES_NM} AS DOUBLE) / {tf.MINHASH_K}, 6)
+                  >= {MINHASH_EST_THRESHOLD}
+        ),
+        best AS (
+            SELECT new_doc, match, est,
+                   row_number() OVER (PARTITION BY new_doc
+                                      ORDER BY est DESC, match ASC) AS rn
+            FROM scored
+        )
+        SELECT s.doc_id AS new_doc,
+               CASE WHEN b.match IS NULL THEN 'unique' ELSE 'dup_of_index' END AS verdict,
+               COALESCE(b.match, CAST(-1 AS BIGINT)) AS best_match,
+               COALESCE(b.est, CAST(0.0 AS DOUBLE)) AS best_est
+        FROM sigs s
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_doc = s.doc_id
+        WHERE s.doc_id % {INCR_NEW_MOD} = 0
+    """,
+    doc="STREAMING ingestion dedup gate: documents arrive as a file "
+    "stream, and each micro-batch's new documents (doc_id % "
+    f"{INCR_NEW_MOD} == 0) are checked against the PERSISTENT MinHash "
+    "signature index (minhash_signature_store) inside foreachBatch — "
+    "signature the batch, band bucket equi-join against stored index "
+    "bands, verdict per document (dup_of_index / unique with the "
+    "deterministic best match). This is the ingest-time shape of "
+    "dedup_incremental_minhash: per-batch cost is proportional to the "
+    "batch, the corpus contributes only its 192 B/doc index, and "
+    "availableNow + checkpoint make the gate deterministic and "
+    "resumable. In-batch duplicates are the batch operator's job; the "
+    "stream gate guards the corpus boundary.",
+    tags=("streaming", "dedup", "lsh", "training"),
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from data_pipeline_with_hdfs_sql_integration_spark.streaming import windows as W
+
+    apply_runtime_confs(spark)
+    index_bands = _materialize(
+        _minhash_bands(
+            minhash_signature_store(spark, sf_dir).filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+        ).select(
+            F.col("doc_id").alias("match"),
+            F.col("sig").alias("sig_m"),
+            "band_idx",
+            "band_hash",
+        )
+    )
+    # Fresh result dir per invocation (the sink holds query RESULTS, so
+    # stale state from an earlier code version must not leak in) — same
+    # pattern as stream_merge_snapshot.
+    digest = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"dps_streamincr_{digest}")
+    shutil.rmtree(root, ignore_errors=True)
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+
+    def gate(batch_df: DataFrame, _batch_id: int) -> None:
+        new = batch_df.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+        sigs = _shingles_of(new).select(
+            "doc_id", F.array(*tf.minhash_signature(F.col("sh"))).alias("sig")
+        )
+        nb = _minhash_bands(sigs).select(
+            F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_n"), "band_idx", "band_hash"
+        )
+        cand = (
+            nb.join(index_bands, ["band_idx", "band_hash"])
+            .select("new_doc", "match", "sig_n", "sig_m")
+            .distinct()
+        )
+        agree = F.aggregate(
+            F.zip_with(F.col("sig_n"), F.col("sig_m"), lambda x, y: (x == y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = cand.select(
+            "new_doc", "match", F.round(agree.cast("double") / tf.MINHASH_K, 6).alias("est")
+        ).filter(F.col("est") >= MINHASH_EST_THRESHOLD)
+        w = Window.partitionBy("new_doc").orderBy(F.col("est").desc(), F.col("match").asc())
+        b = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        result = (
+            sigs.select(F.col("doc_id").alias("new_doc"))
+            .join(b.select("new_doc", "match", "est"), "new_doc", "left")
+            .select(
+                "new_doc",
+                F.when(F.col("match").isNull(), F.lit("unique"))
+                .otherwise(F.lit("dup_of_index"))
+                .alias("verdict"),
+                F.coalesce(F.col("match"), F.lit(-1).cast("long")).alias("best_match"),
+                F.coalesce(F.col("est"), F.lit(0.0)).alias("best_est"),
+            )
+        )
+        result.write.mode("append").parquet(out)
+
+    q = (
+        W.documents_stream(spark, sf_dir)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
 
 
 # ----------------------------------------------------------------- simhash
