@@ -98,7 +98,7 @@ def minhash_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_path,
     )
 
-    store = deterministic_tmp_dir("minhashsigs", table_path(sf_dir, "documents"))
+    store = deterministic_tmp_dir(f"minhashsigs{tf.MINHASH_K}", table_path(sf_dir, "documents"))
     publish_store(
         store,
         lambda staging: _shingle_hashes(spark, sf_dir)

@@ -116,7 +116,7 @@ def lsh_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_path,
     )
 
-    store = deterministic_tmp_dir("lshsigs", table_path(sf_dir, "embeddings"))
+    store = deterministic_tmp_dir(f"lshsigs{LSH_PLANES}", table_path(sf_dir, "embeddings"))
     publish_store(
         store,
         lambda staging: _vecs(spark, sf_dir)
@@ -372,7 +372,7 @@ def ivf_index_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
         table_path,
     )
 
-    store = deterministic_tmp_dir("ivfindex", table_path(sf_dir, "embeddings"))
+    store = deterministic_tmp_dir(f"ivfindex{IVF_CELLS}x{IVF_KMEANS_ITERS}", table_path(sf_dir, "embeddings"))
 
     def build(staging: str) -> None:
         e = _vecs(spark, sf_dir)
@@ -854,7 +854,7 @@ def pq_index_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
         table_path,
     )
 
-    store = deterministic_tmp_dir("pqindex", table_path(sf_dir, "embeddings"))
+    store = deterministic_tmp_dir(f"pqindex{PQ_M}x{PQ_CODES}", table_path(sf_dir, "embeddings"))
 
     def build(staging: str) -> None:
         codebook, codes = _pq_build(spark, sf_dir)
