@@ -217,6 +217,60 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest({tf.sql_tokens('text')}) AS tok FROM documents
+        ),
+        chars AS (
+            SELECT list_filter(string_split(tok, ''), c -> c <> '') AS c
+            FROM toks WHERE len(tok) >= 2
+        ),
+        pairs AS (
+            SELECT c[i] || c[i + 1] AS pair
+            FROM chars
+            CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(c) - 1)) AS i) u
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM pairs
+        GROUP BY pair
+        ORDER BY n_occurrences DESC, pair ASC
+        LIMIT 50
+    """,
+    doc="Tokenizer-training pair statistics: corpus-wide adjacent "
+    "character-pair frequencies over every token occurrence (with "
+    "multiplicity) — exactly the count a BPE trainer computes to pick "
+    "its next merge; the top row IS the next merge candidate. One "
+    "shuffle: explode pairs → map-side-combined hash aggregate → "
+    "top-50 TakeOrderedAndProject with a total tie-break. At 100 TB "
+    "the pair alphabet is bounded (|alphabet|^2), so the aggregate "
+    "state is constant-size per task no matter the corpus.",
+    tags=("text", "tokens", "training"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    tok = F.explode(tf.tokens(F.col("text"))).alias("tok")
+    toks = docs.select(tok).filter(F.length("tok") >= 2)
+    c = F.filter(F.split(F.col("tok"), ""), lambda x: x != "")
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(c, 1, F.size(c) - 1),
+                F.slice(c, 2, F.size(c) - 1),
+                lambda a, b: F.concat(a, b),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
+@query(
     "text_heavy_hitters",
     oracle=f"""
         WITH toks AS (
