@@ -270,6 +270,83 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGE_ROUNDS = 4
+
+
+@query(
+    "text_bpe_learn_merges",
+    oracle=None,  # iterative fixpoint-style algorithm; mirrored by a
+    # pure-Python reference implementation in tests instead of SQL
+    doc=f"BPE merge TRAINING on the corpus: {BPE_MERGE_ROUNDS} rounds of "
+    "(count adjacent symbol pairs over every token occurrence -> take "
+    "the most frequent pair, ties lexicographic -> fuse it everywhere "
+    "via a greedy leftmost fold). Returns the learned merge table "
+    "(round, sym_a, sym_b, merged, n_occurrences) — the artifact a "
+    "tokenizer trainer produces. Each round is ONE map-side-combined "
+    "aggregate plus a 1-row driver collect (the argmax pair — "
+    "constant-size at any corpus scale, same pattern as k-means "
+    "centroids); the merge application is a JVM HOF fold, zero Python. "
+    "Symbol arrays persist per round so round r+1's lineage starts "
+    "from materialized state instead of re-folding rounds 1..r. "
+    "Rows-only by design (greedy stateful iteration isn't "
+    "SQL-expressible); a pure-Python reference implementation verifies "
+    "the merge table in tests/test_bpe_learn.py.",
+    tags=("text", "tokens", "training"),
+)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("tok"), ""), lambda x: x != "")
+    syms = (
+        docs.select(F.explode(tf.tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .select(chars.alias("syms"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    records = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        pairs = syms.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        merged = a + b
+        records.append((rnd, a, b, merged, n))
+        # Greedy leftmost fold: merge never cascades within one round
+        # because the fused symbol is strictly longer than sym_a.
+        aq, bq, mq = a.replace("'", "''"), b.replace("'", "''"), merged.replace("'", "''")
+        apply_merge = F.expr(
+            f"aggregate(syms, cast(array() as array<string>), (acc, s) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{aq}' AND s = '{bq}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{mq}')) "
+            f"ELSE concat(acc, array(s)) END)"
+        )
+        nxt = syms.select(apply_merge.alias("syms")).persist(StorageLevel.MEMORY_AND_DISK)
+        nxt.count()  # materialize before dropping the parent
+        syms.unpersist()
+        syms = nxt
+    syms.unpersist()
+    return spark.createDataFrame(
+        records, "round int, sym_a string, sym_b string, merged string, n_occurrences long"
+    )
+
+
 @query(
     "text_heavy_hitters",
     oracle=f"""
