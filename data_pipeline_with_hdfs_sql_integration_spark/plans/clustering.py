@@ -46,30 +46,168 @@ def connected_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     # Self-loops fold "own label" into the same neighbor-min aggregate,
     # so each round is ONE join + ONE aggregation (no second join to
     # merge old labels back, no per-round equality join for convergence).
+    # Eager localCheckpoint (not persist) per round: a persisted frame
+    # keeps its full logical lineage, so after k rounds the plan nests
+    # k copies of the edge pipeline — on high-diameter graphs (many
+    # rounds) the plan alone overflows the driver heap. Checkpointing
+    # truncates each round's plan to its materialized blocks.
     nodes = und.select(F.col("a").alias("n")).distinct()
-    edges = und.union(nodes.select(F.col("n").alias("a"), F.col("n").alias("b"))).distinct().persist()
-    labels = nodes.select(F.col("n").alias("node"), F.col("n").alias("label")).persist()
+    edges = (
+        und.union(nodes.select(F.col("n").alias("a"), F.col("n").alias("b")))
+        .distinct()
+        .localCheckpoint(True)
+    )
+    labels = nodes.select(F.col("n").alias("node"), F.col("n").alias("label")).localCheckpoint(True)
     # Labels only ever decrease, so sum(label) strictly decreases until
     # the fixpoint: a one-row aggregate is the convergence check.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
     for _ in range(MAX_ITERATIONS):
-        new_labels = (
+        labels = (
             edges.join(labels, edges.a == labels.node)
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(True)
         )
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    # The final labels were materialized by the sum() action, so the
-    # edge cache is no longer needed by their lineage.
-    edges.unpersist()
+    else:
+        # Hitting the backstop means labels are STALE (nodes farther
+        # than MAX_ITERATIONS hops from their component min still carry
+        # wrong labels) — failing loudly beats silently-wrong clusters.
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ITERATIONS} rounds "
+            "(graph diameter exceeds the round budget); use "
+            "connected_components_star, which converges in O(log n) rounds "
+            "on any graph"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond').
+
+    Same (node, cluster_id = component min) contract as
+    connected_components, but converges in O(log n) rounds on ANY
+    graph — min-label propagation needs O(diameter) rounds, which on a
+    path-shaped duplicate chain at 100 TB is the difference between ~40
+    shuffles and ~6. Each round is two grouped-min aggregates + joins,
+    all shuffling on node ids; the fixpoint check is a one-row
+    (count, checksum) collect per round.
+
+    large-star: every node's LARGER neighbors re-attach to its minimum
+    neighbor (strictly shrinks tall structures); small-star: every
+    node's smaller-or-equal neighbors re-attach to the minimum
+    (flattens into stars). At the fixpoint the edge set IS the
+    node -> component-min star graph.
+    """
+    # Eager localCheckpoint per round, NOT persist: each round's plan
+    # references the prior round's ~8 times (two symmetrizations, two
+    # grouped mins, unions), so lineage grows exponentially — by round
+    # ~7 the logical plan alone overflows the driver heap. Checkpointing
+    # truncates the plan to the materialized blocks; on a cluster the
+    # same call (or a reliable checkpoint dir) is what GraphX-style
+    # iterative algorithms do.
+    e = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(True)
+    )
+    nodes = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .distinct()
+        .localCheckpoint(True)
+    )
+
+    def checksum(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("a") * F.lit(1_000_003) + F.col("b")).alias("s"),
+        ).collect()[0]
+        return row["c"], row["s"]
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        withself = sym.union(nodes.select(F.col("n").alias("a"), F.col("n").alias("b")))
+        mins = withself.groupBy("a").agg(F.min("b").alias("m"))
+        return (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        # Point every edge from the larger to the smaller endpoint, so
+        # each node u receives exactly its smaller neighbors.
+        pointed = edges.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        withself = pointed.union(
+            pointed.select(F.col("a").alias("a"), F.col("a").alias("b")).distinct()
+        )
+        mins = withself.groupBy("a").agg(F.min("b").alias("m"))
+        attach = (
+            pointed.join(mins, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        selfm = mins.select(F.col("a"), F.col("m").alias("b")).filter(F.col("a") != F.col("b"))
+        return attach.union(selfm).distinct()
+
+    prev = checksum(e)
+    for _ in range(MAX_ITERATIONS):
+        e = small_star(large_star(e)).localCheckpoint(True)
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    labels = e.select(F.col("a").alias("node"), F.col("b").alias("cluster_id"))
+    roots = nodes.join(e.select(F.col("a").alias("n")).distinct(), "n", "left_anti").select(
+        F.col("n").alias("node"), F.col("n").alias("cluster_id")
+    )
+    return labels.union(roots)
+
+
+@query(
+    "dedup_clusters_star",
+    oracle=f"""
+        WITH RECURSIVE {SQL_MINHASH_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM prs
+            UNION
+            SELECT doc_b, doc_a FROM prs
+        ),
+        reach AS (
+            SELECT a AS n, a AS m FROM edges
+            UNION
+            SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a
+        )
+        SELECT CAST(n AS BIGINT) AS doc_id,
+               CAST(min(m) AS BIGINT) AS cluster_id
+        FROM reach
+        GROUP BY n
+    """,
+    doc="The same duplicate-cluster result as dedup_clusters, computed "
+    "by large-star/small-star contraction instead of min-label "
+    "propagation: O(log n) rounds on ANY graph shape versus "
+    "O(diameter) — the variant to run when duplicate chains are long "
+    "(near-identical boilerplate series) or degree is adversarial. "
+    "Value-checked against the identical declarative recursive-CTE "
+    "fixpoint, so both iterative algorithms are proven to agree with "
+    "the same ground truth.",
+    tags=("dedup", "clustering", "iterative"),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    cc = connected_components_star(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("node").cast("long").alias("doc_id"), F.col("cluster_id").cast("long"))
 
 
 @query(
