@@ -601,3 +601,71 @@ def _register_split_leakage_audit() -> None:
 
 
 _register_split_leakage_audit()
+
+
+# ---------------------------------------------------------- shard manifest
+@query(
+    "training_shard_manifest",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   CAST(len({tf.sql_tokens('text')}) AS BIGINT) AS n_tokens,
+                   (CAST(doc_id AS BIGINT) * {_KNUTH}) % {_H_MOD} AS hkey
+            FROM documents
+        )
+        SELECT CAST(hkey % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(bit_xor(hkey * 31 + doc_id) AS BIGINT) AS checksum,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM keyed
+        GROUP BY hkey % {SHUFFLE_SHARDS}
+        ORDER BY shard
+    """,
+    doc="Training-shard WRITE path, audited: the deterministically "
+    f"shuffled corpus is written as a shard-partitioned parquet layout "
+    "(one directory per training shard — what a dataloader consumes), "
+    "read BACK, and summarized into a per-shard manifest (doc count, "
+    "token sum, an order-independent xor checksum, id range). The "
+    "oracle computes the identical manifest straight from the source "
+    "table, so a match proves the partitioned write-read round-trip "
+    "lossless AND correctly sharded. xor is the scale-safe checksum: "
+    "order-independent and non-accumulating, where a modular SUM of "
+    "per-row hashes overflows BIGINT at corpus scale.",
+    tags=("training", "sink"),
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    hkey = (F.col("doc_id").cast("long") * F.lit(_KNUTH)) % F.lit(_H_MOD)
+    sharded = docs.select(
+        "doc_id",
+        F.size(tf.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        hkey.alias("hkey"),
+        (hkey % SHUFFLE_SHARDS).alias("shard"),
+    )
+    # Fresh layout per invocation: the shard dir is the query RESULT's
+    # substrate, so stale files from an earlier code version must not
+    # leak in (same pattern as the streaming merge snapshot).
+    digest = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"dps_shards_{digest}")
+    shutil.rmtree(root, ignore_errors=True)
+    sharded.write.partitionBy("shard").parquet(root)
+    back = spark.read.parquet(root)
+    return (
+        back.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.expr("bit_xor(hkey * 31 + doc_id)").alias("checksum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
