@@ -112,3 +112,56 @@ def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         F.max("p_size").cast("int").alias("max_size"),
     )
+
+
+@query(
+    "format_schema_evolution",
+    oracle="""
+        WITH unioned AS (
+            SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 <> 0
+        )
+        SELECT COALESCE(o_orderpriority, '<pre-schema>') AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM unioned
+        GROUP BY COALESCE(o_orderpriority, '<pre-schema>')
+    """,
+    doc="Schema evolution across parquet generations: generation 1 "
+    "writes orders WITHOUT the priority column (even keys), generation "
+    "2 appends files WITH it (odd keys) into the same dataset; a "
+    "mergeSchema read unions the footers, null-backfills the old "
+    "generation, and the aggregate proves per-generation fidelity "
+    "(null counts + decimal sums). This is how long-lived training "
+    "datasets actually grow — columns appear mid-corpus and readers "
+    "must not reprocess old files. mergeSchema costs one footer pass "
+    "at read; production pins the merged schema in a catalog after "
+    "first contact.",
+    tags=("formats", "parquet", "schema"),
+)
+def format_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    apply_runtime_confs(spark)
+    o = load(spark, sf_dir, "orders")
+    path = _roundtrip_dir("evolve", sf_dir)
+    # Two write generations with different schemas into one dataset.
+    shutil.rmtree(path, ignore_errors=True)
+    o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice").write.parquet(
+        path
+    )
+    o.filter(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-schema>")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
