@@ -103,6 +103,26 @@ def test_unknown_verb_is_404(service):
     assert err.value.code == 404
 
 
+def test_concurrent_calc_avg_loan_requests(service):
+    """The reference serves 10 concurrent RPC workers; the HTTP skin is
+    a ThreadingHTTPServer and Spark job submission is thread-safe, so
+    parallel CalcAvgLoan calls must all succeed with consistent values
+    (first wave creates partitions, the rest reuse)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _, client = service
+    client.db_to_hdfs()
+    keys = [0, 5, 10, 15, 24] * 2
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(client.calc_avg_loan, keys))
+    by_key: dict[int, set[int]] = {}
+    for k, r in zip(keys, results):
+        assert r["error"] == "" and r["source"] in ("create", "reuse", "recreate")
+        by_key.setdefault(k, set()).add(r["avg_loan"])
+    # Same key -> same average regardless of which thread/path served it.
+    assert all(len(v) == 1 for v in by_key.values())
+
+
 def test_grpc_skin_gated_without_grpcio(service):
     svc, _ = service
     try:
