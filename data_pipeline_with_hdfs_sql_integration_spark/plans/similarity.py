@@ -930,3 +930,43 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(IVF_TOPK)
     )
+
+
+# --------------------------------------------------- random projection (JL)
+RP_DIM = 8  # target dimensionality
+_rp_rng = random.Random(99)
+RP_PLANES: list[list[float]] = [
+    [round(_rp_rng.uniform(-0.5, 0.5), 3) for _ in range(EMB_DIM)] for _ in range(RP_DIM)
+]
+
+
+def _rp_cols() -> list:
+    return [
+        F.round(tf.dot(F.col("v"), F.array(*[F.lit(c) for c in plane])), 6).alias(f"p{k}")
+        for k, plane in enumerate(RP_PLANES)
+    ]
+
+
+@query(
+    "emb_random_projection",
+    oracle=f"""
+        WITH e AS ({_SQL_VECS})
+        SELECT vec_id,
+               {", ".join(
+                   f"round({tf.sql_dot('v', _sql_plane_list(plane))}, 6) AS p{k}"
+                   for k, plane in enumerate(RP_PLANES)
+               )}
+        FROM e
+    """,
+    doc=f"Johnson-Lindenstrauss random projection: every embedding is "
+    f"projected from {EMB_DIM} to {RP_DIM} dims against a deterministic "
+    "literal matrix (3-decimal coefficients parse to identical doubles "
+    "in both engines; sequential-fold dots keep FP order identical). "
+    "The standard pre-step before clustering/ANN when vectors are wide: "
+    "map-only, zero shuffle, output is 8 doubles/vector — at 100 TB "
+    "that's an 8x reduction of everything downstream touches.",
+    tags=("similarity", "projection"),
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return _vecs(spark, sf_dir).select("vec_id", *_rp_cols())

@@ -707,3 +707,96 @@ def search_phrase_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+
+
+# ------------------------------------------------------ linear quality model
+#: Hand-set linear weights over the quality ratios — the stand-in for a
+#: trained fasttext/logreg quality classifier. Inference is PURE INTEGER
+#: fixed-point: features are floor-scaled ratios (x1e6 numerator integer
+#: division), weights are integers x10, so the score (x1e7) is exact
+#: BIGINT arithmetic — no doubles anywhere, hence no cross-engine FP
+#: reassociation/ulp drift (a double formulation mismatched one row in
+#: 500 at the 6th decimal). No sigmoid: a monotone linear score
+#: thresholds identically and transcendentals round differently across
+#: libms.
+QM_FP = 1_000_000  # feature fixed-point scale
+QM_W10_INTERCEPT = -6  # -0.6 x10
+QM_W10_ALPHA = 12  # 1.2 x10
+QM_W10_PUNCT = -8  # -0.8 x10
+QM_W10_STOPWORD = 15  # 1.5 x10
+QM_W10_LEN = 5  # 0.5 x10
+QM_THRESHOLD_FP = 5_500_000  # 0.55 at the x1e7 score scale
+
+
+@query(
+    "quality_model_score",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, text, {tf.sql_tokens('text')} AS t FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+                       * {QM_FP} // length(text) AS alpha_fp,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+                       * {QM_FP} // length(text) AS punct_fp,
+                   CAST(len(list_filter(t, x -> x IN ({", ".join(repr(w) for w in QUALITY_STOPWORDS)})))
+                       AS BIGINT) * {QM_FP} // greatest(len(t), 1) AS stop_fp,
+                   CAST(least(length(text), 1000) AS BIGINT) * 1000 AS len_fp
+            FROM toks WHERE length(text) > 0
+        )
+        SELECT doc_id,
+               CAST({QM_W10_INTERCEPT} * {QM_FP}
+                    + {QM_W10_ALPHA} * alpha_fp
+                    + {QM_W10_PUNCT} * punct_fp
+                    + {QM_W10_STOPWORD} * stop_fp
+                    + {QM_W10_LEN} * len_fp AS BIGINT) AS score_fp,
+               ({QM_W10_INTERCEPT} * {QM_FP}
+                    + {QM_W10_ALPHA} * alpha_fp
+                    + {QM_W10_PUNCT} * punct_fp
+                    + {QM_W10_STOPWORD} * stop_fp
+                    + {QM_W10_LEN} * len_fp) >= {QM_THRESHOLD_FP} AS keep
+        FROM feats
+    """,
+    doc="Model-based quality scoring surface: a linear model over the "
+    "quality ratios (the trained-classifier stand-in — swap weights "
+    "for a real logreg and nothing else changes) scores every document "
+    "and thresholds a keep decision. Inference is exact BIGINT "
+    "fixed-point (features x1e6 by integer division, weights x10, "
+    "score x1e7), so both engines agree bit-for-bit and 100 TB scoring "
+    "is a map-only integer pass.",
+    tags=("text", "training", "model"),
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = tf.tokens(F.col("text"))
+    sw = list(QUALITY_STOPWORDS)
+    n_chars = F.length("text").cast("long")
+    # `div` = exact BIGINT integer division (≙ DuckDB `//`) where the
+    # whole feature is SQL-text expressible; the stopword feature needs
+    # the Column-lambda filter, so it divides in double + floor — safe
+    # because numerator < 2^53 (exact) and the true quotient is never
+    # within one double-ulp of an integer it doesn't equal (operands
+    # are bounded by 1e9/1e3).
+    alpha_fp = F.expr(
+        f"cast(length(regexp_replace(text, '[^A-Za-z]', '')) as bigint) * {QM_FP} div length(text)"
+    )
+    punct_fp = F.expr(
+        f"cast(length(regexp_replace(text, '[^.,;:!?]', '')) as bigint) * {QM_FP} div length(text)"
+    )
+    stop_fp = F.floor(
+        (F.size(F.filter(t, lambda x: x.isin(sw))).cast("long") * QM_FP)
+        / F.greatest(F.size(t).cast("long"), F.lit(1).cast("long"))
+    ).cast("long")
+    len_fp = F.least(n_chars, F.lit(1000).cast("long")) * 1000
+    score = (
+        F.lit(QM_W10_INTERCEPT).cast("long") * QM_FP
+        + F.lit(QM_W10_ALPHA).cast("long") * alpha_fp
+        + F.lit(QM_W10_PUNCT).cast("long") * punct_fp
+        + F.lit(QM_W10_STOPWORD).cast("long") * stop_fp
+        + F.lit(QM_W10_LEN).cast("long") * len_fp
+    )
+    return docs.select(
+        "doc_id", score.alias("score_fp"), (score >= QM_THRESHOLD_FP).alias("keep")
+    )
