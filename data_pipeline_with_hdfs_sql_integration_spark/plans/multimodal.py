@@ -1,13 +1,20 @@
 """Multimodal column handling: image/audio/video as opaque binary
 columns with typed metadata.
 
-The container has no decode libraries (PIL/ffmpeg/librosa), so the
-image/video codec boundary is stubbed: `decode_image` raises
-NotImplementedError unless `fake=True`, in which case a deterministic
-fake decoder stands in. AUDIO is real: `multimodal_wav_energy`
-synthesizes genuine RIFF/PCM WAV bytes with the stdlib `wave` writer
-and decodes them back with the stdlib reader, oracled from first
-principles. Everything Spark-side is real and tested: the
+The container has no decode libraries (PIL/ffmpeg/librosa), but two
+codec paths are REAL, built on the stdlib alone:
+
+- AUDIO: `multimodal_wav_energy` synthesizes genuine RIFF/PCM WAV
+  bytes with the stdlib `wave` writer and decodes them back with the
+  stdlib reader, oracled from first principles.
+- IMAGE: `multimodal_png_stats` encodes genuine PNG files (signature,
+  IHDR, zlib-deflated IDAT exercising ALL FIVE scanline filters,
+  CRC-32-checked chunks) and decodes them with an independent
+  first-principles parser (`png_codec`) — chunk walk, CRC verify,
+  inflate, Sub/Up/Average/Paeth unfiltering. `decode_image` now
+  really decodes PNG payloads; only non-PNG formats (JPEG etc.,
+  needing libjpeg) and `resize_image` remain gated behind
+  NotImplementedError / `fake=True`. Everything Spark-side is real and tested: the
 binary+metadata schema, Arrow-batched `mapInPandas` plumbing,
 per-batch vectorization, and partition sizing — swap the stub for a
 real codec and nothing else changes.
@@ -49,14 +56,143 @@ FEATURE_SCHEMA = (
 )
 
 
+#: PNG signature (RFC 2083 §3.1).
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_codec():
+    """Build (encode, decode) for 8-bit grayscale PNG from stdlib parts
+    (zlib + struct). Returned as NESTED functions so cloudpickle ships
+    them by value into Spark workers (same convention as the mapInPandas
+    closures below — no repo-on-sys.path requirement worker-side).
+
+    encode(pixels, width, height) -> bytes: a genuine PNG any reader
+    opens. Scanline filters cycle 0..4 by row (None, Sub, Up, Average,
+    Paeth) so a decoder must implement the full filter suite.
+
+    decode(payload) -> (width, height, list[int]): independent
+    first-principles parser — signature check, chunk walk with CRC-32
+    verification, IHDR field validation, IDAT concatenation + inflate,
+    per-row unfiltering. No shared state with encode beyond the Paeth
+    predictor definition (which the spec fixes)."""
+    import struct
+    import zlib
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def _chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def encode(pixels, width: int, height: int) -> bytes:
+        assert len(pixels) == width * height
+        raw = bytearray()
+        prior = bytes(width)
+        for y in range(height):
+            row = bytes(pixels[y * width : (y + 1) * width])
+            f = y % 5
+            raw.append(f)
+            if f == 0:
+                raw.extend(row)
+            elif f == 1:  # Sub
+                raw.extend((row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(width))
+            elif f == 2:  # Up
+                raw.extend((row[x] - prior[x]) & 0xFF for x in range(width))
+            elif f == 3:  # Average
+                raw.extend(
+                    (row[x] - (((row[x - 1] if x else 0) + prior[x]) >> 1)) & 0xFF
+                    for x in range(width)
+                )
+            else:  # Paeth
+                raw.extend(
+                    (row[x] - _paeth(row[x - 1] if x else 0, prior[x], prior[x - 1] if x else 0))
+                    & 0xFF
+                    for x in range(width)
+                )
+            prior = row
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        return (
+            PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+
+    def decode(payload: bytes):
+        buf = bytes(payload)
+        if buf[:8] != PNG_SIG:
+            raise ValueError("not a PNG: bad signature")
+        pos, width, height, idat = 8, None, None, b""
+        while pos < len(buf):
+            (length,) = struct.unpack(">I", buf[pos : pos + 4])
+            tag = buf[pos + 4 : pos + 8]
+            data = buf[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack(">I", buf[pos + 8 + length : pos + 12 + length])
+            if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
+                raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+            if tag == b"IHDR":
+                width, height, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", data)
+                if (depth, ctype, comp, filt, ilace) != (8, 0, 0, 0, 0):
+                    raise ValueError("decoder supports 8-bit grayscale, no interlace")
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        raw = zlib.decompress(idat)
+        if len(raw) != height * (width + 1):
+            raise ValueError("IDAT length mismatch")
+        pixels: list[int] = []
+        prior = bytes(width)
+        for y in range(height):
+            line = raw[y * (width + 1) : (y + 1) * (width + 1)]
+            f, flt = line[0], line[1:]
+            row = bytearray(width)
+            for x in range(width):
+                left = row[x - 1] if x else 0
+                up, upleft = prior[x], (prior[x - 1] if x else 0)
+                if f == 0:
+                    v = flt[x]
+                elif f == 1:
+                    v = flt[x] + left
+                elif f == 2:
+                    v = flt[x] + up
+                elif f == 3:
+                    v = flt[x] + ((left + up) >> 1)
+                elif f == 4:
+                    v = flt[x] + _paeth(left, up, upleft)
+                else:
+                    raise ValueError(f"bad filter byte {f}")
+                row[x] = v & 0xFF
+            pixels.extend(row)
+            prior = bytes(row)
+        return width, height, pixels
+
+    return encode, decode
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """Codec boundary. Real decode needs PIL/libjpeg — not in this
-    container. The deterministic fake derives a 4-dim 'feature' from the
-    bytes so the distributed plumbing is testable end-to-end."""
+    """Codec boundary. PNG payloads decode FOR REAL via `png_codec`
+    (stdlib zlib/struct); other formats need PIL/libjpeg — not in this
+    container — so they stay gated: the deterministic fake derives a
+    4-dim 'feature' from the bytes so distributed plumbing is testable
+    end-to-end."""
+    if payload is not None and bytes(payload[:8]) == PNG_SIG:
+        w, h, px = png_codec()[1](payload)
+        return [float(w), float(h), float(sum(px)), float(sum(v * v for v in px))]
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL/libjpeg (not installed); pass fake=True "
-            "for the deterministic stand-in"
+            "non-PNG image decode requires PIL/libjpeg (not installed); pass "
+            "fake=True for the deterministic stand-in (PNG decodes for real)"
         )
     if payload is None or len(payload) == 0:
         return [0.0, 0.0, 0.0, 0.0]
@@ -371,4 +507,85 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     wavs = docs.mapInPandas(_synthesize, schema="media_id long, wav binary")
     return wavs.mapInPandas(
         _decode, schema="media_id long, n_samples long, sample_rate long, energy long"
+    )
+
+
+# ------------------------------------------------------------- real PNG path
+PNG_W = 16
+PNG_H = 12
+PNG_MOD = 251
+
+
+@query(
+    "multimodal_png_stats",
+    oracle=f"""
+        WITH px AS (
+            SELECT y.v AS y, x.v AS x
+            FROM (SELECT unnest(generate_series(0, {PNG_H - 1})) AS v) y,
+                 (SELECT unnest(generate_series(0, {PNG_W - 1})) AS v) x
+        )
+        SELECT d.doc_id AS media_id,
+               CAST({PNG_W} AS INT) AS width,
+               CAST({PNG_H} AS INT) AS height,
+               CAST((SELECT sum((d.doc_id * 7 + px.y * 13 + px.x * 5) % {PNG_MOD})
+                     FROM px) AS BIGINT) AS pixel_sum,
+               CAST((SELECT sum(((d.doc_id * 7 + px.y * 13 + px.x * 5) % {PNG_MOD})
+                              * ((d.doc_id * 7 + px.y * 13 + px.x * 5) % {PNG_MOD}))
+                     FROM px) AS BIGINT) AS energy
+        FROM documents d
+    """,
+    doc="REAL image codec path (no stub, stdlib-only): per document a "
+    f"{PNG_W}x{PNG_H} 8-bit grayscale PNG is ENCODED from deterministic "
+    "pixels (signature + IHDR + zlib-deflated IDAT cycling through all "
+    "five scanline filters None/Sub/Up/Average/Paeth + CRC-32-checked "
+    "chunks — a genuine file any PNG reader opens), then DECODED BACK "
+    "by an independent mapInPandas stage that walks chunks, verifies "
+    "CRCs, inflates, and unfilters from first principles (png_codec). "
+    "The oracle recomputes pixel_sum/energy from the pixel formula, "
+    "never touching PNG, so a hash match proves the "
+    "encode->container->decode round-trip is pixel-faithful. Both "
+    "stages Arrow-batched, embarrassingly parallel, zero shuffle — the "
+    "shape a libjpeg decode drops into unchanged.",
+    tags=("multimodal", "image"),
+)
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    enc, dec = png_codec()
+    w, h, mod = PNG_W, PNG_H, PNG_MOD
+
+    def _synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for mid in b["doc_id"]:
+                m = int(mid)
+                pixels = [
+                    (m * 7 + y * 13 + x * 5) % mod for y in range(h) for x in range(w)
+                ]
+                payloads.append(enc(pixels, w, h))
+            yield pd.DataFrame({"media_id": b["doc_id"], "png": payloads})
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            widths, heights, sums, energies = [], [], [], []
+            for payload in b["png"]:
+                dw, dh, px = dec(bytes(payload))
+                widths.append(dw)
+                heights.append(dh)
+                sums.append(sum(px))
+                energies.append(sum(v * v for v in px))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "width": widths,
+                    "height": heights,
+                    "pixel_sum": sums,
+                    "energy": energies,
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pngs = docs.mapInPandas(_synthesize, schema="media_id long, png binary")
+    return pngs.mapInPandas(
+        _decode,
+        schema="media_id long, width int, height int, pixel_sum long, energy long",
     )

@@ -59,3 +59,77 @@ def test_resize_and_audio_stubs_gate_and_fake():
     assert len(thumb) == 16 and thumb == resize_image(bytes(range(100)), 4, 4, fake=True)
     e = audio_frame_energy(bytes([10] * 300), frame_len=256, fake=True)
     assert e == [10.0, 10.0]
+
+
+# ------------------------------------------------------------- PNG codec
+def test_png_roundtrip_all_filters():
+    """H=12 rows cycle filters 0..4 (incl. two full cycles + None/Sub),
+    so a round-trip match proves every unfilter path."""
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.multimodal import png_codec
+
+    enc, dec = png_codec()
+    w, h = 16, 12
+    pixels = [(y * 31 + x * 7) % 256 for y in range(h) for x in range(w)]
+    payload = enc(pixels, w, h)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    dw, dh, out = dec(payload)
+    assert (dw, dh) == (w, h)
+    assert out == pixels
+
+
+def test_png_roundtrip_adversarial_pixels():
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.multimodal import png_codec
+
+    enc, dec = png_codec()
+    cases = [
+        ([0] * 48, 8, 6),
+        ([255] * 48, 8, 6),
+        ([255 if (x + y) % 2 else 0 for y in range(7) for x in range(5)], 5, 7),
+        ([1], 1, 1),
+    ]
+    for pixels, w, h in cases:
+        assert dec(enc(pixels, w, h))[2] == pixels
+
+
+def test_png_crc_corruption_detected():
+    import pytest
+
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.multimodal import png_codec
+
+    enc, dec = png_codec()
+    payload = bytearray(enc([7] * 16, 4, 4))
+    # Flip a byte inside the IDAT data (after sig+IHDR chunk = 8+25 bytes,
+    # skip the IDAT length+tag too).
+    payload[8 + 25 + 8 + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        dec(bytes(payload))
+
+
+def test_decode_image_real_png_no_fake_needed():
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.multimodal import decode_image, png_codec
+
+    enc, _ = png_codec()
+    pixels = [3, 1, 4, 1, 5, 9, 2, 6]
+    feat = decode_image(enc(pixels, 4, 2))  # no fake=True
+    assert feat == [4.0, 2.0, float(sum(pixels)), float(sum(v * v for v in pixels))]
+
+
+def test_png_stats_query_matches_formula(spark):
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.multimodal import (
+        PNG_H,
+        PNG_MOD,
+        PNG_W,
+        multimodal_png_stats,
+    )
+
+    rows = multimodal_png_stats(spark, SF_DIR).orderBy("media_id").limit(5).collect()
+    assert rows
+    for r in rows:
+        expect = [
+            (r["media_id"] * 7 + y * 13 + x * 5) % PNG_MOD
+            for y in range(PNG_H)
+            for x in range(PNG_W)
+        ]
+        assert (r["width"], r["height"]) == (PNG_W, PNG_H)
+        assert r["pixel_sum"] == sum(expect)
+        assert r["energy"] == sum(v * v for v in expect)
