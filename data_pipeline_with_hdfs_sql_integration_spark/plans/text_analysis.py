@@ -270,7 +270,7 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BPE_MERGE_ROUNDS = 4
+BPE_MERGE_ROUNDS = 16
 
 
 @query(
@@ -282,15 +282,25 @@ BPE_MERGE_ROUNDS = 4
     "the most frequent pair, ties lexicographic -> fuse it everywhere "
     "via a greedy leftmost fold). Returns the learned merge table "
     "(round, sym_a, sym_b, merged, n_occurrences) — the artifact a "
-    "tokenizer trainer produces. Each round is ONE map-side-combined "
-    "aggregate plus a 1-row driver collect (the argmax pair — "
-    "constant-size at any corpus scale, same pattern as k-means "
-    "centroids); the merge application is a JVM HOF fold, zero Python. "
-    "Symbol arrays persist per round so round r+1's lineage starts "
-    "from materialized state instead of re-folding rounds 1..r. "
-    "Rows-only by design (greedy stateful iteration isn't "
-    "SQL-expressible); a pure-Python reference implementation verifies "
-    "the merge table in tests/test_bpe_learn.py.",
+    "tokenizer trainer produces. SCALES VIA THE WORD-FREQUENCY TABLE "
+    "(the standard distributed-BPE trick): the corpus is aggregated "
+    "ONCE into (distinct word -> occurrence count), and every round "
+    "iterates on that bounded vocab-sized relation — pair counts are "
+    "sum(freq), exactly equal to per-occurrence counting because "
+    "merges never cross word boundaries. Rounds × corpus-scan never "
+    "happens: 100 TB of text with a ~1M-word vocab costs one corpus "
+    "scan + rounds over 1M rows, so 10^4 merges stay feasible. Each "
+    "round is ONE map-side-combined aggregate over the vocab plus a "
+    "1-row driver collect (the argmax pair — constant-size at any "
+    "scale, same pattern as k-means centroids); the merge application "
+    "is a JVM HOF fold, zero Python. Each round localCheckpoints the "
+    "vocab so round r+1's plan starts from materialized state — "
+    "without the truncation, 16 nested fold lambdas accrete into one "
+    "plan and codegen/optimizer memory grows with the round count "
+    "(measured: OOMs a 1 GiB driver at round ~12). Rows-only by design "
+    "(greedy stateful "
+    "iteration isn't SQL-expressible); a pure-Python reference "
+    "implementation verifies the merge table in tests/test_bpe_learn.py.",
     tags=("text", "tokens", "training"),
 )
 def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,26 +309,30 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_parallel(spark, sf_dir, "documents")
     chars = F.filter(F.split(F.col("tok"), ""), lambda x: x != "")
-    syms = (
+    # The ONLY full-corpus pass: token occurrences -> (distinct word, freq).
+    words = (
         docs.select(F.explode(tf.tokens(F.col("text"))).alias("tok"))
         .filter(F.length("tok") >= 2)
-        .select(chars.alias("syms"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(chars.alias("syms"), "freq")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     records = []
     for rnd in range(1, BPE_MERGE_ROUNDS + 1):
-        pairs = syms.select(
+        pairs = words.select(
             F.explode(
                 F.zip_with(
                     F.slice(F.col("syms"), 1, F.size("syms") - 1),
                     F.slice(F.col("syms"), 2, F.size("syms") - 1),
                     lambda x, y: F.struct(x.alias("a"), y.alias("b")),
                 )
-            ).alias("p")
+            ).alias("p"),
+            "freq",
         )
         top = (
             pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("freq").alias("n"))
             .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
             .collect()
@@ -337,11 +351,12 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"THEN concat(slice(acc, 1, size(acc) - 1), array('{mq}')) "
             f"ELSE concat(acc, array(s)) END)"
         )
-        nxt = syms.select(apply_merge.alias("syms")).persist(StorageLevel.MEMORY_AND_DISK)
-        nxt.count()  # materialize before dropping the parent
-        syms.unpersist()
-        syms = nxt
-    syms.unpersist()
+        # localCheckpoint (eager) materializes AND truncates lineage, so
+        # the next round's plan holds exactly one fold expression.
+        nxt = words.select(apply_merge.alias("syms"), "freq").localCheckpoint(eager=True)
+        words.unpersist()
+        words = nxt
+    words.unpersist()
     return spark.createDataFrame(
         records, "round int, sym_a string, sym_b string, merged string, n_occurrences long"
     )
