@@ -160,3 +160,59 @@ def udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(wmedian(F.col("v"), F.col("wt")).alias("weighted_median"))
         .orderBy("suppkey")
     )
+
+
+@query(
+    "window_weighted_median",
+    oracle="""
+        WITH g AS (
+            SELECT l_suppkey AS suppkey, l_extendedprice AS v,
+                   CAST(l_quantity AS BIGINT) AS wt
+            FROM lineitem
+        ), pv AS (
+            SELECT suppkey, v, SUM(wt) AS wv FROM g GROUP BY suppkey, v
+        ), c AS (
+            SELECT suppkey, v,
+                   SUM(wv) OVER (PARTITION BY suppkey ORDER BY v) AS cum,
+                   SUM(wv) OVER (PARTITION BY suppkey) AS tot
+            FROM pv
+        )
+        SELECT suppkey, MIN(v) AS weighted_median
+        FROM c WHERE 2 * cum >= tot
+        GROUP BY suppkey
+        ORDER BY suppkey
+    """,
+    doc="Quantity-weighted median price per supplier as PURE JVM "
+    "engine code — the scalable sibling of `udaf_weighted_median` "
+    "(same oracle, same result). Shape: pre-aggregate weights per "
+    "(key, value), then one sort-based window pass computes the "
+    "cumulative and total weight, and the median is min(v) where "
+    "2*cum >= tot. Scale contrast with the GROUPED_AGG UDAF: no group "
+    "ever materializes in a single Python worker — the window operator "
+    "streams each sorted partition, so a key with 10^9 rows costs one "
+    "shuffle + external sort, not one worker's RAM. This is the "
+    "formulation to reach for on skewed/huge groups; the UDAF stays as "
+    "the ergonomic surface for bounded ones.",
+    tags=("window", "grouped"),
+)
+def window_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    pv = li.groupBy("suppkey", "v").agg(F.sum("wt").alias("wv"))
+    # v is distinct per key after the pre-aggregate, so the default
+    # RANGE frame (peer-inclusive, what the oracle uses) equals ROWS.
+    cum = F.sum("wv").over(Window.partitionBy("suppkey").orderBy("v"))
+    tot = F.sum("wv").over(Window.partitionBy("suppkey"))
+    c = pv.select("suppkey", "v", cum.alias("cum"), tot.alias("tot"))
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("suppkey")
+        .agg(F.min("v").alias("weighted_median"))
+        .orderBy("suppkey")
+    )
