@@ -123,19 +123,41 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+               abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+                   <= 0.05 * count(DISTINCT o_custkey) AS hll_within_5pct
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
     doc="Approximate distinct (HyperLogLog++): mergeable sketch, "
-    "map-side partials — the cardinality tool at 100 TB. Rows-only "
-    "(sketch estimates differ across engines by design); the unit test "
-    "bounds its error against the exact count.",
+    "map-side partials — the cardinality tool at 100 TB. Raw sketch "
+    "estimates are engine-specific, so the HASH-CHECKED contract is the "
+    "error bound itself: each engine asserts ITS OWN HLL estimate lands "
+    "within ±5% of the exact distinct count (Spark approx_count_distinct "
+    "rsd=0.02 vs DuckDB approx_count_distinct), and the exact counts "
+    "must agree bit-for-bit. A hash match therefore proves both "
+    "sketches honest, not just that rows exist.",
     tags=("analytics", "agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    return (
+    g = (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"))
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        )
+    )
+    return g.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("hll_within_5pct"),
     )
 
 

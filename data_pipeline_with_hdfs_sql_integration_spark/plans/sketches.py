@@ -2,8 +2,10 @@
 
 Approximate aggregation is how 100 TB pipelines answer "how often"
 without a full-cardinality shuffle. Engine-native sketches (HLL++ in
-`agg_approx_distinct`) are rows-only checkable because their hash
-internals differ per engine; the count-min sketch here is built from
+`agg_approx_distinct`) have engine-specific hash internals, so that
+query hash-checks a ±5% error-bound predicate (each engine asserts its
+own estimate against the exact count) rather than raw estimates; the
+count-min sketch here is built from
 this repo's own portable hash constants (functions/textfns.py), so the
 ENTIRE sketch — every bucket count and every estimate — is reproduced
 bit-for-bit by the DuckDB oracle. That turns "approximate" into

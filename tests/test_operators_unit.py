@@ -159,30 +159,20 @@ def test_approx_distinct_within_error_bound(spark):
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
     from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
 
-    approx = {
-        r["o_orderstatus"]: r["approx_customers"]
-        for r in all_queries()["agg_approx_distinct"].fn(spark, SF_DIR).collect()
-    }
-    exact = {
-        r["o_orderstatus"]: r["n"]
-        for r in load(spark, SF_DIR, "orders")
-        .groupBy("o_orderstatus")
-        .agg({"o_custkey": "approx_count_distinct"})
-        .withColumnRenamed("approx_count_distinct(o_custkey)", "n")
-        .collect()
-    }
-    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load as _load
     import pyspark.sql.functions as F
 
+    rows = all_queries()["agg_approx_distinct"].fn(spark, SF_DIR).collect()
     truth = {
         r["o_orderstatus"]: r["n"]
-        for r in _load(spark, SF_DIR, "orders")
+        for r in load(spark, SF_DIR, "orders")
         .groupBy("o_orderstatus")
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
-    for k, est in approx.items():
-        assert abs(est - truth[k]) / truth[k] < 0.1, (k, est, truth[k])
+    assert rows and len(rows) == len(truth)
+    for r in rows:
+        assert r["exact_customers"] == truth[r["o_orderstatus"]]
+        assert r["hll_within_5pct"] is True, r
 
 
 def test_cache_warm_all_layout_is_partition_pruned(spark):
