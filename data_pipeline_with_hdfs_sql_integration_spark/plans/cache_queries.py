@@ -55,7 +55,14 @@ def build_cache(spark: SparkSession, sf_dir: str, cache_root: str | None = None)
         .parquet(staging),
     )
     root = cache_root or tempfile.mkdtemp(prefix="dps_cache_")
-    return PartitionCache(spark, spark.read.parquet(main_path), KEY_COL, VALUE_COL, root)
+    # Project the stored main to (key, value) BEFORE handing it to the
+    # cache: every create-path scan then reads 2 parquet columns instead
+    # of the full join width (pruned ReadSchema), and the per-key
+    # partition files shrink to the single value column the reuse-path
+    # average needs. The reference can't prune (PyArrow reads its whole
+    # 1 MiB-block file); a columnar engine should.
+    main = spark.read.parquet(main_path).select(KEY_COL, VALUE_COL)
+    return PartitionCache(spark, main, KEY_COL, VALUE_COL, root)
 
 
 @query(
