@@ -151,18 +151,55 @@ def publish_store(store: str, write_fn) -> None:
     let two builders interleave files. No-op if already published.
     """
     import shutil
+    import time
 
     if os.path.exists(os.path.join(store, "_SUCCESS")):
         return
     if os.path.exists(store):  # crashed/partial build from an old scheme
-        shutil.rmtree(store, ignore_errors=True)
+        # TOCTOU guard: between the _SUCCESS check above and this
+        # removal, a concurrent builder may have atomically renamed a
+        # COMPLETE store into place. Re-check _SUCCESS immediately
+        # before removing, and only remove dirs that have had time to
+        # settle — a complete store's mtime is its (recent) staging
+        # build time, so the age gate alone protects it; a genuinely
+        # dead partial ages past the grace period and gets cleaned by a
+        # later call.
+        if os.path.exists(os.path.join(store, "_SUCCESS")):
+            return
+        try:
+            age = time.time() - os.stat(store).st_mtime
+        except OSError:
+            age = float("inf")  # vanished mid-probe: nothing to remove
+        if age >= 60.0:
+            shutil.rmtree(store, ignore_errors=True)
     staging = f"{store}.staging.{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
     write_fn(staging)
     try:
         os.rename(staging, store)
     except OSError:
-        shutil.rmtree(staging, ignore_errors=True)  # raced: other builder won
+        if os.path.exists(os.path.join(store, "_SUCCESS")):
+            shutil.rmtree(staging, ignore_errors=True)  # raced: other builder won
+        else:
+            # Blocked by a partial the age gate spared; our build is
+            # complete, so replace it (retry once — a publisher landing
+            # in this gap wins and we discard our copy).
+            shutil.rmtree(store, ignore_errors=True)
+            try:
+                os.rename(staging, store)
+            except OSError:
+                shutil.rmtree(staging, ignore_errors=True)
+
+
+def params_digest(*params) -> str:
+    """Short digest of the algorithm constants baked into a derived
+    store (hyperplane values, hash seeds, k-means iteration counts...).
+    Fold it into the store's `kind` so the cache key changes whenever
+    the CONSTANTS change — a count alone can't (same plane count with
+    different values must never serve stale signatures)."""
+    import hashlib
+
+    return hashlib.sha256(repr(params).encode()).hexdigest()[:8]
 
 
 def deterministic_tmp_dir(kind: str, source_path: str) -> str:

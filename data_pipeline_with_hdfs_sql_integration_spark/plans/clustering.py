@@ -160,13 +160,27 @@ def connected_components_star(pairs: DataFrame, src: str, dst: str) -> DataFrame
         selfm = mins.select(F.col("a"), F.col("m").alias("b")).filter(F.col("a") != F.col("b"))
         return attach.union(selfm).distinct()
 
-    prev = checksum(e)
+    prev_e, prev = e, checksum(e)
     for _ in range(MAX_ITERATIONS):
-        e = small_star(large_star(e)).localCheckpoint(True)
+        e = small_star(large_star(prev_e)).localCheckpoint(True)
         cur = checksum(e)
-        if cur == prev:
+        # The (count, wrapping-sum) checksum is a cheap fast path that
+        # can collide; on apparent convergence confirm the fixpoint
+        # EXACTLY (e ⊆ prev ∧ |e| = |prev| ⇒ equality) — one extra job,
+        # paid once. A collision then just means one more round, never
+        # wrong labels.
+        if cur == prev and e.exceptAll(prev_e).isEmpty():
             break
-        prev = cur
+        prev_e, prev = e, cur
+    else:
+        # Hitting the budget means the edge set was still moving — the
+        # star graph is unfinished and labels would be wrong/duplicated.
+        # Fail loudly (same contract as connected_components).
+        raise RuntimeError(
+            f"connected_components_star did not converge in {MAX_ITERATIONS} "
+            "rounds — O(log n) contraction should converge far earlier; "
+            "the input edge list is pathological or the budget is too low"
+        )
     labels = e.select(F.col("a").alias("node"), F.col("b").alias("cluster_id"))
     roots = nodes.join(e.select(F.col("a").alias("n")).distinct(), "n", "left_anti").select(
         F.col("n").alias("node"), F.col("n").alias("cluster_id")

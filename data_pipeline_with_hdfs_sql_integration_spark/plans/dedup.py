@@ -94,11 +94,15 @@ def minhash_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture's identity+version so regenerated corpora rebuild."""
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
         deterministic_tmp_dir,
+        params_digest,
         publish_store,
         table_path,
     )
 
-    store = deterministic_tmp_dir(f"minhashsigs{tf.MINHASH_K}", table_path(sf_dir, "documents"))
+    store = deterministic_tmp_dir(
+        f"minhashsigs{tf.MINHASH_K}v{params_digest(tf.MINHASH_PARAMS, tf.BASE, tf.MOD)}",
+        table_path(sf_dir, "documents"),
+    )
     publish_store(
         store,
         lambda staging: _shingle_hashes(spark, sf_dir)
@@ -572,7 +576,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
 
-    def gate(batch_df: DataFrame, _batch_id: int) -> None:
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
         sigs = _shingles_of(new).select(
             "doc_id", F.array(*tf.minhash_signature(F.col("sh"))).alias("sig")
@@ -607,7 +611,12 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("est"), F.lit(0.0)).alias("best_est"),
             )
         )
-        result.write.mode("append").parquet(out)
+        # Idempotent per-batch sink: foreachBatch is at-least-once, so a
+        # replayed micro-batch must overwrite ITS OWN directory, not
+        # append a second copy of its verdicts — effectively exactly-once
+        # (same contract as streaming/sinks.stream_to_parquet_exactly_once;
+        # plain dir names, not k=v, so read-back sees no partition column).
+        result.write.mode("overwrite").parquet(os.path.join(out, f"batch-{batch_id}"))
 
     q = (
         W.documents_stream(spark, sf_dir)
@@ -617,7 +626,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out)
 
 
 # ----------------------------------------------------------------- simhash
@@ -832,7 +841,6 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fuel even when the documents as wholes are not near-duplicates.
 SPAN_NGRAM = 8  # tokens per span
 SPAN_TOPK = 100  # deterministic report size
-SPAN_LOC_PACK = 1 << 20  # packed location = doc_id * PACK + pos
 
 
 def _span_gram_sql() -> str:
@@ -863,14 +871,14 @@ def _span_gram_sql() -> str:
             SELECT gh,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                    CAST(count(*) AS BIGINT) AS n_occurrences,
-                   min(doc_id * {SPAN_LOC_PACK} + pos) AS first_loc
+                   min({{'d': doc_id, 'p': pos}}) AS first
             FROM grams
             GROUP BY gh
             HAVING count(DISTINCT doc_id) >= 2
         )
         SELECT gh, n_docs, n_occurrences,
-               first_loc // {SPAN_LOC_PACK} AS first_doc,
-               first_loc % {SPAN_LOC_PACK} AS first_pos
+               first.d AS first_doc,
+               CAST(first.p AS BIGINT) AS first_pos
         FROM rep
         ORDER BY n_occurrences DESC, gh ASC
         LIMIT {SPAN_TOPK}
@@ -915,7 +923,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
-            F.min(F.col("doc_id") * SPAN_LOC_PACK + F.col("pos")).alias("first_loc"),
+            # Lexicographic struct-min: overflow-free at any doc_id/pos
+            # magnitude (a packed doc_id*2^20+pos encoding silently
+            # corrupts past 2^20 tokens and wraps differently per
+            # engine). Both engines order structs field-by-field.
+            F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(
+                "first"
+            ),
         )
         .filter(F.col("n_docs") >= 2)
     )
@@ -924,8 +938,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gh",
             "n_docs",
             "n_occurrences",
-            F.expr(f"first_loc div {SPAN_LOC_PACK}").alias("first_doc"),
-            (F.col("first_loc") % SPAN_LOC_PACK).alias("first_pos"),
+            F.col("first.d").alias("first_doc"),
+            F.col("first.p").cast("long").alias("first_pos"),
         )
         .orderBy(F.col("n_occurrences").desc(), F.col("gh").asc())
         .limit(SPAN_TOPK)

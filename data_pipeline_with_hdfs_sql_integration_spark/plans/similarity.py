@@ -112,11 +112,15 @@ def lsh_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
         deterministic_tmp_dir,
+        params_digest,
         publish_store,
         table_path,
     )
 
-    store = deterministic_tmp_dir(f"lshsigs{LSH_PLANES}", table_path(sf_dir, "embeddings"))
+    store = deterministic_tmp_dir(
+        f"lshsigs{LSH_PLANES}v{params_digest(HYPERPLANES, LSH_WORD)}",
+        table_path(sf_dir, "embeddings"),
+    )
     publish_store(
         store,
         lambda staging: _vecs(spark, sf_dir)
@@ -368,11 +372,16 @@ def ivf_index_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
 
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
         deterministic_tmp_dir,
+        params_digest,
         publish_store,
         table_path,
     )
 
-    store = deterministic_tmp_dir(f"ivfindex{IVF_CELLS}x{IVF_KMEANS_ITERS}", table_path(sf_dir, "embeddings"))
+    store = deterministic_tmp_dir(
+        f"ivfindex{IVF_CELLS}x{IVF_KMEANS_ITERS}"
+        f"v{params_digest(_SEED_MULT, _SEED_MOD, _FP)}",
+        table_path(sf_dir, "embeddings"),
+    )
 
     def build(staging: str) -> None:
         e = _vecs(spark, sf_dir)
@@ -850,11 +859,15 @@ def pq_index_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
 
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
         deterministic_tmp_dir,
+        params_digest,
         publish_store,
         table_path,
     )
 
-    store = deterministic_tmp_dir(f"pqindex{PQ_M}x{PQ_CODES}", table_path(sf_dir, "embeddings"))
+    store = deterministic_tmp_dir(
+        f"pqindex{PQ_M}x{PQ_CODES}v{params_digest(_SEED_MULT, _SEED_MOD, _FP, PQ_SUBDIM)}",
+        table_path(sf_dir, "embeddings"),
+    )
 
     def build(staging: str) -> None:
         codebook, codes = _pq_build(spark, sf_dir)
