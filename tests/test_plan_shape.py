@@ -289,3 +289,59 @@ def test_pq_adc_scan_broadcasts_lut(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """PROOF that AQE skew-join handling engages, next to the manual
+    salting in operators/skew.py: a join whose hot key owns ~90% of the
+    rows must show SortMergeJoin(skew=true) in the executed adaptive
+    plan — the oversized shuffle partition was split into advisory-size
+    reads instead of landing on one task.
+
+    Two setup subtleties this test pins: (1) the consumer after the
+    join must NOT require the join's hash distribution (a groupBy on
+    the join key would forbid splitting — OptimizeSkewedJoin preserves
+    required distributions); (2) broadcast must be off or the planner
+    sidesteps the shuffle entirely.
+    """
+    import pyspark.sql.functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Scale the size heuristics down to test-data magnitudes.
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        big = spark.range(300_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("payload"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("dim_pad"),
+        )
+        j = big.join(dim, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+        )
+        [row] = j.collect()
+        # Every big row has a dim match, so the join must be lossless …
+        assert row["n"] == 300_000
+        assert row["s"] == sum(range(300_000))
+        # … and the executed plan must show the skew split engaged.
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
