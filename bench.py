@@ -121,6 +121,15 @@ def main() -> None:
     timings["cache_reuse"] = t_reuse
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # ANN quality next to ANN speed: recall@10 of each approximate tier
+    # against the exact brute-force ranking at the same SF — a latency
+    # number for an index that returns the wrong neighbors is noise.
+    exact10 = [r["vec_id"] for r in specs["sim_cosine_topk"].fn(spark, SF_DIR).collect()][:10]
+    recalls = {}
+    for name in ("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq"):
+        got = [r["vec_id"] for r in specs[name].fn(spark, SF_DIR).collect()][:10]
+        recalls[name] = round(len(set(got) & set(exact10)) / 10, 3)
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -128,6 +137,7 @@ def main() -> None:
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cache_speedup": round(t_create / t_reuse, 3) if t_reuse > 0 else None,
+        "ann_recall_at_10": recalls,
     }
     print(json.dumps(out))
 

@@ -67,6 +67,10 @@ class PartitionCache:
         self.value_col = value_col
         self.cache_root = cache_root.rstrip("/")
         self.replication = replication
+        # Partition files carry main's schema minus the key column; pin
+        # it so every reuse-path read skips driver-side schema inference
+        # (one footer read per calc_avg otherwise).
+        self._cache_schema = main.drop(key_col).schema
 
     # -- paths ---------------------------------------------------------
     def partition_path(self, key: object) -> str:
@@ -141,7 +145,9 @@ class PartitionCache:
         if not self._exists(self.partition_path(key)):
             return self._recompute(key, "create")  # server.py:113-116
         try:
-            cached = self.spark.read.parquet(self.partition_path(key))
+            cached = self.spark.read.schema(self._cache_schema).parquet(
+                self.partition_path(key)
+            )
             avg = self._avg_of(cached)
             if avg is None:
                 return CacheResult(key, 0, "", f"no rows for {self.key_col}={key}")
@@ -151,7 +157,12 @@ class PartitionCache:
                 # Raced deletion between the exists probe and the read.
                 return self._recompute(key, "create")
             return self._recompute(key, "recreate")  # corrupt metadata etc.
-        except Exception:
+        except Exception as exc:
+            # With a pinned schema the path is first touched at job time,
+            # so a raced deletion surfaces here as FileNotFound — keep the
+            # reference's FileNotFoundError→create mapping (server.py:113).
+            if "FileNotFound" in str(exc) or "Path does not exist" in str(exc):
+                return self._recompute(key, "create")
             return self._recompute(key, "recreate")  # server.py:118-121 (OSError)
 
     def invalidate(self) -> None:

@@ -702,7 +702,9 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 4  # subspaces
 PQ_SUBDIM = EMB_DIM // PQ_M  # 16 dims each
 PQ_CODES = 8  # codebook entries per subspace -> 4x3 bits per vector
-PQ_CAND = 80  # ADC candidates reranked exactly
+PQ_CAND = 200  # ADC candidates reranked exactly (recall knob: rerank cost is
+# ~PQ_CAND exact dots per query -- trivial next to the ADC scan -- while
+# recall@10 at sf0.1 measured 0.5 at 80 and 0.9 at 200)
 
 
 def _l2(a, b):

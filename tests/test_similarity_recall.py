@@ -17,16 +17,20 @@ def _recall(spark, ann_name: str, k: int = 10) -> float:
     return len(set(got) & set(exact)) / k
 
 
+# Floors sit one matched-vector below the values measured at the test
+# SF (lsh 0.9, ivf 0.9, pq 0.9 after PQ_CAND 80->200) so a silent
+# quality regression trips before it reaches parity-passing-but-wrong
+# territory, while one borderline tie stays survivable.
 def test_lsh_recall_floor(spark):
-    assert _recall(spark, "sim_ann_lsh") >= 0.7
+    assert _recall(spark, "sim_ann_lsh") >= 0.8
 
 
 def test_ivf_recall_floor(spark):
-    assert _recall(spark, "sim_ann_ivf") >= 0.7
+    assert _recall(spark, "sim_ann_ivf") >= 0.8
 
 
 def test_pq_recall_floor(spark):
-    assert _recall(spark, "sim_ann_pq") >= 0.7
+    assert _recall(spark, "sim_ann_pq") >= 0.8
 
 
 def test_batch_ann_recall_floor(spark):
@@ -54,4 +58,4 @@ def test_batch_ann_recall_floor(spark):
         order = np.lexsort((ids, -np.round(cos, 6)))
         exact = set(ids[order[:10]])
         recalls.append(len(exact & set(got.get(q, []))) / 10)
-    assert sum(recalls) / len(recalls) >= 0.7
+    assert sum(recalls) / len(recalls) >= 0.8
