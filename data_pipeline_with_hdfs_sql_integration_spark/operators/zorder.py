@@ -32,3 +32,15 @@ def zorder2(x: Column, y: Column) -> Column:
             + F.shiftleft(F.shiftright(ys, j).bitwiseAND(F.lit(1)), 2 * j + 1)
         )
     return z
+
+
+def scale_to_grid(c: Column, lo: float, hi: float, buckets: int = 256) -> Column:
+    """Map [lo, hi] onto [0, buckets-1] so both dimensions occupy the
+    FULL interleave grid. Raw keys usually fill only the low bits of
+    their 16-bit field, which leaves Morton cells thin slivers whose
+    min/max rectangles are wide; normalizing first (the Delta/Iceberg
+    Z-order trick — theirs is rank-based, this is min/max affine, right
+    for near-uniform keys) makes a contiguous Z range a compact square."""
+    span = max(float(hi) - float(lo), 1.0)
+    scaled = ((c.cast("double") - float(lo)) * (buckets - 1) / span)
+    return F.least(F.greatest(F.round(scaled).cast("long"), F.lit(0)), F.lit(buckets - 1))

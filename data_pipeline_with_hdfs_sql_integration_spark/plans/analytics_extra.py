@@ -351,3 +351,88 @@ def agg_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias("segments"),
         F.count("*").alias("n_customers"),
     )
+
+
+@query(
+    "layout_zorder_pruning",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_partkey BETWEEN 10 AND 59
+          AND l_suppkey BETWEEN 1 AND 5
+        GROUP BY l_returnflag
+    """,
+    doc="Z-ordered layout + 2-D range pruning (operators/zorder.py): "
+    "lineitem is written ONCE range-partitioned and sorted by the "
+    "Morton interleave of (l_partkey, l_suppkey), so every parquet "
+    "row group covers a contiguous Z range — a small 2-D box "
+    "predicate overlaps only the few row groups whose min/max "
+    "rectangles touch the box, instead of ALL of them as in the "
+    "natural (shipdate-ish) order where each row group spans nearly "
+    "the full partkey AND suppkey range. tests/test_plan_shape.py "
+    "counts overlapping row groups from the parquet footers of both "
+    "layouts and asserts the Z layout prunes strictly harder. "
+    "Correctness never depends on the layout: the scan re-applies the "
+    "pushed predicate, so even a dimension overflowing the 16-bit "
+    "Morton mask (l_partkey >= 65536 at sf>~0.3) only costs locality, "
+    "never rows — at that scale raise zorder.BITS or pre-scale the "
+    "dimension. Values oracled against the unordered source table.",
+    tags=("layout", "zorder", "pruning"),
+)
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        table_path,
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.zorder import (
+        scale_to_grid,
+        zorder2,
+    )
+
+    apply_runtime_confs(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    # Keyed on the SOURCE file's content version (mtime+size) AND the
+    # layout parameters (partition count): a regenerated fixture or a
+    # re-tuned layout can never serve a stale z-ordered copy. 64 z-range
+    # partitions ≈ a 3-level quadtree split, tight enough that each row
+    # group's (partkey, suppkey) min/max rectangle is small.
+    n_zparts = 64
+    path = deterministic_tmp_dir(
+        f"layout_zorder_p{n_zparts}_g256", table_path(sf_dir, "lineitem")
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        # One cheap bounds aggregate (4 scalars to the driver), then
+        # both dimensions are normalized onto the full interleave grid
+        # so Z cells are compact squares, not thin slivers.
+        b = li.agg(
+            F.min("l_partkey"), F.max("l_partkey"),
+            F.min("l_suppkey"), F.max("l_suppkey"),
+        ).first()
+        z = zorder2(
+            scale_to_grid(F.col("l_partkey"), b[0], b[1]),
+            scale_to_grid(F.col("l_suppkey"), b[2], b[3]),
+        )
+        (
+            li.withColumn("_z", z)
+            .repartitionByRange(n_zparts, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    box = spark.read.parquet(path).filter(
+        F.col("l_partkey").between(10, 59) & F.col("l_suppkey").between(1, 5)
+    )
+    return box.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

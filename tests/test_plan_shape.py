@@ -345,3 +345,67 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_prunes_row_groups(spark):
+    """The Z-ordered lineitem layout must let the 2-D box predicate
+    skip most row groups, while the natural order skips (almost) none.
+    Measured directly from the parquet footers: a row group can be
+    skipped iff its [min,max] rectangle on (l_partkey, l_suppkey)
+    misses the box — exactly the stats the reader's row-group filter
+    uses, with no dependence on Spark internals."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        table_path,
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    # Build (or reuse) the z-ordered layout via the query itself.
+    all_queries()["layout_zorder_pruning"].fn(spark, SF_DIR).collect()
+    zpath = deterministic_tmp_dir("layout_zorder_p64_g256", table_path(SF_DIR, "lineitem"))
+
+    # Natural-order control: same columns, same 16-file split, no sort.
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+
+    npath = deterministic_tmp_dir("layout_zorder_ctrl", table_path(SF_DIR, "lineitem"))
+    if not os.path.exists(os.path.join(npath, "_SUCCESS")):
+        (
+            load(spark, SF_DIR, "lineitem")
+            .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag")
+            .repartition(16)
+            .write.mode("overwrite")
+            .parquet(npath)
+        )
+
+    def overlap_stats(path):
+        total = overlapping = 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            meta = pq.ParquetFile(f).metadata
+            names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                pk = g.column(names["l_partkey"]).statistics
+                sk = g.column(names["l_suppkey"]).statistics
+                total += 1
+                if pk.min <= 59 and pk.max >= 10 and sk.min <= 5 and sk.max >= 1:
+                    overlapping += 1
+        return total, overlapping
+
+    z_total, z_hit = overlap_stats(zpath)
+    n_total, n_hit = overlap_stats(npath)
+    assert z_total >= 32 and n_total >= 8  # both layouts really split
+    # Natural order: every row group spans nearly the full key range,
+    # so NOTHING can be skipped.
+    assert n_hit == n_total
+    # Z order: only the quadtree cells actually touching the box
+    # overlap — at most half the row groups even at sf0.001 where the
+    # box is a large fraction of the key space, and far fewer as SF
+    # grows and the box shrinks relative to the domain.
+    assert z_hit / z_total <= 0.5 < n_hit / n_total + 0.5
