@@ -69,6 +69,8 @@ HEADLINE = [
     "mix_weighted_budget",
     "layout_bucketed_join",
     "layout_dynamic_partition_pruning",
+    "layout_zorder_pruning",
+    "quality_lm_bigram",
 ]
 
 

@@ -815,3 +815,78 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", score.alias("score_fp"), (score >= QM_THRESHOLD_FP).alias("keep")
     )
+
+
+@query(
+    "quality_lm_bigram",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {tf.sql_tokens('text')} AS t FROM documents
+        ),
+        grams AS (
+            SELECT s.doc_id, s.t[u.i] AS a, s.t[u.i + 1] AS b
+            FROM (SELECT * FROM toks WHERE len(t) >= 2) s
+            CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(1, len(s.t) - 1)) AS i
+            ) u
+        ),
+        cab AS (SELECT a, b, count(*) AS cab FROM grams GROUP BY a, b),
+        ca AS (SELECT a, count(*) AS ca FROM grams GROUP BY a),
+        p AS (
+            SELECT cab.a, cab.b,
+                   (cab.cab * 1000000) // ca.ca AS p_ppm
+            FROM cab JOIN ca ON cab.a = ca.a
+        ),
+        dg AS (SELECT doc_id, a, b, count(*) AS k FROM grams GROUP BY doc_id, a, b)
+        SELECT dg.doc_id,
+               CAST(sum(dg.k) AS BIGINT) AS n_bigrams,
+               CAST(sum(dg.k * p.p_ppm) // sum(dg.k) AS BIGINT) AS avg_bigram_ppm
+        FROM dg JOIN p ON dg.a = p.a AND dg.b = p.b
+        GROUP BY dg.doc_id
+    """,
+    doc="Bigram-LM likelihood quality score (the CCNet motif: filter "
+    "training text by how predictable a corpus-trained n-gram LM finds "
+    "it) in exact fixed point: the LM is p(b|a) = c(ab)/c(a·) floored "
+    "to parts-per-million (integer div — no float log, no cross-engine "
+    "ulp drift), and a document scores the k-weighted mean p_ppm of "
+    "its bigram multiset. Low scores flag gibberish/boilerplate-free "
+    "weirdness; high scores flag repetitive text — both tails are "
+    "standard cut candidates. Scale shape: the exploded bigram "
+    "relation is aggregated THREE ways, each with map-side partials "
+    "(corpus bigram counts = the LM, first-token totals, per-doc "
+    "bigram multisets); the LM tables are vocab-bounded — at 100 TB "
+    "publish them once as a store (catalog.publish_store, like the "
+    "minhash/IVF indexes) and score any corpus against them with one "
+    "vocab-keyed join; sum(k*p_ppm) stays under int64 for corpora up "
+    "to ~9e12 bigrams (beyond that, widen to decimal(38,0)).",
+    tags=("text", "quality", "training"),
+)
+def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tf.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.struct(
+            F.get(F.col("t"), i).alias("a"), F.get(F.col("t"), i + 1).alias("b")
+        ),
+    )
+    grams = toks.select("doc_id", F.explode(pairs).alias("g")).select(
+        "doc_id", "g.a", "g.b"
+    )
+    cab = grams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    ca = grams.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    p = cab.join(ca, "a").select(
+        "a", "b", F.expr("cab * 1000000L div ca").alias("p_ppm")
+    )
+    dg = grams.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        dg.join(p, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.expr("CAST(sum(k * p_ppm) div sum(k) AS BIGINT)").alias("avg_bigram_ppm"),
+        )
+    )
