@@ -1265,3 +1265,87 @@ def _register_sim_ann_lsh_batch() -> None:
 
 
 _register_sim_ann_lsh_batch()
+
+
+# ------------------------------------------------------- semantic dedup
+def _register_dedup_semantic() -> None:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): duplicate pairs
+    are only sought WITHIN k-means cells of the embedding space, so the
+    quadratic pair cost is n_cell^2 per cell instead of N^2 corpus-wide."""
+    from data_pipeline_with_hdfs_sql_integration_spark.plans import similarity as sim
+
+    @query(
+        "dedup_semantic",
+        oracle=f"""
+            WITH e AS ({sim._SQL_VECS}),
+            {sim._KMEANS_CTES},
+            assignedf AS (
+                SELECT vec_id, cell_id FROM (
+                    SELECT e.vec_id, c.cell_id,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {sim._sql_cosine('e.v', 'c.cv')} DESC,
+                                        c.cell_id ASC) AS rn
+                    FROM e, {sim._KMEANS_FINAL} c)
+                WHERE rn = 1),
+            m AS (SELECT a.vec_id, a.cell_id, e.v
+                  FROM assignedf a JOIN e ON a.vec_id = e.vec_id),
+            dup AS (
+                SELECT DISTINCT b.vec_id
+                FROM m a JOIN m b
+                  ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+                WHERE {sim._sql_cosine('a.v', 'b.v')} >= {EMB_COSINE_THRESHOLD})
+            SELECT m.vec_id, m.cell_id,
+                   CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+        """,
+        doc=f"Semantic dedup, SemDeDup-shaped: vectors are bucketed by "
+        f"the {sim.IVF_CELLS}-cell deterministic k-means quantizer (the "
+        "SAME build-once IVF index store the ANN queries use — zero "
+        "extra clustering cost), then candidate pairs are enumerated "
+        "ONLY within a cell (cell-keyed equi-self-join, never a corpus "
+        f"cross join) and a vector is dropped when a lower-id cell-mate "
+        f"sits at cosine >= {EMB_COSINE_THRESHOLD}. At 100 TB the cell "
+        "count grows ~N/target_cell_size (the SemDeDup paper runs 50k "
+        "cells) so per-cell pair work stays constant; the pair join "
+        "shuffles on cell_id and the verdict is a left anti lookup. "
+        "Greedy lowest-id-wins keeps exactly one representative per "
+        "dense neighborhood without a transitive closure (that "
+        "stronger semantics is dedup_clusters').",
+        tags=("dedup", "embeddings", "semantic", "training"),
+    )
+    def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        apply_runtime_confs(spark)
+        _cent, assigned = sim.ivf_index_store(spark, sf_dir)
+        e = sim._vecs(spark, sf_dir)
+        m = assigned.select("vec_id", "cell_id").join(e, "vec_id")
+        a = m.select(
+            F.col("cell_id"),
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("va"),
+        )
+        b = m.select(
+            F.col("cell_id"),
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+        )
+        dup = (
+            a.join(b, "cell_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(sim._cosine(F.col("va"), F.col("vb")) >= EMB_COSINE_THRESHOLD)
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+        )
+        return (
+            m.select("vec_id", "cell_id")
+            .join(dup.withColumn("_d", F.lit(1)), "vec_id", "left")
+            .select(
+                "vec_id",
+                "cell_id",
+                F.when(F.col("_d").isNull(), F.lit(1)).otherwise(F.lit(0))
+                .cast("long")
+                .alias("keep"),
+            )
+        )
+
+
+_register_dedup_semantic()
