@@ -873,15 +873,24 @@ def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get(F.col("t"), i).alias("a"), F.get(F.col("t"), i + 1).alias("b")
         ),
     )
-    grams = toks.select("doc_id", F.explode(pairs).alias("g")).select(
-        "doc_id", "g.a", "g.b"
+    from pyspark.storagelevel import StorageLevel
+
+    # Persist the per-doc bigram multiset — the SMALLEST relation that
+    # still determines everything downstream: corpus bigram counts are
+    # sum(k) over it, first-token totals are sum over those, so one
+    # tokenize+explode pass feeds all three aggregates instead of three
+    # full lineage re-runs.
+    dg = (
+        toks.select("doc_id", F.explode(pairs).alias("g"))
+        .groupBy("doc_id", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cab = grams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
-    ca = grams.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    cab = dg.groupBy("a", "b").agg(F.sum("k").alias("cab"))
+    ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
     p = cab.join(ca, "a").select(
         "a", "b", F.expr("cab * 1000000L div ca").alias("p_ppm")
     )
-    dg = grams.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("k"))
     return (
         dg.join(p, ["a", "b"])
         .groupBy("doc_id")
