@@ -34,6 +34,9 @@ PICKS = [
     ("layout_dynamic_partition_pruning", "dynamicpruningexpression subquery in the fact scan's PartitionFilters, fed by the broadcast tier='hot' dim"),
     ("layout_bucketed_join", "both sides read pre-bucketed+sorted (SelectedBucketsCount); the only Exchange is the final aggregate's"),
     ("dedup_embedding_lsh", "signature persist barrier; band bucket equi-join candidates; exact cosine verify joins fetch only candidate vectors"),
+    ("layout_zorder_pruning", "reads the grid-normalized Morton layout; the 2-D box predicate reaches PushedFilters over the z-sorted files"),
+    ("dedup_semantic", "cell-keyed equi-self-join (no cartesian) over the stored IVF assignments; verdict via left join on vec_id"),
+    ("quality_lm_bigram", "one exploded pass -> persisted per-doc bigram multiset; LM tables derived by re-aggregation; vocab-keyed joins"),
 ]
 
 
