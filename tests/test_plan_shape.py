@@ -409,3 +409,34 @@ def test_zorder_layout_prunes_row_groups(spark):
     # box is a large fraction of the key space, and far fewer as SF
     # grows and the box shrinks relative to the domain.
     assert z_hit / z_total <= 0.5 < n_hit / n_total + 0.5
+
+
+def test_dedup_semantic_pair_join_is_equi(spark):
+    """The SemDeDup pair search must be a cell-keyed equi-join, never a
+    cartesian product (the entire point of clustering first)."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["dedup_semantic"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_lm_bigram_single_explode_pass(spark):
+    """The LM scorer's three aggregates must all hang off the persisted
+    per-doc bigram multiset (InMemoryTableScan), not three re-runs of
+    the tokenize+explode lineage — and the whole pipeline stays JVM-side."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["quality_lm_bigram"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # One Generate (the explode) in the whole tree: every
+    # InMemoryTableScan prints the SAME cached plan, so all Generate
+    # mentions must carry one shared node id — a second distinct id
+    # would mean a re-run of the explode lineage outside the cache.
+    import re
+
+    gen_ids = set(re.findall(r"Generate \((\d+)\)", plan))
+    assert len(gen_ids) == 1, gen_ids
