@@ -1349,3 +1349,121 @@ def _register_dedup_semantic() -> None:
 
 
 _register_dedup_semantic()
+
+
+def _register_dedup_incremental_semantic() -> None:
+    """Ingestion-time counterpart of dedup_semantic, with the verdict
+    protocol of dedup_incremental_minhash: the frozen quantizer (the
+    IVF store's centroids) assigns each arriving vector to a cell, and
+    candidates are only its cell-mates — base corpus or earlier rows of
+    the same increment."""
+    from data_pipeline_with_hdfs_sql_integration_spark.plans import similarity as sim
+
+    @query(
+        "dedup_incremental_semantic",
+        oracle=f"""
+            WITH e AS ({sim._SQL_VECS}),
+            {sim._KMEANS_CTES},
+            assignedf AS (
+                SELECT vec_id, cell_id FROM (
+                    SELECT e.vec_id, c.cell_id,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {sim._sql_cosine('e.v', 'c.cv')} DESC,
+                                        c.cell_id ASC) AS rn
+                    FROM e, {sim._KMEANS_FINAL} c)
+                WHERE rn = 1),
+            m AS (SELECT a.vec_id, a.cell_id, e.v
+                  FROM assignedf a JOIN e ON a.vec_id = e.vec_id),
+            scored AS (
+                SELECT n.vec_id AS new_vec, o.vec_id AS match,
+                       {sim._sql_cosine('n.v', 'o.v')} AS cos
+                FROM m n JOIN m o
+                  ON n.cell_id = o.cell_id
+                 AND o.vec_id <> n.vec_id
+                 AND (o.vec_id % {INCR_NEW_MOD} <> 0 OR o.vec_id < n.vec_id)
+                WHERE n.vec_id % {INCR_NEW_MOD} = 0
+                  AND {sim._sql_cosine('n.v', 'o.v')} >= {EMB_COSINE_THRESHOLD}
+            ),
+            best AS (
+                SELECT new_vec, match, cos,
+                       row_number() OVER (PARTITION BY new_vec
+                                          ORDER BY cos DESC, match ASC) AS rn
+                FROM scored
+            )
+            SELECT m.vec_id AS new_vec,
+                   CASE WHEN b.match IS NULL THEN 'unique'
+                        WHEN b.match % {INCR_NEW_MOD} <> 0 THEN 'dup_of_index'
+                        ELSE 'dup_in_batch' END AS verdict,
+                   COALESCE(b.match, CAST(-1 AS BIGINT)) AS best_match,
+                   COALESCE(b.cos, CAST(0.0 AS DOUBLE)) AS best_cos
+            FROM m
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_vec = m.vec_id
+            WHERE m.vec_id % {INCR_NEW_MOD} = 0
+        """,
+        doc="Incremental (ingestion-time) SEMANTIC dedup: each vector of "
+        "the arriving increment (vec_id % "
+        f"{INCR_NEW_MOD} = 0, ~20%) is assigned to its IVF cell by the "
+        "store's frozen quantizer and compared ONLY to cell-mates — "
+        "accumulated-corpus rows ('dup_of_index') or earlier rows of "
+        "the same increment ('dup_in_batch'; first occurrence wins, "
+        "ties to highest cosine then lowest id), else 'unique'. The "
+        "production shape of SemDeDup ingestion: quantizer trained "
+        "once and frozen in the index store, per-increment cost "
+        "O(|increment| x cell occupancy) via the cell-keyed equi-join "
+        "(never increment x corpus), centroids broadcast "
+        "(cells x dims doubles at any corpus size).",
+        tags=("dedup", "embeddings", "semantic", "incremental", "training"),
+    )
+    def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        apply_runtime_confs(spark)
+        _cent, assigned = sim.ivf_index_store(spark, sf_dir)
+        e = sim._vecs(spark, sf_dir)
+        m = assigned.select("vec_id", "cell_id").join(e, "vec_id")
+        new = m.filter(F.col("vec_id") % INCR_NEW_MOD == 0).select(
+            F.col("cell_id"),
+            F.col("vec_id").alias("new_vec"),
+            F.col("v").alias("vn"),
+        )
+        other = m.select(
+            F.col("cell_id"),
+            F.col("vec_id").alias("match"),
+            F.col("v").alias("vm"),
+        )
+        scored = (
+            new.join(other, "cell_id")
+            .filter(
+                (F.col("match") != F.col("new_vec"))
+                & (
+                    (F.col("match") % INCR_NEW_MOD != 0)
+                    | (F.col("match") < F.col("new_vec"))
+                )
+            )
+            .select(
+                "new_vec",
+                "match",
+                sim._cosine(F.col("vn"), F.col("vm")).alias("cos"),
+            )
+            .filter(F.col("cos") >= EMB_COSINE_THRESHOLD)
+        )
+        w = Window.partitionBy("new_vec").orderBy(
+            F.col("cos").desc(), F.col("match").asc()
+        )
+        best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        newids = m.filter(F.col("vec_id") % INCR_NEW_MOD == 0).select(
+            F.col("vec_id").alias("new_vec")
+        )
+        joined = newids.join(best.select("new_vec", "match", "cos"), "new_vec", "left")
+        verdict = (
+            F.when(F.col("match").isNull(), F.lit("unique"))
+            .when(F.col("match") % INCR_NEW_MOD != 0, F.lit("dup_of_index"))
+            .otherwise(F.lit("dup_in_batch"))
+        )
+        return joined.select(
+            "new_vec",
+            verdict.alias("verdict"),
+            F.coalesce(F.col("match"), F.lit(-1).cast("long")).alias("best_match"),
+            F.coalesce(F.col("cos"), F.lit(0.0)).alias("best_cos"),
+        )
+
+
+_register_dedup_incremental_semantic()
