@@ -71,6 +71,7 @@ HEADLINE = [
     "layout_dynamic_partition_pruning",
     "layout_zorder_pruning",
     "quality_lm_bigram",
+    "dedup_semantic",
 ]
 
 

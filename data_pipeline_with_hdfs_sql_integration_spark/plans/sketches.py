@@ -169,3 +169,92 @@ def stream_sketch_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
     spark, name = run_to_memory(cells)
     return spark.table(name)
+
+
+# -------------------------------------------------- histogram quantiles
+HQ_BIN_W = 500.0  # fixed bin width over o_totalprice
+HQ_NBINS = 1200  # covers [0, 600k); clamp under/overflow to end bins
+HQ_QS_PM = (500, 900, 950, 990)  # per-mille quantiles to report
+
+
+@query(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+        WITH hist AS (
+            SELECT LEAST(GREATEST(CAST(floor(o_totalprice / {HQ_BIN_W}) AS BIGINT),
+                                  0), {HQ_NBINS - 1}) AS bin,
+                   count(*) AS cnt
+            FROM orders
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin, cnt,
+                   sum(cnt) OVER (ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER () AS total
+            FROM hist
+        ),
+        qs AS (SELECT unnest([{", ".join(str(q) for q in HQ_QS_PM)}]) AS q_pm)
+        SELECT qs.q_pm,
+               CAST(min(cum.bin) AS BIGINT) AS est_bin,
+               CAST((min(cum.bin) + 1) * {HQ_BIN_W} AS DOUBLE) AS est_upper,
+               CAST(min(cum.total) AS BIGINT) AS n
+        FROM qs JOIN cum
+          ON cum.cum >= (qs.q_pm * cum.total + 999) // 1000
+        GROUP BY qs.q_pm
+    """,
+    doc=f"Mergeable histogram-quantile sketch: {HQ_NBINS} fixed "
+    f"{HQ_BIN_W:g}-wide bins over o_totalprice (one map-side-combined "
+    "groupBy; bin counts ADD, so shards/days/reruns merge by summing), "
+    "then P50/P90/P95/P99 read off as the first bin whose cumulative "
+    "count reaches ceil(q*N) — a pure-integer rule both engines "
+    "evaluate identically, making this 'deterministically "
+    "approximate' like the count-min sketch (error bound = one bin "
+    "width, here 500 on a 0-600k domain). The cumulative window runs "
+    f"over AT MOST {HQ_NBINS} rows regardless of corpus size — the "
+    "single-partition window is over the SKETCH, never the data — and "
+    "the quantile probe joins a 4-row literal against it. This is the "
+    "100 TB percentile path where exact sorts are off the table and "
+    "engine-native approx_percentile is not value-checkable across "
+    "engines.",
+    tags=("sketch", "quantile", "agg"),
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    o = load_parallel(spark, sf_dir, "orders")
+    b = F.least(
+        F.greatest(
+            F.floor(F.col("o_totalprice") / HQ_BIN_W).cast("long"), F.lit(0)
+        ),
+        F.lit(HQ_NBINS - 1),
+    )
+    hist = o.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    # Cumulative sum over <= HQ_NBINS rows: the unpartitioned window is
+    # bounded by the sketch width, not the data.
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    qs = spark.createDataFrame([(q,) for q in HQ_QS_PM], "q_pm bigint")
+    return (
+        cum.join(
+            F.broadcast(qs),
+            F.col("cum") >= F.expr("(q_pm * total + 999) div 1000"),
+        )
+        .groupBy("q_pm")
+        .agg(
+            F.min("bin").cast("long").alias("est_bin"),
+            ((F.min("bin") + 1) * HQ_BIN_W).cast("double").alias("est_upper"),
+            F.min("total").cast("long").alias("n"),
+        )
+    )
