@@ -428,6 +428,11 @@ def test_quality_lm_bigram_single_explode_pass(spark):
     the tokenize+explode lineage — and the whole pipeline stays JVM-side."""
     from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
 
+    # An earlier parity run of this query leaves its multiset cached;
+    # CacheManager would then substitute that entry INSIDE the fresh
+    # persist call and print two nested cached plans (two Generate
+    # ids). Clear the cache so the assertion sees one build's plan.
+    spark.catalog.clearCache()
     df = all_queries()["quality_lm_bigram"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "InMemoryTableScan" in plan
