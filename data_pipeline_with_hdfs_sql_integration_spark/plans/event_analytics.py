@@ -337,3 +337,139 @@ def cep_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("journey").rlike(rx), 1)).alias(f"n_{label}")
         )
     return j.agg(*aggs)
+
+
+@query(
+    "gapfill_interpolate",
+    oracle=f"""
+        WITH grid AS (
+            SELECT u.user_id, g.h AS hour_ts
+            FROM (SELECT DISTINCT user_id FROM events WHERE user_id < {GAPFILL_USERS}) u,
+                 (SELECT unnest(generate_series(
+                      TIMESTAMP '2024-01-01 00:00:00',
+                      TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '{GAPFILL_HOURS - 1} hours',
+                      INTERVAL '1 hour')) AS h) g
+        ), obs AS (
+            SELECT user_id, ts, value FROM (
+                SELECT user_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE user_id < {GAPFILL_USERS})
+            WHERE rn = 1
+        ), prv AS (
+            SELECT g.user_id, g.hour_ts, o.ts AS pt, o.value AS pv
+            FROM grid g
+            ASOF LEFT JOIN obs o
+              ON g.user_id = o.user_id AND g.hour_ts >= o.ts
+        ), nxt AS (
+            SELECT g.user_id, g.hour_ts, o.ts AS nt, o.value AS nv
+            FROM grid g
+            ASOF LEFT JOIN obs o
+              ON g.user_id = o.user_id AND g.hour_ts <= o.ts
+        )
+        SELECT p.user_id, p.hour_ts,
+               round(CASE
+                   WHEN p.pt = p.hour_ts THEN p.pv
+                   WHEN p.pt IS NULL OR n.nt IS NULL THEN NULL
+                   ELSE p.pv + (n.nv - p.pv)
+                        * (epoch(p.hour_ts) - epoch(p.pt))
+                        / (epoch(n.nt) - epoch(p.pt))
+               END, 4) AS interp_value
+        FROM prv p JOIN nxt n
+          ON p.user_id = n.user_id AND p.hour_ts = n.hour_ts
+        ORDER BY p.user_id, p.hour_ts
+    """,
+    doc="Gap filling by linear interpolation (the two-sided sibling of "
+    "gapfill_locf): each hourly slot takes "
+    "pv + (nv-pv)*(t-pt)/(nt-pt) between its bracketing observations, "
+    "the exact observation when one lands ON the hour (degenerate "
+    "pt = t needs no next neighbor), and NULL outside the observed "
+    "range. Spark side: ONE union-tag interleave and ONE sort per "
+    "(user) partition serving BOTH directions — forward "
+    "last(ignorenulls) carries (pt, pv), backward first(ignorenulls) "
+    "over the following frame carries (nt, nv); no second shuffle, no "
+    "range-join explosion. The oracle brackets with DuckDB's native "
+    "ASOF joins in each direction, so two independent formulations "
+    "must agree to 4 decimals. Same per-key state story as the as-of "
+    "join at 100 TB: add a coarse time bucket to the partition key to "
+    "bound task sort size.",
+    tags=("events", "temporal"),
+)
+def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < GAPFILL_USERS)
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(GAPFILL_HOURS).select(
+                (
+                    F.lit("2024-01-01 00:00:00").cast("timestamp")
+                    + F.make_interval(hours=F.col("id").cast("int"))
+                ).alias("hour_ts")
+            )
+        )
+    )
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    obs = (
+        ev.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(0).alias("is_grid"),
+            F.struct(F.col("ts").alias("ot"), F.col("value").alias("ov")).alias("o"),
+        )
+    )
+    slots = grid.select(
+        "user_id",
+        F.col("hour_ts").alias("t"),
+        F.lit(1).alias("is_grid"),
+        F.lit(None)
+        .cast("struct<ot:timestamp,ov:double>")
+        .alias("o"),
+    )
+    both = obs.unionByName(slots)
+    # One sort serves both frames: obs rows (is_grid=0) sort before the
+    # grid slot at the same instant, so the PRECEDING frame sees an
+    # exactly-on-the-hour observation (mirrors hour_ts >= ts) while the
+    # FOLLOWING frame starts after it (mirrors the degenerate pt = t
+    # case being resolved by the prev side alone).
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = both.select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last("o", ignorenulls=True).over(w_prev).alias("p"),
+        F.first("o", ignorenulls=True).over(w_next).alias("n"),
+    ).filter(F.col("is_grid") == 1)
+    # Microsecond-exact epoch seconds as doubles (cast keeps the
+    # fraction; unix_timestamp would truncate while DuckDB's epoch()
+    # keeps it — sub-second observations would diverge).
+    et = F.col("t").cast("double")
+    pt = F.col("p.ot").cast("double")
+    nt = F.col("n.ot").cast("double")
+    interp = (
+        F.when(F.col("p.ot") == F.col("t"), F.col("p.ov"))
+        .when(F.col("p.ot").isNull() | F.col("n.ot").isNull(), F.lit(None))
+        .otherwise(
+            F.col("p.ov")
+            + (F.col("n.ov") - F.col("p.ov")) * (et - pt) / (nt - pt)
+        )
+    )
+    return (
+        filled.select(
+            "user_id",
+            F.col("t").alias("hour_ts"),
+            F.round(interp, 4).alias("interp_value"),
+        )
+        .orderBy("user_id", "hour_ts")
+    )
