@@ -119,3 +119,31 @@ def test_dedup_semantic_consistent_with_exact_pairs(spark):
     keeps = {k for k, (_c, kp) in sem.items() if kp == 1}
     drops = {k for k, (_c, kp) in sem.items() if kp == 0}
     assert keeps and drops
+
+
+def test_sketch_quantile_error_bound(spark, duck):
+    """The histogram quantile estimate must sit within ONE bin width of
+    the exact rank-based quantile — the sketch's advertised error
+    contract, checked against DuckDB's exact ordered-rank answer."""
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.sketches import (
+        HQ_BIN_W,
+        HQ_QS_PM,
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    est = {
+        r["q_pm"]: r["est_upper"]
+        for r in all_queries()["sketch_histogram_quantiles"].fn(spark, SF_DIR).collect()
+    }
+    for q in HQ_QS_PM:
+        exact = duck.sql(
+            f"""
+            SELECT o_totalprice FROM (
+                SELECT o_totalprice,
+                       row_number() OVER (ORDER BY o_totalprice) AS rn,
+                       count(*) OVER () AS n
+                FROM orders)
+            WHERE rn = ({q} * n + 999) // 1000
+            """
+        ).fetchone()[0]
+        assert abs(est[q] - exact) <= HQ_BIN_W, (q, est[q], exact)
