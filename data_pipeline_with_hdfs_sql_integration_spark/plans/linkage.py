@@ -17,7 +17,7 @@ dependent reduction and would flake the value oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
@@ -143,3 +143,101 @@ def anomaly_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "c_mktsegment", "o_totalprice", zexpr.alias("zscore")
     )
     return z.filter(F.abs(F.col("zscore")) >= ZSCORE_THRESHOLD).orderBy("o_orderkey")
+
+
+MAD_THRESHOLD = 2.0
+
+
+@query(
+    "anomaly_mad_orders",
+    oracle=f"""
+        WITH j AS (
+            SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), r AS (
+            SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                         ORDER BY cents, o_orderkey) AS rn,
+                      count(*) OVER (PARTITION BY c_mktsegment) AS n
+            FROM j
+        ), med AS (
+            SELECT c_mktsegment,
+                   sum(cents * (CAST(rn = (n+1)//2 AS INT)
+                                + CAST(rn = (n+2)//2 AS INT))) AS med2
+            FROM r GROUP BY c_mktsegment
+        ), d AS (
+            SELECT r.o_orderkey, r.o_totalprice, r.c_mktsegment,
+                   2*r.cents - m.med2 AS dev2
+            FROM r JOIN med m ON r.c_mktsegment = m.c_mktsegment
+        ), r2 AS (
+            SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                         ORDER BY abs(dev2), o_orderkey) AS rn2,
+                      count(*) OVER (PARTITION BY c_mktsegment) AS n2
+            FROM d
+        ), mad AS (
+            SELECT c_mktsegment,
+                   sum(abs(dev2) * (CAST(rn2 = (n2+1)//2 AS INT)
+                                    + CAST(rn2 = (n2+2)//2 AS INT))) AS mad4
+            FROM r2 GROUP BY c_mktsegment
+        )
+        SELECT d.o_orderkey, d.c_mktsegment, d.o_totalprice,
+               round(2.0 * d.dev2 / m.mad4, 6) AS mad_score
+        FROM d JOIN mad m ON d.c_mktsegment = m.c_mktsegment
+        WHERE abs(round(2.0 * d.dev2 / m.mad4, 6)) >= {MAD_THRESHOLD}
+        ORDER BY d.o_orderkey
+    """,
+    doc="Robust (median/MAD) outlier detection per segment — the "
+    "breakdown-resistant sibling of anomaly_zscore_orders: score = "
+    "(x - median) / MAD, exact until the final division via the "
+    "doubled-median trick (med2 = sum of the two middle cents = "
+    "2x median; dev2 = 2*cents - med2; mad4 = doubled median of "
+    "|dev2| = 4x MAD; score = 2*dev2/mad4) so both engines agree "
+    "bit-for-bit with no float quantile interpolation. Each median is "
+    "one sorted window + tiny aggregate per segment (5 segments); at "
+    "100 TB swap the exact in-segment sort for "
+    "sketch_histogram_quantiles' bin rule — the score formula is "
+    "unchanged. Unlike z-scores, one pathological whale order cannot "
+    "drag the threshold: median and MAD ignore the tail entirely.",
+    tags=("linkage", "anomaly", "robust"),
+)
+def anomaly_mad_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey",
+        "o_totalprice",
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("c_mktsegment")
+    r = j.withColumn("rn", F.row_number().over(w)).withColumn("n", F.count(F.lit(1)).over(wn))
+    # Integer floor-div in the position formula: (n+1)//2 via expr.
+    pick = (
+        (F.col("rn") == F.expr("(n + 1) div 2")).cast("int")
+        + (F.col("rn") == F.expr("(n + 2) div 2")).cast("int")
+    )
+    med = r.groupBy("c_mktsegment").agg(F.sum(F.col("cents") * pick).alias("med2"))
+    d = r.join(F.broadcast(med), "c_mktsegment").select(
+        "o_orderkey",
+        "o_totalprice",
+        "c_mktsegment",
+        (F.lit(2) * F.col("cents") - F.col("med2")).alias("dev2"),
+    )
+    w2 = Window.partitionBy("c_mktsegment").orderBy(F.abs(F.col("dev2")), "o_orderkey")
+    r2 = d.withColumn("rn2", F.row_number().over(w2)).withColumn(
+        "n2", F.count(F.lit(1)).over(wn)
+    )
+    pick2 = (
+        (F.col("rn2") == F.expr("(n2 + 1) div 2")).cast("int")
+        + (F.col("rn2") == F.expr("(n2 + 2) div 2")).cast("int")
+    )
+    mad = r2.groupBy("c_mktsegment").agg(F.sum(F.abs(F.col("dev2")) * pick2).alias("mad4"))
+    score = F.round(F.lit(2.0) * F.col("dev2") / F.col("mad4"), 6)
+    return (
+        d.join(F.broadcast(mad), "c_mktsegment")
+        .select("o_orderkey", "c_mktsegment", "o_totalprice", score.alias("mad_score"))
+        .filter(F.abs(F.col("mad_score")) >= MAD_THRESHOLD)
+        .orderBy("o_orderkey")
+    )
