@@ -899,3 +899,67 @@ def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(sum(k * p_ppm) div sum(k) AS BIGINT)").alias("avg_bigram_ppm"),
         )
     )
+
+
+@query(
+    "quality_char_entropy",
+    oracle=f"""
+        WITH chars AS (
+            SELECT doc_id, unnest(list_filter(string_split(lower(text), ''),
+                                              c -> c <> '')) AS ch
+            FROM documents
+        ),
+        freq AS (
+            SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+        ),
+        ent AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_chars_used,
+                   CAST(count(*) AS BIGINT) AS alphabet,
+                   round(log2(CAST(sum(c) AS DOUBLE))
+                         - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy_bits
+            FROM freq GROUP BY doc_id
+        )
+        SELECT doc_id, n_chars_used, alphabet, entropy_bits,
+               CAST(entropy_bits >= 2.0 AND entropy_bits <= 6.0 AS BIGINT) AS keep
+        FROM ent
+    """,
+    doc="Character-entropy quality gate (the classic gibberish/binary-"
+    "junk filter): per-document Shannon entropy of the character "
+    "distribution, computed as log2(n) - sum(c*log2(c))/n so the only "
+    "transcendental calls take small INTEGER counts — the few distinct "
+    "log2 inputs agree across engines, and rounding to 6 decimals "
+    "absorbs any last-ulp drift (same determinism posture as the "
+    "cosine family). Too-low entropy = repeated-character/boilerplate "
+    "junk; too-high = random bytes or wrong-charset text; the keep "
+    "band [2, 6] bits is the standard prose window. One explode + two "
+    "map-side-combined aggregates; per-doc state is its alphabet "
+    "(bounded), never its length.",
+    tags=("text", "quality", "training"),
+)
+def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), ""), lambda c: c != "")).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    ent = freq.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars_used"),
+        F.count(F.lit(1)).cast("long").alias("alphabet"),
+        F.round(
+            F.log2(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / F.sum("c"),
+            6,
+        ).alias("entropy_bits"),
+    )
+    return ent.select(
+        "doc_id",
+        "n_chars_used",
+        "alphabet",
+        "entropy_bits",
+        ((F.col("entropy_bits") >= 2.0) & (F.col("entropy_bits") <= 6.0))
+        .cast("long")
+        .alias("keep"),
+    )
