@@ -72,6 +72,11 @@ HEADLINE = [
     "layout_zorder_pruning",
     "quality_lm_bigram",
     "dedup_semantic",
+    "dedup_incremental_semantic",
+    "sketch_histogram_quantiles",
+    "gapfill_interpolate",
+    "anomaly_mad_orders",
+    "quality_char_entropy",
 ]
 
 
