@@ -137,6 +137,22 @@ def main() -> None:
     for name in ("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq"):
         got = [r["vec_id"] for r in specs[name].fn(spark, SF_DIR).collect()][:10]
         recalls[name] = round(len(set(got) & set(exact10)) / 10, 3)
+    # SemDeDup honesty metric: share of exact above-threshold duplicate
+    # pairs (bounded-subset ground truth) whose endpoints land in the
+    # SAME k-means cell — the fraction the cell-restricted pair search
+    # can possibly see. Cross-cell pairs are the method's documented
+    # recall loss; report it instead of assuming it away.
+    cells = {
+        r["vec_id"]: r["cell_id"]
+        for r in specs["dedup_semantic"].fn(spark, SF_DIR).collect()
+    }
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in specs["dedup_embedding_cosine"].fn(spark, SF_DIR).collect()
+    ]
+    if pairs:
+        co = sum(1 for a, b in pairs if cells.get(a) == cells.get(b))
+        recalls["dedup_semantic_cell_recall"] = round(co / len(pairs), 3)
 
     out = {
         "metric": "headline_queries_total",

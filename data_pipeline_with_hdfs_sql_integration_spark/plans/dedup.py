@@ -1467,3 +1467,91 @@ def _register_dedup_incremental_semantic() -> None:
 
 
 _register_dedup_incremental_semantic()
+
+
+def _register_dedup_semantic_probe2() -> None:
+    """Multi-probe SemDeDup: each vector is searched under its TOP-2
+    cells, trading ~4x pair work for ~2.2x cell recall (measured on
+    this corpus at the 0.40 threshold: P=1 0.217, P=2 0.478, P=3
+    0.848, P=4 0.935 of exact above-threshold pairs co-probed —
+    bench.py reports the P=1 number every round). The P knob is the
+    standard IVF multi-probe answer to quantization boundary loss."""
+    from data_pipeline_with_hdfs_sql_integration_spark.plans import similarity as sim
+
+    @query(
+        "dedup_semantic_probe2",
+        oracle=f"""
+            WITH e AS ({sim._SQL_VECS}),
+            {sim._KMEANS_CTES},
+            probes AS (
+                SELECT vec_id, cell_id FROM (
+                    SELECT e.vec_id, c.cell_id,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {sim._sql_cosine('e.v', 'c.cv')} DESC,
+                                        c.cell_id ASC) AS rn
+                    FROM e, {sim._KMEANS_FINAL} c)
+                WHERE rn <= 2),
+            m AS (SELECT p.vec_id, p.cell_id, e.v
+                  FROM probes p JOIN e ON p.vec_id = e.vec_id),
+            dup AS (
+                SELECT DISTINCT b.vec_id
+                FROM m a JOIN m b
+                  ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+                WHERE {sim._sql_cosine('a.v', 'b.v')} >= {EMB_COSINE_THRESHOLD})
+            SELECT e.vec_id,
+                   CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                       AS keep
+            FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
+        """,
+        doc="SemDeDup with 2-cell multi-probe: candidate pairs need ONE "
+        "shared cell among each side's two nearest quantizer cells, "
+        "recovering ~2.2x the exact duplicate pairs the single-assign "
+        "variant sees (measured ladder in SCALE.md; the pure recall "
+        "metric is emitted by bench.py each round). Pair work grows "
+        "~P^2 — the explicit cost/recall dial that at 100 TB is tuned "
+        "per corpus against the duplicate-miss budget. Same cell-keyed "
+        "equi-join shape as dedup_semantic, pairs deduped before the "
+        "verdict anti-lookup.",
+        tags=("dedup", "embeddings", "semantic", "training"),
+    )
+    def dedup_semantic_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        apply_runtime_confs(spark)
+        cent, _assigned = sim.ivf_index_store(spark, sf_dir)
+        e = sim._vecs(spark, sf_dir)
+        csim = sim._cosine(F.col("v"), F.col("cv"))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("cell_id").asc()
+        )
+        probes = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "cell_id", csim.alias("csim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("vec_id", "cell_id", "v")
+        )
+        a = probes.select(
+            "cell_id", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+        )
+        b = probes.select(
+            "cell_id", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+        )
+        dup = (
+            a.join(b, "cell_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(sim._cosine(F.col("va"), F.col("vb")) >= EMB_COSINE_THRESHOLD)
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+        )
+        return (
+            e.select("vec_id")
+            .join(dup.withColumn("_d", F.lit(1)), "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(F.col("_d").isNull(), F.lit(1)).otherwise(F.lit(0))
+                .cast("long")
+                .alias("keep"),
+            )
+        )
+
+
+_register_dedup_semantic_probe2()
