@@ -1274,11 +1274,17 @@ def _register_dedup_semantic() -> None:
     quadratic pair cost is n_cell^2 per cell instead of N^2 corpus-wide."""
     from data_pipeline_with_hdfs_sql_integration_spark.plans import similarity as sim
 
+    ham_max = _emb_lsh_ham_max()
+
     @query(
         "dedup_semantic",
         oracle=f"""
             WITH e AS ({sim._SQL_VECS}),
             {sim._KMEANS_CTES},
+            sigs AS (SELECT vec_id,
+                            {sim._sql_lsh_sig('v', 0)} AS sig_lo,
+                            {sim._sql_lsh_sig('v', 1)} AS sig_hi
+                     FROM e),
             assignedf AS (
                 SELECT vec_id, cell_id FROM (
                     SELECT e.vec_id, c.cell_id,
@@ -1287,13 +1293,17 @@ def _register_dedup_semantic() -> None:
                                         c.cell_id ASC) AS rn
                     FROM e, {sim._KMEANS_FINAL} c)
                 WHERE rn = 1),
-            m AS (SELECT a.vec_id, a.cell_id, e.v
-                  FROM assignedf a JOIN e ON a.vec_id = e.vec_id),
+            m AS (SELECT a.vec_id, a.cell_id, e.v, s.sig_lo, s.sig_hi
+                  FROM assignedf a
+                  JOIN e ON a.vec_id = e.vec_id
+                  JOIN sigs s ON a.vec_id = s.vec_id),
             dup AS (
                 SELECT DISTINCT b.vec_id
                 FROM m a JOIN m b
                   ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-                WHERE {sim._sql_cosine('a.v', 'b.v')} >= {EMB_COSINE_THRESHOLD})
+                WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+                      + bit_count(xor(a.sig_hi, b.sig_hi)) <= {ham_max}
+                  AND {sim._sql_cosine('a.v', 'b.v')} >= {EMB_COSINE_THRESHOLD})
             SELECT m.vec_id, m.cell_id,
                    CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
@@ -1317,20 +1327,42 @@ def _register_dedup_semantic() -> None:
         apply_runtime_confs(spark)
         _cent, assigned = sim.ivf_index_store(spark, sf_dir)
         e = sim._vecs(spark, sf_dir)
-        m = assigned.select("vec_id", "cell_id").join(e, "vec_id")
+        sigs = sim.lsh_signature_store(spark, sf_dir)
+        # Candidates stay BARE (cell, id, 16-byte sig) until the gate:
+        # the pair join never shuffles 64-double vectors, only survivor
+        # pairs fetch vectors back by id (the dedup_embedding_lsh
+        # shape).
+        m = assigned.select("vec_id", "cell_id").join(sigs, "vec_id")
         a = m.select(
             F.col("cell_id"),
             F.col("vec_id").alias("id_a"),
-            F.col("v").alias("va"),
+            F.col("sig_lo").alias("lo_a"),
+            F.col("sig_hi").alias("hi_a"),
         )
         b = m.select(
             F.col("cell_id"),
             F.col("vec_id").alias("id_b"),
-            F.col("v").alias("vb"),
+            F.col("sig_lo").alias("lo_b"),
+            F.col("sig_hi").alias("hi_b"),
         )
-        dup = (
+        ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+            F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+        )
+        # Two-long hamming gate BEFORE any vector math — the same
+        # mean+1.9sigma bound (and the same oracle mirror) as
+        # dedup_embedding_lsh; measured: zero exact co-located pairs
+        # gated at any test SF.
+        cand = (
             a.join(b, "cell_id")
             .filter(F.col("id_a") < F.col("id_b"))
+            .filter(ham <= ham_max)
+            .select("id_a", "id_b")
+        )
+        ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+        eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+        dup = (
+            cand.join(ea, "id_a")
+            .join(eb, "id_b")
             .filter(sim._cosine(F.col("va"), F.col("vb")) >= EMB_COSINE_THRESHOLD)
             .select(F.col("id_b").alias("vec_id"))
             .distinct()
