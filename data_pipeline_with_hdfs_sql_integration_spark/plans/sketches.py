@@ -221,8 +221,6 @@ HQ_QS_PM = (500, 900, 950, 990)  # per-mille quantiles to report
     tags=("sketch", "quantile", "agg"),
 )
 def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     apply_runtime_confs(spark)
     o = load_parallel(spark, sf_dir, "orders")
     b = F.least(
@@ -232,8 +230,21 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(HQ_NBINS - 1),
     )
     hist = o.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
-    # Cumulative sum over <= HQ_NBINS rows: the unpartitioned window is
-    # bounded by the sketch width, not the data.
+    # Cumulative sum + probe run over <= HQ_NBINS rows: the
+    # unpartitioned window is bounded by the sketch width, not the data.
+    return _quantile_readoff(hist, HQ_QS_PM, HQ_BIN_W)
+
+
+HQE_BIN_W = 1.0  # events.value domain is a few hundred
+HQE_NBINS = 1024
+
+
+def _quantile_readoff(hist: DataFrame, qs_pm: tuple[int, ...], bin_w: float) -> DataFrame:
+    """(q_pm, est_bin, est_upper, n) from a (bin, cnt) histogram — the
+    shared integer ceil-rank rule; windows run over the sketch only."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
     cum = hist.select(
         "bin",
         F.sum("cnt").over(
@@ -245,16 +256,67 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("total"),
     )
-    qs = spark.createDataFrame([(q,) for q in HQ_QS_PM], "q_pm bigint")
+    qdf = spark.createDataFrame([(q,) for q in qs_pm], "q_pm bigint")
     return (
-        cum.join(
-            F.broadcast(qs),
-            F.col("cum") >= F.expr("(q_pm * total + 999) div 1000"),
-        )
+        cum.join(F.broadcast(qdf), F.col("cum") >= F.expr("(q_pm * total + 999) div 1000"))
         .groupBy("q_pm")
         .agg(
             F.min("bin").cast("long").alias("est_bin"),
-            ((F.min("bin") + 1) * HQ_BIN_W).cast("double").alias("est_upper"),
+            ((F.min("bin") + 1) * bin_w).cast("double").alias("est_upper"),
             F.min("total").cast("long").alias("n"),
         )
     )
+
+
+@query(
+    "stream_histogram_quantiles",
+    oracle=f"""
+        WITH hist AS (
+            SELECT LEAST(GREATEST(CAST(floor(value / {HQE_BIN_W}) AS BIGINT), 0),
+                         {HQE_NBINS - 1}) AS bin,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin, cnt,
+                   sum(cnt) OVER (ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER () AS total
+            FROM hist
+        ),
+        qs AS (SELECT unnest([{", ".join(str(q) for q in HQ_QS_PM)}]) AS q_pm)
+        SELECT qs.q_pm,
+               CAST(min(cum.bin) AS BIGINT) AS est_bin,
+               CAST((min(cum.bin) + 1) * {HQE_BIN_W} AS DOUBLE) AS est_upper,
+               CAST(min(cum.total) AS BIGINT) AS n
+        FROM qs JOIN cum
+          ON cum.cum >= (qs.q_pm * cum.total + 999) // 1000
+        GROUP BY qs.q_pm
+    """,
+    doc="The histogram-quantile sketch maintained BY A STREAM: each "
+    f"event increments one of {HQE_NBINS} fixed bins over `value`, so "
+    "the streaming state is the sketch — bounded at the bin count "
+    "whatever the stream length (exact streaming percentiles would "
+    "hold every value forever). The quantile read-off reuses the same "
+    "integer ceil-rank rule as the batch sketch on the post-stream "
+    "histogram; the streamed cells equal the batch histogram on the "
+    "same events — the mergeability property, value-checked against "
+    "the batch oracle.",
+    tags=("sketch", "quantile", "streaming", "approx"),
+)
+def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    from data_pipeline_with_hdfs_sql_integration_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    b = F.least(
+        F.greatest(F.floor(F.col("value") / HQE_BIN_W).cast("long"), F.lit(0)),
+        F.lit(HQE_NBINS - 1),
+    )
+    hist = ev.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    spark2, name = run_to_memory(hist)
+    return _quantile_readoff(spark2.table(name), HQ_QS_PM, HQE_BIN_W)
