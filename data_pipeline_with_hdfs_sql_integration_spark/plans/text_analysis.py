@@ -963,3 +963,54 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep"),
     )
+
+
+@query(
+    "quality_compression_ratio",
+    oracle=None,  # zlib has no SQL counterpart — rows-only + unit-tested
+    doc="Compressibility quality gate (the Gopher/RefinedWeb "
+    "heuristic): deflate-compressed size over raw UTF-8 size per "
+    "document. Repetitive boilerplate compresses far below prose "
+    "(ratio << 0.4); random bytes/wrong-charset text refuse to "
+    "compress (ratio near or above 1). zlib is not expressible in "
+    "SQL, so this is a deliberate Python-boundary query done the "
+    "approved way: an Arrow-batched pandas iterator (mapInPandas, "
+    "nested closure so cloudpickle ships it by value), fixed "
+    "compression level 6 for determinism, stdlib-only. Rows-only in "
+    "the driver gate; tests/test_round5_units.py pins exact values "
+    "against direct python zlib. Map-only at any scale — cost is "
+    "linear in bytes scanned, no shuffle at all until the optional "
+    "verdict aggregate.",
+    tags=("text", "quality", "training", "python-boundary"),
+)
+def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _score(batches):
+        # Nested closure: cloudpickle ships it by value, so workers
+        # never import this module (driver may run from any cwd).
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            raw_len = raw.str.len().astype("int64")
+            comp_len = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            ratio = (comp_len / raw_len.clip(lower=1)).round(6)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw_len,
+                    "compressed_bytes": comp_len,
+                    "compression_ratio": ratio,
+                    "keep": ((ratio >= 0.25) & (ratio <= 1.05)).astype("int64"),
+                }
+            )
+
+    schema = (
+        "doc_id bigint, raw_bytes bigint, compressed_bytes bigint, "
+        "compression_ratio double, keep bigint"
+    )
+    return docs.mapInPandas(_score, schema=schema)

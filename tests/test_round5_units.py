@@ -147,3 +147,35 @@ def test_sketch_quantile_error_bound(spark, duck):
             """
         ).fetchone()[0]
         assert abs(est[q] - exact) <= HQ_BIN_W, (q, est[q], exact)
+
+
+def test_quality_compression_ratio_matches_zlib(spark):
+    """Pin the Arrow-batched compressibility gate against direct python
+    zlib on the same documents — exact integer byte counts, exact
+    rounded ratio, exact keep verdicts."""
+    import zlib
+
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: (
+            r["raw_bytes"],
+            r["compressed_bytes"],
+            r["compression_ratio"],
+            r["keep"],
+        )
+        for r in all_queries()["quality_compression_ratio"].fn(spark, SF_DIR).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(got) == set(texts)
+    for d, s in texts.items():
+        raw = (s or "").encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        ratio = round(comp / max(len(raw), 1), 6)
+        keep = 1 if 0.25 <= ratio <= 1.05 else 0
+        assert got[d] == (len(raw), comp, ratio, keep), d
