@@ -445,3 +445,62 @@ def test_quality_lm_bigram_single_explode_pass(spark):
 
     gen_ids = set(re.findall(r"Generate \((\d+)\)", plan))
     assert len(gen_ids) == 1, gen_ids
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """PROOF that Catalyst's runtime Bloom-filter join pruning engages
+    (InjectRuntimeFilter): a selective filter on the dim side of a
+    shuffle join must materialize as bloom_filter_agg on the creation
+    side and a might_contain() pre-filter on the fact side — fact rows
+    that cannot match are dropped BEFORE the join's shuffle.
+
+    Two operational gates this test pins, because they decide when the
+    feature actually fires at 100 TB: (1) the application-side scan
+    must exceed `applicationSideScanSizeThreshold` (default 10GB — the
+    rule is deliberately scale-activated, so toy scans need the knob
+    lowered); (2) if the dim is broadcastable the rule declines —
+    a broadcast hash join already prunes at the probe, so bloom would
+    be pure overhead. With defaults at this SF the plan must therefore
+    contain NO bloom filter."""
+    import pyspark.sql.functions as F
+
+    sf = SF_DIR
+
+    def build():
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000.0
+        )
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+
+    # Default posture at toy scale: scan far below 10GB -> no injection.
+    base = build()._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" not in base
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        j = build()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        assert "bloom_filter_agg" in opt, opt
+        got = {r["o_orderpriority"]: r["count"] for r in j.collect()}
+        for k, v in tuned.items():
+            spark.conf.unset(k) if saved[k] is None else spark.conf.set(k, saved[k])
+        want = {r["o_orderpriority"]: r["count"] for r in build().collect()}
+        # Bloom pre-filtering is a pure optimization: results identical.
+        assert got == want and sum(got.values()) > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
