@@ -504,3 +504,24 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_overprovisioned_shuffle(spark):
+    """PROOF that AQE partition coalescing engages: a small aggregate
+    shuffled across the session's 8 (locally; 32+ on a cluster)
+    partitions must execute with AQEShuffleRead(coalesced) — runtime
+    reads merge the tiny map outputs instead of scheduling one task per
+    configured partition. This is why SCALE.md says overshooting
+    spark.sql.shuffle.partitions is safe: the coalesce is free and
+    runtime-sized, while undershooting spills."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert len(df.collect()) == 5  # collect THIS plan (count() builds another)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
