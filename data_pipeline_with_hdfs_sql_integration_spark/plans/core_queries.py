@@ -338,3 +338,35 @@ def sql_interface_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     register_views(spark, sf_dir)
     return spark.sql(_TPCH_Q1_SQL)
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@query(
+    "sql_lateral_topk",
+    oracle=_LATERAL_TOPK_SQL,
+    doc="Correlated LATERAL derived table (top-2 orders per BUILDING "
+    "customer) — the SQL-standard per-row subquery surface, submitted "
+    "as IDENTICAL SQL text to both engines (Spark parses LATERAL with "
+    "a correlated ORDER BY ... LIMIT since 3.4; DuckDB natively). "
+    "Catalyst decorrelates it into the same window/rank shape as "
+    "window_topk_per_group — per-key top-k never executes as one "
+    "subquery per row. Deterministic tie-break on (price desc, "
+    "orderkey) pins identical row sets.",
+    tags=("sql", "subquery", "api"),
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import register_views
+
+    apply_runtime_confs(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)
