@@ -525,3 +525,18 @@ def test_aqe_coalesces_overprovisioned_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The correlated LATERAL ... ORDER BY ... LIMIT must decorrelate:
+    the physical plan is a Window + WindowGroupLimit (per-partition
+    top-k pushdown) feeding a hash join — never a nested-loop executing
+    one subquery per outer row."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["sql_lateral_topk"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan
+    assert "WindowGroupLimit" in plan  # rank<=2 pushed below the window sort
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
