@@ -64,3 +64,40 @@ def json_struct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("p.k") >= 90)
         .select("event_id", F.col("p.k").alias("k"))
     )
+
+
+@query(
+    "json_variant_agg",
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS sum_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS max_k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT path: props parses ONCE per row into the "
+    "binary VARIANT encoding (parse_json), then variant_get extracts "
+    "typed fields without re-tokenizing the JSON text — the Spark-4-"
+    "native answer to repeated get_json_object calls, which each "
+    "re-parse the string (the classic hidden O(fields x parse) cost "
+    "in wide semi-structured scans at 100 TB). Same aggregate as the "
+    "string-path sibling json_extract_agg, so the two surfaces are "
+    "provably result-identical; the oracle uses DuckDB's native JSON "
+    "extraction.",
+    tags=("json", "variant", "agg"),
+)
+def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v")).select(
+        "event_type",
+        F.expr("CAST(variant_get(v, '$.k', 'bigint') AS BIGINT)").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
