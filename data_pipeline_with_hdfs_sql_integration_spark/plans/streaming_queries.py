@@ -13,6 +13,7 @@ emission happens after the input is exhausted.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_pipeline_with_hdfs_sql_integration_spark.registry import query
 from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
@@ -242,3 +243,34 @@ def stream_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").cast("double").alias("last_value"),
     )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Streaming dedup with TTL-BOUNDED state "
+    "(dropDuplicatesWithinWatermark, Spark 3.5+): unlike plain "
+    "dropDuplicates — whose key set grows forever — each key is "
+    "remembered only while a replay could still arrive inside the "
+    "watermark delay, which is the production contract for unbounded "
+    "at-least-once streams (a day's replay horizon = a day of keys in "
+    "state, not the stream's lifetime). The doubled delivery here "
+    "replays every event within the window, so the per-type counts "
+    "equal the exactly-once batch answer; at-least-once duplicates "
+    "arriving LATER than the watermark delay are exactly the "
+    "documented residual.",
+    tags=("streaming", "dedup", "state-ttl"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = W.events_stream_duplicated(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    spark2, name = W.run_to_memory(agg)
+    return spark2.table(name)
