@@ -370,3 +370,76 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+PYDS_N = 20_000  # synthetic telemetry rows
+PYDS_PARTS = 8
+PYDS_SENSORS = 16
+PYDS_MULT = 2_654_435_761  # Knuth multiplicative hash
+PYDS_MOD = 1_000_003
+
+
+@query(
+    "source_python_datasource",
+    oracle=f"""
+        SELECT CAST(i % {PYDS_SENSORS} AS BIGINT) AS sensor_id,
+               CAST(count(*) AS BIGINT) AS n_readings,
+               CAST(sum((i * {PYDS_MULT}) % {PYDS_MOD}) AS BIGINT) AS sum_value
+        FROM (SELECT unnest(range(0, {PYDS_N})) AS i)
+        GROUP BY 1
+    """,
+    doc="Custom connector via the Spark 4 Python DataSource API "
+    "(pyspark.sql.datasource): a partitioned synthetic telemetry "
+    "source whose reader yields rows i -> (i % "
+    f"{PYDS_SENSORS}, Knuth-hash value) across {PYDS_PARTS} "
+    "InputPartitions — the modern extension point the reference's "
+    "JDBC-only ingest lacks, here with the O1-family posture intact: "
+    "partition count decides scan parallelism, the global row set is "
+    "partitioning-invariant, and every value is reproduced by the "
+    "oracle from the same integer formula (a connector you cannot "
+    "value-check is a connector you cannot trust). Classes are "
+    "defined INSIDE the query so cloudpickle ships them by value — "
+    "workers never import this module (the repo may not be on their "
+    "path when the driver runs from an arbitrary cwd).",
+    tags=("source", "python-datasource", "api"),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class TelemetrySource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dps_telemetry"
+
+        def schema(self) -> str:
+            return "i bigint, sensor_id bigint, value bigint"
+
+        def reader(self, schema):
+            return TelemetryReader(self.options)
+
+    class TelemetryReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", str(PYDS_N)))
+            self.parts = int(options.get("parts", str(PYDS_PARTS)))
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.parts)]
+
+        def read(self, part):
+            # Strided rows per partition: the union over partitions is
+            # exactly range(n) whatever `parts` is.
+            for i in range(part.value, self.n, self.parts):
+                yield (i, i % PYDS_SENSORS, (i * PYDS_MULT) % PYDS_MOD)
+
+    spark.dataSource.register(TelemetrySource)
+    df = (
+        spark.read.format("dps_telemetry")
+        .option("n", str(PYDS_N))
+        .option("parts", str(PYDS_PARTS))
+        .load()
+    )
+    return df.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum("value").cast("long").alias("sum_value"),
+    )
