@@ -315,3 +315,67 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_hll_sketch_union",
+    oracle="""
+        WITH per_seg AS (
+            SELECT c_mktsegment,
+                   count(DISTINCT c_nationkey * 1000000 + c_custkey) AS exact_seg
+            FROM customer GROUP BY c_mktsegment
+        ),
+        tot AS (
+            SELECT count(DISTINCT c_nationkey * 1000000 + c_custkey) AS exact_total,
+                   approx_count_distinct(c_nationkey * 1000000 + c_custkey) AS est_total
+            FROM customer
+        )
+        SELECT p.c_mktsegment,
+               CAST(p.exact_seg AS BIGINT) AS exact_seg,
+               CAST(t.exact_total AS BIGINT) AS exact_total,
+               abs(t.est_total - t.exact_total) <= 0.05 * t.exact_total
+                   AS union_within_5pct
+        FROM per_seg p CROSS JOIN tot t
+    """,
+    doc="HLL sketch UNION (Spark 3.5 Apache DataSketches surface): "
+    "per-segment hll_sketch_agg partial sketches are MERGED with "
+    "hll_union_agg and the union estimate must land within ±5% of the "
+    "exact global distinct — the property that makes distinct-count "
+    "rollups work at 100 TB (per-day/per-shard sketches persist as "
+    "bytes; any coarser rollup is a cheap union over sketch bytes, "
+    "never a re-scan; exact distinct does NOT decompose this way). "
+    "Sketch bytes are engine-specific, so the contract mirrors "
+    "agg_approx_distinct: exact counts match bit-for-bit, each engine "
+    "asserts its own estimate's error bound (DuckDB has no sketch "
+    "union over values — its global approx_count_distinct plays the "
+    "merged-estimate role).",
+    tags=("analytics", "agg", "approx", "sketch"),
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.col("c_nationkey") * 1_000_000 + F.col("c_custkey")).alias("k"),
+    )
+    seg = c.groupBy("c_mktsegment").agg(
+        F.countDistinct("k").alias("exact_seg"),
+        F.expr("hll_sketch_agg(k)").alias("sk"),
+    )
+    merged = seg.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_total")
+    )
+    exact_tot = c.agg(F.countDistinct("k").alias("exact_total"))
+    return (
+        seg.select("c_mktsegment", "exact_seg")
+        .crossJoin(F.broadcast(exact_tot))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            "c_mktsegment",
+            "exact_seg",
+            "exact_total",
+            (
+                F.abs(F.col("est_total") - F.col("exact_total"))
+                <= 0.05 * F.col("exact_total")
+            ).alias("union_within_5pct"),
+        )
+    )
