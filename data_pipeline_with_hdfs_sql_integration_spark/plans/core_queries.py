@@ -443,3 +443,96 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_readings"),
         F.sum("value").cast("long").alias("sum_value"),
     )
+
+
+@query(
+    "stream_python_datasource",
+    oracle=f"""
+        SELECT CAST(i % {PYDS_SENSORS} AS BIGINT) AS sensor_id,
+               CAST(count(*) AS BIGINT) AS n_readings,
+               CAST(sum((i * {PYDS_MULT}) % {PYDS_MOD}) AS BIGINT) AS sum_value
+        FROM (SELECT unnest(range(0, {PYDS_N})) AS i)
+        GROUP BY 1
+    """,
+    doc="The custom connector's STREAMING side "
+    "(SimpleDataSourceStreamReader): the same telemetry rows arrive as "
+    "a sequence of offset-tracked micro-batches (several thousand rows "
+    "per read; the engine checkpoints {pos} offsets and can replay any "
+    "[start, end) range via readBetweenOffsets — the exactly-once "
+    "contract a custom source must honor). The query drains the "
+    "bounded stream and aggregates per sensor; the final state equals "
+    "the batch connector's answer WHATEVER the batch boundaries were, "
+    "which is the partitioning/batching-invariance both sources "
+    "advertise. Values reproduced by the oracle's integer formula.",
+    tags=("source", "python-datasource", "streaming"),
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+    import uuid
+
+    apply_runtime_confs(spark)
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class TelemetryStream(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dps_telemetry_stream"
+
+        def schema(self) -> str:
+            return "i bigint, sensor_id bigint, value bigint"
+
+        def simpleStreamReader(self, schema):
+            return TelemetryStreamReader(self.options)
+
+    class TelemetryStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", str(PYDS_N)))
+            self.step = int(options.get("step", "7000"))
+
+        def _rows(self, lo: int, hi: int):
+            return iter(
+                [(i, i % PYDS_SENSORS, (i * PYDS_MULT) % PYDS_MOD) for i in range(lo, hi)]
+            )
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            end = min(pos + self.step, self.n)
+            return self._rows(pos, end), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["pos"], end["pos"])
+
+    spark.dataSource.register(TelemetryStream)
+    stream = (
+        spark.readStream.format("dps_telemetry_stream")
+        .option("n", str(PYDS_N))
+        .load()
+    )
+    agg = stream.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum("value").cast("long").alias("sum_value"),
+    )
+    name = f"stream_pyds_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # Bounded source: drain until all PYDS_N rows are aggregated, then
+    # stop. The poll reads the MEMORY SINK (constant-size), never the
+    # source.
+    deadline = time.time() + 120
+    want_rows = PYDS_SENSORS
+    while time.time() < deadline:
+        rows = spark.sql(f"SELECT sum(n_readings) AS t FROM {name}").collect()
+        if rows and rows[0]["t"] == PYDS_N:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)
