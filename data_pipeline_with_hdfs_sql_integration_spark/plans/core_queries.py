@@ -527,7 +527,6 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stop. The poll reads the MEMORY SINK (constant-size), never the
     # source.
     deadline = time.time() + 120
-    want_rows = PYDS_SENSORS
     while time.time() < deadline:
         rows = spark.sql(f"SELECT sum(n_readings) AS t FROM {name}").collect()
         if rows and rows[0]["t"] == PYDS_N:
