@@ -320,3 +320,74 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = ev.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
     spark2, name = run_to_memory(hist)
     return _quantile_readoff(spark2.table(name), HQ_QS_PM, HQE_BIN_W)
+
+
+@query(
+    "sketch_group_quantiles",
+    oracle=f"""
+        WITH hist AS (
+            SELECT o_orderpriority,
+                   LEAST(GREATEST(CAST(floor(o_totalprice / {HQ_BIN_W}) AS BIGINT),
+                                  0), {HQ_NBINS - 1}) AS bin,
+                   count(*) AS cnt
+            FROM orders
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT o_orderpriority, bin,
+                   sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER (PARTITION BY o_orderpriority) AS total
+            FROM hist
+        ),
+        qs AS (SELECT unnest([500, 950]) AS q_pm)
+        SELECT cum.o_orderpriority, qs.q_pm,
+               CAST((min(cum.bin) + 1) * {HQ_BIN_W} AS DOUBLE) AS est_upper,
+               CAST(min(cum.total) AS BIGINT) AS n
+        FROM qs JOIN cum
+          ON cum.cum >= (qs.q_pm * cum.total + 999) // 1000
+        GROUP BY cum.o_orderpriority, qs.q_pm
+    """,
+    doc="GROUPED histogram quantiles: P50/P95 of order value per "
+    "priority class from one (group, bin) aggregate — the groupwise "
+    "percentile report at 100 TB, where a per-group exact sort is off "
+    "the table and engine-native approx_percentile(GROUP BY) is not "
+    "cross-engine value-checkable. The cumulative window partitions by "
+    "group but still runs over at most n_bins rows per group, and the "
+    "(group, bin) sketch relation remains mergeable by summing — the "
+    "same contract as the global sketch, just keyed.",
+    tags=("sketch", "quantile", "agg"),
+)
+def sketch_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    o = load_parallel(spark, sf_dir, "orders")
+    b = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / HQ_BIN_W).cast("long"), F.lit(0)),
+        F.lit(HQ_NBINS - 1),
+    )
+    hist = (
+        o.select(F.col("o_orderpriority"), b.alias("bin"))
+        .groupBy("o_orderpriority", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.select(
+        "o_orderpriority",
+        "bin",
+        F.sum("cnt").over(
+            Window.partitionBy("o_orderpriority").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("o_orderpriority")).alias("total"),
+    )
+    qdf = spark.createDataFrame([(500,), (950,)], "q_pm bigint")
+    return (
+        cum.join(F.broadcast(qdf), F.col("cum") >= F.expr("(q_pm * total + 999) div 1000"))
+        .groupBy("o_orderpriority", "q_pm")
+        .agg(
+            ((F.min("bin") + 1) * HQ_BIN_W).cast("double").alias("est_upper"),
+            F.min("total").cast("long").alias("n"),
+        )
+    )
