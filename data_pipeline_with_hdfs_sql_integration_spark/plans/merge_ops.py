@@ -118,3 +118,91 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("acctbal_dec").cast("double").alias("acctbal"),
         "op",
     )
+
+
+@query(
+    "diff_snapshots",
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS val
+            FROM orders
+        ),
+        v2 AS (
+            SELECT o_orderkey AS k,
+                   CAST(o_totalprice + CASE WHEN o_orderkey % 97 = 0
+                                            THEN 1000.0 ELSE 0.0 END
+                        AS DECIMAL(18,2)) AS val
+            FROM orders WHERE o_orderkey % 101 <> 0
+            UNION ALL
+            SELECT o_orderkey + 1000000000 AS k,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS val
+            FROM orders WHERE o_orderkey % 103 = 0
+        )
+        SELECT CASE WHEN v1.k IS NULL THEN 'added'
+                    WHEN v2.k IS NULL THEN 'removed'
+                    ELSE 'changed' END AS op,
+               COALESCE(v1.k, v2.k) AS k,
+               CAST(v1.val AS DOUBLE) AS old_val,
+               CAST(v2.val AS DOUBLE) AS new_val
+        FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        WHERE v1.k IS NULL OR v2.k IS NULL OR v1.val <> v2.val
+    """,
+    doc="Snapshot diff (change-data-capture without a table format): "
+    "two versions of a keyed table are FULL-OUTER joined on the key "
+    "and every row classified added / removed / changed (value "
+    "comparison in exact DECIMAL, so no float-noise phantom diffs); "
+    "unchanged rows never leave the join. This is the lakehouse "
+    "diff/CDF primitive for plain parquet: one co-partitioned shuffle "
+    "join keyed on the primary key — at 100 TB both snapshots bucket "
+    "by key (operators/bucketing.py) and the diff becomes "
+    "zero-exchange. v2 here is a DETERMINISTIC mutation of v1 "
+    "(price bump on key%97, deletes on key%101, re-keyed inserts on "
+    "key%103) so both engines derive the identical diff from the "
+    "same base table.",
+    tags=("merge", "cdc", "diff"),
+)
+def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    o = load(spark, sf_dir, "orders")
+    v1 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("val"),
+    )
+    v2 = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (
+                F.col("o_totalprice")
+                + F.when(F.col("o_orderkey") % 97 == 0, F.lit(1000.0)).otherwise(0.0)
+            )
+            .cast("decimal(18,2)")
+            .alias("val"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("k"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("val"),
+            )
+        )
+    )
+    j = v1.withColumnRenamed("val", "old_val").join(
+        v2.withColumnRenamed("val", "new_val"),
+        on=(v1.k == v2.k),
+        how="full_outer",
+    )
+    k1, k2 = v1.k, v2.k
+    op = (
+        F.when(k1.isNull(), F.lit("added"))
+        .when(k2.isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(k1.isNull() | k2.isNull() | (F.col("old_val") != F.col("new_val")))
+        .select(
+            op.alias("op"),
+            F.coalesce(k1, k2).alias("k"),
+            F.col("old_val").cast("double").alias("old_val"),
+            F.col("new_val").cast("double").alias("new_val"),
+        )
+    )
