@@ -77,6 +77,7 @@ HEADLINE = [
     "gapfill_interpolate",
     "anomaly_mad_orders",
     "quality_char_entropy",
+    "pipeline_training_corpus",
 ]
 
 

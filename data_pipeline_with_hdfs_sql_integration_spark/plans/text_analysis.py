@@ -1014,3 +1014,93 @@ def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compression_ratio double, keep bigint"
     )
     return docs.mapInPandas(_score, schema=schema)
+
+
+@query(
+    "pipeline_training_corpus",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, text, {tf.sql_tokens('text')} AS t
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, source, text,
+                   len(t) AS n_tokens,
+                   len(list_distinct(t)) AS n_distinct,
+                   {", ".join(f"{_lang_score_sql(code)} AS s_{code}" for code in sorted(LANG_STOPWORDS))}
+            FROM toks
+        ),
+        gated AS (
+            SELECT doc_id, source, text, n_tokens
+            FROM scored
+            WHERE n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+              AND n_distinct * 10 >= n_tokens * 3
+              AND CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+                       WHEN s_de THEN 'de' WHEN s_en THEN 'en'
+                       WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
+                       ELSE 'zh' END = 'en'
+        ),
+        deduped AS (
+            SELECT min(doc_id) AS doc_id
+            FROM gated GROUP BY lower(sha256(text))
+        )
+        SELECT g.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(g.n_tokens) AS BIGINT) AS n_tokens
+        FROM deduped d JOIN gated g ON d.doc_id = g.doc_id
+        GROUP BY g.source
+    """,
+    doc="END-TO-END training-corpus build in one query — the "
+    "composition proof that the engine's training-data operators "
+    "stack: tokenize → length gate "
+    f"([{MIN_TOKENS}, {MAX_TOKENS}]) → repetition gate (integer "
+    "cross-multiplication) → stopword-vote language ID (keep English) "
+    "→ exact sha256 dedup (min-doc_id representative) → per-source "
+    "manifest (kept docs + token budget, the numbers a data-mixing "
+    "step consumes). Scale shape: every gate is map-side column math "
+    "in ONE scan; the dedup shuffle keys on the uniform 256-bit hash; "
+    "the manifest aggregate is tiny. The full CCNet/RefinedWeb-style "
+    "chain, value-oracled end to end.",
+    tags=("text", "pipeline", "training", "dedup"),
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    t = tf.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        *[
+            F.size(F.filter(t, _isin_pred(ws))).alias(f"s_{code}")
+            for code, ws in sorted(LANG_STOPWORDS.items())
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{c}") for c in sorted(LANG_STOPWORDS)])
+    pred = (
+        F.when(F.col("s_de") == best, "de")
+        .when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_fr") == best, "fr")
+        .otherwise("zh")
+    )
+    gated = scored.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("n_distinct") * 10 >= F.col("n_tokens") * 3)
+        & (pred == "en")
+    ).select("doc_id", "source", "text", "n_tokens")
+    deduped = gated.groupBy(F.lower(F.sha2(F.col("text"), 256)).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        deduped.select("doc_id")
+        .join(gated, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
