@@ -1086,15 +1086,27 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s_fr") == best, "fr")
         .otherwise("zh")
     )
-    gated = scored.filter(
-        (F.col("n_tokens") >= MIN_TOKENS)
-        & (F.col("n_tokens") <= MAX_TOKENS)
-        & (F.col("n_distinct") * 10 >= F.col("n_tokens") * 3)
-        & (pred == "en")
-    ).select("doc_id", "source", "text", "n_tokens")
-    deduped = gated.groupBy(F.lower(F.sha2(F.col("text"), 256)).alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    from pyspark.storagelevel import StorageLevel
+
+    # Slim survivor projection, persisted: BOTH consumers (the dedup
+    # aggregate and the manifest join-back) read ~50 bytes/doc from
+    # cache instead of re-running the tokenize+langid lineage.
+    gated = (
+        scored.filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_tokens") <= MAX_TOKENS)
+            & (F.col("n_distinct") * 10 >= F.col("n_tokens") * 3)
+            & (pred == "en")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.lower(F.sha2(F.col("text"), 256)).alias("h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    deduped = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     return (
         deduped.select("doc_id")
         .join(gated, "doc_id")
