@@ -1587,3 +1587,56 @@ def _register_dedup_semantic_probe2() -> None:
 
 
 _register_dedup_semantic_probe2()
+
+
+# ------------------------------------------------------------ containment
+CONT_SUBSET = 200  # bounded exact-pair baseline, like EMB_SUBSET
+CONT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+        WITH {_SQL_SHINGLE_CTE},
+        sub AS (SELECT doc_id, sh FROM sh WHERE doc_id < {CONT_SUBSET}),
+        prs AS (
+            SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(a.sh), 6) AS containment
+            FROM sub a JOIN sub b ON a.doc_id <> b.doc_id
+            WHERE len(a.sh) >= 1
+        )
+        SELECT contained_doc, container_doc, containment
+        FROM prs
+        WHERE containment >= {CONT_THRESHOLD}
+    """,
+    doc="ASYMMETRIC containment dedup (|A∩B| / |A| over hashed "
+    "3-shingles): flags documents mostly CONTAINED in another — the "
+    "quote/wrapper/doc-inside-doc relation Jaccard structurally "
+    "misses (a 100-token doc inside a 10k-token doc has Jaccard ~0.01 "
+    "but containment ~1.0). Exact all-pairs on a bounded subset "
+    f"(doc_id < {CONT_SUBSET}) — the ground-truth baseline of this "
+    "family, same role as dedup_embedding_cosine: at corpus scale the "
+    "candidate step is the MinHash band join (containment >= t "
+    "implies the pair shares a band with the same probability math), "
+    "with this exact verify on candidates only. Threshold compared on "
+    "round-6 values so boundary decisions agree across engines.",
+    tags=("dedup", "text", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    sh = _shingle_hashes(spark, sf_dir).filter(F.col("doc_id") < CONT_SUBSET)
+    a = sh.select(F.col("doc_id").alias("contained_doc"), F.col("sh").alias("sha_"))
+    b = sh.select(F.col("doc_id").alias("container_doc"), F.col("sh").alias("shb_"))
+    cont = F.round(
+        F.size(F.array_intersect(F.col("sha_"), F.col("shb_"))).cast("double")
+        / F.size(F.col("sha_")),
+        6,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("contained_doc") != F.col("container_doc"))
+        .filter(F.size("sha_") >= 1)
+        .select("contained_doc", "container_doc", cont.alias("containment"))
+        .filter(F.col("containment") >= CONT_THRESHOLD)
+    )
