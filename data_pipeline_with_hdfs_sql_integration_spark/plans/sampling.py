@@ -90,3 +90,41 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load(spark, sf_dir, "customer").filter(hash_bucket(F.col("c_custkey")) < rate)
     return c.groupBy("c_mktsegment").agg(F.count("*").alias("n_sampled"))
+
+
+@query(
+    "sample_split_manifest",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT source,
+                   CASE WHEN {sql_hash_bucket('doc_id')} < 90 THEN 'train'
+                        WHEN {sql_hash_bucket('doc_id')} < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+        FROM tagged GROUP BY source, split
+    """,
+    doc="Deterministic 90/5/5 train/val/test split manifest: each "
+    "document's split comes from the Knuth hash of its KEY, so the "
+    "assignment is (a) partition-layout independent, (b) stable "
+    "across reruns and engines, (c) structurally disjoint+exhaustive "
+    "— one bucket value, one CASE arm. The per-(source, split) "
+    "manifest is what a training job consumes; leakage checks reduce "
+    "to hash-bucket arithmetic instead of set intersections "
+    "(split_leakage_audit is the content-level complement). Map-side "
+    "tag + tiny aggregate, no data movement at any scale.",
+    tags=("sampling", "training", "split"),
+)
+def sample_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    d = load(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
