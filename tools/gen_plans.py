@@ -37,6 +37,9 @@ PICKS = [
     ("layout_zorder_pruning", "reads the grid-normalized Morton layout; the 2-D box predicate reaches PushedFilters over the z-sorted files"),
     ("dedup_semantic", "cell-keyed equi-self-join (no cartesian) over the stored IVF assignments; verdict via left join on vec_id"),
     ("quality_lm_bigram", "one exploded pass -> persisted per-doc bigram multiset; LM tables derived by re-aggregation; vocab-keyed joins"),
+    ("pipeline_training_corpus", "all gates map-side in ONE scan; persisted slim survivors feed dedup + manifest; sha256 shuffle key"),
+    ("diff_snapshots", "FULL OUTER co-partitioned on the key; unchanged rows filtered inside the join output, no second pass"),
+    ("sql_lateral_topk", "correlated LATERAL decorrelated: WindowGroupLimit pushes rank<=2 below the sort; broadcast join back"),
 ]
 
 
