@@ -183,3 +183,55 @@ def rollup_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_days_in_window"),
         ((lo + hi) / F.lit(2000000.0)).alias("rolling_median_value"),
     )
+
+
+@query(
+    "rollup_ohlc",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar,
+                   value,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts ASC, event_id ASC) AS rn_open,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_close
+            FROM events
+        )
+        SELECT event_type, bar,
+               CAST(max(CASE WHEN rn_open = 1 THEN value END) AS DOUBLE) AS open,
+               CAST(max(value) AS DOUBLE) AS high,
+               CAST(min(value) AS DOUBLE) AS low,
+               CAST(max(CASE WHEN rn_close = 1 THEN value END) AS DOUBLE) AS close,
+               CAST(count(*) AS BIGINT) AS n_ticks
+        FROM ranked
+        GROUP BY event_type, bar
+    """,
+    doc="OHLC bars (open/high/low/close per event_type per hour) — the "
+    "canonical hypertable downsample. Open/close are DETERMINISTIC "
+    "first/last by the (ts, event_id) total order (bare first/last "
+    "over a time column is ill-defined when ticks share a timestamp — "
+    "the id tie-break pins one answer on both engines, Spark via "
+    "min_by/max_by over the same composite struct). One hash "
+    "aggregate over one scan: min_by/max_by keep a single (ordering "
+    "key, value) pair per group in the partial state, so no window "
+    "pass and no per-group sort anywhere in the plan.",
+    tags=("timeseries", "rollup", "ohlc"),
+)
+def rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("bar"),
+        )
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
