@@ -379,3 +379,76 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_within_5pct"),
         )
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+        WITH q AS (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem
+        ), s AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   sum(x) AS s1,
+                   sum(x*x) AS s2,
+                   sum(x*x*x) AS s3,
+                   sum(x*x*x*x) AS s4
+            FROM q GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               round((CAST(s3 AS DOUBLE)/n
+                      - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+                      + 2.0*power(CAST(s1 AS DOUBLE)/n, 3))
+                     / power(CAST(s2 AS DOUBLE)/n
+                             - power(CAST(s1 AS DOUBLE)/n, 2), 1.5), 6) AS skewness,
+               round((CAST(s4 AS DOUBLE)/n
+                      - 4.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+                      + 6.0*power(CAST(s1 AS DOUBLE)/n, 2)*(CAST(s2 AS DOUBLE)/n)
+                      - 3.0*power(CAST(s1 AS DOUBLE)/n, 4))
+                     / power(CAST(s2 AS DOUBLE)/n
+                             - power(CAST(s1 AS DOUBLE)/n, 2), 2) - 3.0, 6)
+                   AS excess_kurtosis
+        FROM s
+    """,
+    doc="Higher-moment profile (skewness + excess kurtosis) per return "
+    "flag from EXACT integer power sums s1..s4 — engine-native "
+    "skewness()/kurtosis() reduce floats in partition order and "
+    "drift per topology, exactly like the variance case "
+    "anomaly_zscore_orders pins. Quantities are small ints so x^4 "
+    "sums stay far inside int64; the moment formulas run once per "
+    "group on the 3-row aggregate, in identical expression text on "
+    "both engines (shared double rounding at 6dp). At 100 TB this is "
+    "one map-side-combined aggregate carrying 5 longs per group.",
+    tags=("agg", "stats"),
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("x")
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    m2r = F.col("s2").cast("double") / F.col("n")
+    m3r = F.col("s3").cast("double") / F.col("n")
+    m4r = F.col("s4").cast("double") / F.col("n")
+    var = m2r - F.pow(mean, 2)
+    skew = F.round((m3r - 3.0 * mean * m2r + 2.0 * F.pow(mean, 3)) / F.pow(var, 1.5), 6)
+    kurt = F.round(
+        (m4r - 4.0 * mean * m3r + 6.0 * F.pow(mean, 2) * m2r - 3.0 * F.pow(mean, 4))
+        / F.pow(var, 2)
+        - 3.0,
+        6,
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    )
