@@ -235,3 +235,63 @@ def rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+EWMA_K = 8  # trailing points; weight 2^-j is EXACT in binary floating point
+EWMA_USERS = 20
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"COALESCE(lag(value, {j}) OVER w * {0.5 ** j!r}, 0.0)" for j in range(EWMA_K)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NULL THEN 0.0 ELSE {0.5 ** j!r} END"
+        for j in range(EWMA_K)
+    )
+    return f"round(({num}) / ({den}), 6)"
+
+
+@query(
+    "rollup_ewma",
+    oracle=f"""
+        SELECT user_id, event_id,
+               CAST(value AS DOUBLE) AS value,
+               {_ewma_sql()} AS ewma
+        FROM events
+        WHERE user_id < {EWMA_USERS}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    doc=f"Exponentially weighted moving average (alpha=1/2, trailing "
+    f"{EWMA_K} points) per user — the denoising smoother next to the "
+    "exact rolling median. The infinite-memory EWMA recurrence is not "
+    "a window function, but with alpha=1/2 the truncated tail beyond "
+    f"{EWMA_K} points weighs < 2^-{EWMA_K - 1}, and every weight 2^-j "
+    "is EXACT in binary floating point — so the explicit lag-sum "
+    "formulation is engine-identical arithmetic (no pow() drift, no "
+    "recurrence order dependence), normalized over the weights "
+    "actually present at series start. ONE (user, time) sort serves "
+    f"all {EWMA_K} lags — Catalyst plans a single Window exchange.",
+    tags=("timeseries", "smoothing"),
+)
+def rollup_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < EWMA_USERS)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    num = None
+    den = None
+    for j in range(EWMA_K):
+        lj = F.lag("value", j).over(w)
+        wj = F.lit(0.5**j)
+        termn = F.coalesce(lj * wj, F.lit(0.0))
+        termd = F.when(lj.isNull(), F.lit(0.0)).otherwise(wj)
+        num = termn if num is None else num + termn
+        den = termd if den is None else den + termd
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.round(num / den, 6).alias("ewma"),
+    )
