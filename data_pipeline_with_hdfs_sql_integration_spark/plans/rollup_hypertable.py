@@ -212,10 +212,11 @@ def rollup_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first/last by the (ts, event_id) total order (bare first/last "
     "over a time column is ill-defined when ticks share a timestamp — "
     "the id tie-break pins one answer on both engines, Spark via "
-    "min_by/max_by over the same composite struct). One hash "
-    "aggregate over one scan: min_by/max_by keep a single (ordering "
-    "key, value) pair per group in the partial state, so no window "
-    "pass and no per-group sort anywhere in the plan.",
+    "min_by/max_by over the same composite struct). ONE aggregate "
+    "pass over one scan (SortAggregate — the struct ordering key "
+    "disables hash agg, but partial state is still a single "
+    "(ordering key, value) pair per group and the only sort is by "
+    "the GROUP key): no window pass, no per-group data sort.",
     tags=("timeseries", "rollup", "ohlc"),
 )
 def rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:

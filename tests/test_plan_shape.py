@@ -540,3 +540,18 @@ def test_lateral_topk_decorrelates_to_window(spark):
     assert "WindowGroupLimit" in plan  # rank<=2 pushed below the window sort
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ohlc_is_single_aggregate_no_window(spark):
+    """rollup_ohlc's open/close via min_by/max_by must plan as ONE hash
+    aggregate pass — no Window operator, no per-group sort."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["rollup_ohlc"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan
+    # min_by/max_by over a struct ordering key plans as SortAggregate
+    # (struct comparisons disable hash agg) — still ONE aggregate pass
+    # with one (key, value) pair of state per group, sorted only by
+    # the GROUP key, never per-group data sorts.
+    assert "SortAggregate" in plan or "HashAggregate" in plan
