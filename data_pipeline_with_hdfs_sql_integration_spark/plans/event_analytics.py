@@ -473,3 +473,45 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour_ts")
     )
+
+
+@query(
+    "events_interarrival_histogram",
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(epoch(ts) * 1000000 AS BIGINT)
+                   - lag(CAST(epoch(ts) * 1000000 AS BIGINT))
+                       OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
+                       AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               LEAST(CAST(floor(gap_us / 60000000.0) AS BIGINT), 60) AS gap_min_bucket,
+               CAST(count(*) AS BIGINT) AS n_gaps
+        FROM d
+        WHERE gap_us IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    doc="Inter-arrival-time histogram per event type — the ops metric "
+    "behind rate alerting and source-health dashboards: lag() over "
+    "the (type, time, id) total order yields each gap in EXACT "
+    "integer microseconds (epoch scaled before subtraction — "
+    "microsecond timestamps are exact at 1e6 scale in both engines), "
+    "bucketed to minutes with a 60-minute overflow clamp. One window "
+    "exchange on event_type + the histogram's map-side-combined "
+    "aggregate; the output is |types x 61| rows whatever the stream "
+    "volume.",
+    tags=("events", "temporal", "histogram"),
+)
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = (F.col("ts").cast("double") * 1_000_000).cast("long")
+    gap = us - F.lag(us).over(w)
+    d = ev.select("event_type", gap.alias("gap_us")).filter(F.col("gap_us").isNotNull())
+    bucket = F.least(F.floor(F.col("gap_us") / 60_000_000.0).cast("long"), F.lit(60))
+    return d.groupBy("event_type", bucket.alias("gap_min_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
