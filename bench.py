@@ -78,6 +78,7 @@ HEADLINE = [
     "anomaly_mad_orders",
     "quality_char_entropy",
     "pipeline_training_corpus",
+    "rollup_ohlc",
 ]
 
 
