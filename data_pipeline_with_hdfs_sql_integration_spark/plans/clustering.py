@@ -334,3 +334,67 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("__dropped").alias("n_dropped"),
         )
     )
+
+
+GRAPH_CC_OFFSET = 1_000_000  # suppliers live at suppkey + OFFSET
+
+
+@query(
+    "graph_components_supply",
+    oracle=f"""
+        WITH RECURSIVE sedges AS (
+            SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+                            CAST(l_suppkey + {GRAPH_CC_OFFSET} AS BIGINT) AS s
+            FROM lineitem
+            WHERE l_partkey < 300 AND l_suppkey < 30 AND l_orderkey % 23 = 0
+        ),
+        edges AS (
+            SELECT p AS a, s AS b FROM sedges
+            UNION
+            SELECT s, p FROM sedges
+        ),
+        reach AS (
+            SELECT a AS n, a AS m FROM edges
+            UNION
+            SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a
+        ),
+        labels AS (
+            SELECT n, min(m) AS cluster_id FROM reach GROUP BY n
+        )
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(count(*) FILTER (n < {GRAPH_CC_OFFSET}) AS BIGINT) AS n_parts,
+               CAST(count(*) FILTER (n >= {GRAPH_CC_OFFSET}) AS BIGINT) AS n_suppliers
+        FROM labels
+        GROUP BY cluster_id
+    """,
+    doc="Connected components as a GENERAL graph operator, applied to a "
+    "second graph (the sparsified part–supplier supply network — "
+    "bounded keys, 1-in-23 orders, so the graph fragments into real "
+    "components instead of one giant one): the SAME "
+    "connected_components() min-label engine the dedup family uses, "
+    "proving it is substrate-agnostic library code, not a dedup "
+    "special case. Per component: id (min node) + part/supplier "
+    "counts via the node-id range encoding. Oracle: declarative "
+    "recursive-CTE fixpoint, as for dedup_clusters.",
+    tags=("graph", "clustering", "iterative"),
+)
+def graph_components_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter(
+            (F.col("l_partkey") < 300)
+            & (F.col("l_suppkey") < 30)
+            & (F.col("l_orderkey") % 23 == 0)
+        )
+        .select(
+            F.col("l_partkey").cast("long").alias("p"),
+            (F.col("l_suppkey") + GRAPH_CC_OFFSET).cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    cc = connected_components(edges, "p", "s")
+    return cc.groupBy(F.col("cluster_id").cast("long").alias("cluster_id")).agg(
+        F.count(F.when(F.col("node") < GRAPH_CC_OFFSET, 1)).alias("n_parts"),
+        F.count(F.when(F.col("node") >= GRAPH_CC_OFFSET, 1)).alias("n_suppliers"),
+    )
