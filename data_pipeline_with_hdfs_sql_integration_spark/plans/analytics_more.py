@@ -452,3 +452,55 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skewness"),
         kurt.alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_mean_family",
+    oracle="""
+        WITH q AS (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+            FROM lineitem WHERE l_quantity >= 1
+        )
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS arith_mean,
+               round(CAST(count(*) AS DOUBLE) * 1000000000000.0
+                     / sum(1000000000000 // x), 6) AS harmonic_mean,
+               round(exp(sum(round(ln(CAST(x AS DOUBLE)), 9)) / count(*)), 6)
+                   AS geometric_mean
+        FROM q GROUP BY l_returnflag
+    """,
+    doc="The Pythagorean mean family per return flag, each engineered "
+    "for cross-engine determinism its own way: arithmetic from an "
+    "exact BIGINT sum; harmonic from exact integer reciprocal "
+    "fixed-points (1e12 div x — no float 1/x summation, whose "
+    "partition order would drift); geometric from per-term "
+    "round-9 logs of SMALL INTEGER arguments (<=50 distinct ln "
+    "inputs, each computed identically by both engines' libm; the "
+    "rounding absorbs any last-ulp residue before the "
+    "order-independent sum). AM >= GM >= HM holds per group by "
+    "construction — a free internal sanity invariant. One "
+    "map-side-combined aggregate carrying 3 longs + 1 double.",
+    tags=("agg", "stats"),
+)
+def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 1)
+        .select("l_returnflag", F.col("l_quantity").cast("long").alias("x"))
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6).alias("arith_mean"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            * 1_000_000_000_000.0
+            / F.sum(F.expr("1000000000000L div x")),
+            6,
+        ).alias("harmonic_mean"),
+        F.round(
+            F.exp(F.sum(F.round(F.log(F.col("x").cast("double")), 9)) / F.count(F.lit(1))),
+            6,
+        ).alias("geometric_mean"),
+    )
