@@ -436,3 +436,60 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@query(
+    "layout_compaction",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Small-file compaction (the OPTIMIZE maintenance primitive): a "
+    "deliberately over-fragmented copy of events (64 tiny files — the "
+    "classic streaming-ingest pathology; at 100 TB small files "
+    "multiply NameNode/listing load and per-task overhead) is "
+    "compacted by a size-targeted coalesce into a handful of "
+    "right-sized files, and the query aggregates the COMPACTED copy "
+    "against the raw-table oracle — proving compaction is "
+    "content-lossless. The target file count derives from the "
+    "driver-side listing's total bytes / 128MB (floored at 1), the "
+    "same arithmetic a table service runs; coalesce (not repartition) "
+    "merges without a shuffle. tests assert the file count actually "
+    "shrank.",
+    tags=("layout", "maintenance", "compaction"),
+)
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        table_path,
+    )
+
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    frag = deterministic_tmp_dir("layout_frag64", table_path(sf_dir, "events"))
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = deterministic_tmp_dir("layout_compacted", table_path(sf_dir, "events"))
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        total_bytes = sum(
+            f.stat().st_size
+            for f in __import__("pathlib").Path(frag).glob("*.parquet")
+        )
+        target = max(1, total_bytes // (128 * 1024 * 1024))
+        (
+            spark.read.parquet(frag)
+            .coalesce(int(target))
+            .write.mode("overwrite")
+            .parquet(compacted)
+        )
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )

@@ -555,3 +555,25 @@ def test_ohlc_is_single_aggregate_no_window(spark):
     # with one (key, value) pair of state per group, sorted only by
     # the GROUP key, never per-group data sorts.
     assert "SortAggregate" in plan or "HashAggregate" in plan
+
+
+def test_compaction_reduces_file_count(spark):
+    """layout_compaction must actually merge the 64-file fragmented
+    copy into (far) fewer files, losslessly (the oracle parity test
+    checks values; this checks the operational claim)."""
+    import glob
+    import os
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        table_path,
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    all_queries()["layout_compaction"].fn(spark, SF_DIR).collect()
+    frag = deterministic_tmp_dir("layout_frag64", table_path(SF_DIR, "events"))
+    compacted = deterministic_tmp_dir("layout_compacted", table_path(SF_DIR, "events"))
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(compacted, "*.parquet")))
+    assert n_frag == 64
+    assert 1 <= n_comp <= 4
