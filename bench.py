@@ -62,6 +62,7 @@ HEADLINE = [
     "gapfill_locf",
     "twa_user_value",
     "udaf_weighted_median",
+    "window_weighted_median",
     "dedup_embedding_lsh",
     "dedup_substring_spans",
     "dedup_incremental_minhash",
