@@ -515,3 +515,77 @@ def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     return d.groupBy("event_type", bucket.alias("gap_min_bucket")).agg(
         F.count(F.lit(1)).alias("n_gaps")
     )
+
+
+@query(
+    "events_touch_attribution",
+    oracle="""
+        WITH conv AS (
+            SELECT user_id, ts AS conv_ts, event_id AS conv_id
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touches AS (
+            SELECT e.user_id, c.conv_id, e.event_type, e.ts, e.event_id
+            FROM events e
+            JOIN conv c
+              ON e.user_id = c.user_id
+             AND e.ts < c.conv_ts
+             AND e.ts >= c.conv_ts - INTERVAL '2 hours'
+            WHERE e.event_type IN ('view', 'click', 'signup')
+        ),
+        ranked AS (
+            SELECT conv_id, event_type,
+                   row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY ts ASC, event_id ASC) AS rn_f,
+                   row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn_l
+            FROM touches
+        ),
+        picked AS (
+            SELECT conv_id,
+                   max(CASE WHEN rn_f = 1 THEN event_type END) AS first_touch,
+                   max(CASE WHEN rn_l = 1 THEN event_type END) AS last_touch
+            FROM ranked GROUP BY conv_id
+        )
+        SELECT first_touch, last_touch,
+               CAST(count(*) AS BIGINT) AS n_conversions
+        FROM picked
+        GROUP BY first_touch, last_touch
+    """,
+    doc="Marketing-style touch attribution: for every purchase, the "
+    "FIRST and LAST qualifying touch (view/click/signup) in the "
+    "trailing 2-hour window, chosen deterministically by the "
+    "(ts, event_id) total order via min_by/max_by — then the "
+    "(first, last) channel-pair conversion matrix. The touch join is "
+    "a bounded event-time range join (per conversion, only a 2-hour "
+    "slice of that user's events), so state never grows with history "
+    "— the same bounded-interval posture as the stream-stream funnel "
+    "join. One aggregate pass per conversion after the join; the "
+    "matrix output is |channels|^2 rows.",
+    tags=("events", "attribution", "temporal"),
+)
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("conv_ts"),
+        F.col("event_id").alias("conv_id"),
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click", "signup"))
+        .join(
+            conv,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("ts") < F.col("conv_ts"))
+            & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 2 HOURS")),
+        )
+    )
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    picked = touches.groupBy("conv_id").agg(
+        F.min_by("event_type", okey).alias("first_touch"),
+        F.max_by("event_type", okey).alias("last_touch"),
+    )
+    return picked.groupBy("first_touch", "last_touch").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
