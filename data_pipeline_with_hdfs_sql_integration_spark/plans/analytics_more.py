@@ -504,3 +504,91 @@ def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("geometric_mean"),
     )
+
+
+@query(
+    "agg_covariance_matrix",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(l_quantity AS BIGINT) AS q,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                   CAST(round(l_discount * 100) AS BIGINT) AS d
+            FROM lineitem
+        ), s AS (
+            SELECT count(*) AS n,
+                   sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+                   sum(CAST(q*q AS HUGEINT)) AS sqq,
+                   sum(CAST(q*p AS HUGEINT)) AS sqp,
+                   sum(CAST(q*d AS HUGEINT)) AS sqd,
+                   sum(CAST(p*p AS HUGEINT)) AS spp,
+                   sum(CAST(p*d AS HUGEINT)) AS spd,
+                   sum(CAST(d*d AS HUGEINT)) AS sdd
+            FROM v
+        )
+        SELECT x, y, round(cov, 6) AS cov FROM (
+            SELECT 'quantity' AS x, 'quantity' AS y,
+                   (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*sq/n)/(n-1) AS cov FROM s
+            UNION ALL SELECT 'quantity', 'price_cents',
+                   (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*sp/n)/(n-1) FROM s
+            UNION ALL SELECT 'quantity', 'discount_pct',
+                   (CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE)*sd/n)/(n-1) FROM s
+            UNION ALL SELECT 'price_cents', 'price_cents',
+                   (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*sp/n)/(n-1) FROM s
+            UNION ALL SELECT 'price_cents', 'discount_pct',
+                   (CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE)*sd/n)/(n-1) FROM s
+            UNION ALL SELECT 'discount_pct', 'discount_pct',
+                   (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*sd/n)/(n-1) FROM s
+        )
+    """,
+    doc="Sample covariance matrix (upper triangle, long form) over "
+    "three lineitem numerics from EXACT integer sums and cross-"
+    "products (cents/pct fixed-point, HUGEINT/DECIMAL(38) "
+    "accumulators) — covar_samp() reduces floats in partition order "
+    "and drifts per topology, the same failure mode the z-score and "
+    "correlation queries pin. ONE aggregate pass computes all 9 "
+    "sufficient statistics (the feature-covariance job a PCA/whitening "
+    "step runs before training); the matrix assembly is driver-free "
+    "arithmetic on a 1-row relation.",
+    tags=("agg", "stats"),
+)
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum(dec(F.col("q") * F.col("q"))).alias("sqq"),
+        F.sum(dec(F.col("q") * F.col("p"))).alias("sqp"),
+        F.sum(dec(F.col("q") * F.col("d"))).alias("sqd"),
+        F.sum(dec(F.col("p") * F.col("p"))).alias("spp"),
+        F.sum(dec(F.col("p") * F.col("d"))).alias("spd"),
+        F.sum(dec(F.col("d") * F.col("d"))).alias("sdd"),
+    )
+    pairs = [
+        ("quantity", "quantity", "sqq", "sq", "sq"),
+        ("quantity", "price_cents", "sqp", "sq", "sp"),
+        ("quantity", "discount_pct", "sqd", "sq", "sd"),
+        ("price_cents", "price_cents", "spp", "sp", "sp"),
+        ("price_cents", "discount_pct", "spd", "sp", "sd"),
+        ("discount_pct", "discount_pct", "sdd", "sd", "sd"),
+    ]
+    rows = None
+    for x, y, sxy, sx, sy in pairs:
+        cov = F.round(
+            (
+                F.col(sxy).cast("double")
+                - F.col(sx).cast("double") * F.col(sy) / F.col("n")
+            )
+            / (F.col("n") - 1),
+            6,
+        )
+        r = s.select(F.lit(x).alias("x"), F.lit(y).alias("y"), cov.alias("cov"))
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
