@@ -589,3 +589,76 @@ def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.groupBy("first_touch", "last_touch").agg(
         F.count(F.lit(1)).alias("n_conversions")
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+        WITH daily AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM daily),
+        dau AS (
+            SELECT day, count(*) AS dau FROM daily GROUP BY day
+        ),
+        contrib AS (
+            SELECT da.user_id, da.day + to_days(CAST(g.i AS INTEGER)) AS tday
+            FROM daily da
+            CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 6)) AS i) g
+        ),
+        wau AS (
+            SELECT c.tday AS day, count(DISTINCT c.user_id) AS wau
+            FROM contrib c JOIN days d ON c.tday = d.day
+            GROUP BY c.tday
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(dau.dau AS BIGINT) AS dau,
+               CAST(wau.wau AS BIGINT) AS wau
+        FROM days d JOIN dau ON d.day = dau.day JOIN wau ON d.day = wau.day
+    """,
+    doc="DAU / trailing-7-day WAU per day — the canonical engagement "
+    "rollup. Rolling DISTINCT does not decompose (you cannot sum "
+    "daily distincts), and a day-range join re-scans 7x; instead each "
+    "(day, user) row CONTRIBUTES itself to the 7 forward days "
+    "(bounded explode — the same trick as the range join's hour "
+    "buckets), so WAU is one distinct-count per day over the "
+    "contribution relation: 7x |daily| rows total, shuffled once on "
+    "the day key. Day keys emit as strings (bare DATE columns break "
+    "pandas-side canonicalizers — the documented gotcha). At 100 TB "
+    "swap count(DISTINCT) for the mergeable HLL sketch "
+    "(agg_hll_sketch_union) and the whole metric becomes "
+    "sketch-union arithmetic.",
+    tags=("events", "rollup", "engagement"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = daily.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda i: F.col("day") + F.make_interval(days=i),
+            )
+        ).alias("tday"),
+    )
+    wau = (
+        contrib.join(days.withColumnRenamed("day", "tday"), "tday")
+        .groupBy("tday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("tday", "day")
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+    )
