@@ -1,0 +1,125 @@
+"""Minimal transaction-log table format: versioned snapshots + time
+travel over plain parquet, Delta-style in miniature.
+
+The reference ships raw parquet files with no versioning (server.py
+writes and overwrites in place); every modern lakehouse adds a
+commit LOG so readers get atomic snapshots and historical versions.
+This module implements the essential mechanism with nothing but
+parquet + JSON:
+
+- a table is a directory: ``data/`` holds immutable parquet file
+  groups, ``_log/`` holds numbered JSON commits;
+- each commit ``NNNNNNNN.json`` lists files ``add``-ed and
+  ``remove``-d at that version — files are NEVER mutated, only
+  referenced (so concurrent readers of older versions stay correct);
+- a snapshot at version v = replay of commits 0..v: the live file
+  set; reading is one ``spark.read.parquet(*live_files)``;
+- commits publish via write-to-temp + atomic create-exclusive
+  ``os.link`` onto the next free number — the same optimistic
+  put-if-absent protocol Delta's LogStore uses (a racing writer
+  loses the link and retries against the replayed log).
+
+At 100 TB the log is tiny metadata (file paths, not data); snapshot
+resolution is a driver-side replay of O(commits) small JSON files —
+checkpoint compaction (a rolled-up live-set file every N commits)
+is the standard extension and noted in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TxTable:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.log_dir = os.path.join(root, "_log")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- log
+    def _commits(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        commits = self._commits()
+        return int(commits[-1].split(".")[0]) if commits else -1
+
+    def _commit(self, entry: dict) -> int:
+        """Atomic rename onto the next free commit number (optimistic
+        single-writer: a racing writer loses the rename and retries)."""
+        while True:
+            version = self.latest_version() + 1
+            entry = {**entry, "version": version}
+            tmp = os.path.join(
+                self.log_dir, f".tmp-{uuid.uuid4().hex}.json"
+            )
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            target = os.path.join(self.log_dir, f"{version:08d}.json")
+            try:
+                # On POSIX, link() fails if target exists — the atomic
+                # "create exclusively" commit; rename() would clobber.
+                os.link(tmp, target)
+                os.unlink(tmp)
+                return version
+            except FileExistsError:
+                os.unlink(tmp)  # lost the race: replay and retry
+
+    # ------------------------------------------------------------ write
+    def _write_files(self, df: DataFrame) -> list[str]:
+        group = os.path.join(self.data_dir, f"g-{uuid.uuid4().hex}")
+        df.write.parquet(group)
+        return [
+            os.path.join(group, f)
+            for f in os.listdir(group)
+            if f.endswith(".parquet")
+        ]
+
+    def append(self, df: DataFrame) -> int:
+        files = self._write_files(df)
+        return self._commit({"add": files, "remove": []})
+
+    def overwrite(self, df: DataFrame) -> int:
+        files = self._write_files(df)
+        live = self.live_files()
+        return self._commit({"add": files, "remove": live})
+
+    # ------------------------------------------------------------- read
+    def live_files(self, version: int | None = None) -> list[str]:
+        live: set[str] = set()
+        for name in self._commits():
+            v = int(name.split(".")[0])
+            if version is not None and v > version:
+                break
+            with open(os.path.join(self.log_dir, name)) as f:
+                entry = json.load(f)
+            live -= set(entry.get("remove", []))
+            live |= set(entry.get("add", []))
+        return sorted(live)
+
+    def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        files = self.live_files(version)
+        if not files:
+            raise ValueError(f"no live files at version {version}")
+        return spark.read.parquet(*files)
+
+
+def scratch_table(kind: str, source_path: str) -> TxTable:
+    """A TxTable under a deterministic scratch dir keyed to the source
+    fixture's content version (same contract as catalog stores)."""
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+    )
+
+    return TxTable(deterministic_tmp_dir(f"txtable_{kind}", source_path))
+
+
+__all__ = ["TxTable", "scratch_table"]

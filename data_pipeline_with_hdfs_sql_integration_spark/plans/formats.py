@@ -165,3 +165,55 @@ def format_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_priority"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "format_time_travel",
+    oracle="""
+        SELECT 1 AS version, event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type
+        UNION ALL
+        SELECT 2 AS version, event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="TIME TRAVEL over a transaction-log table (operators/txlog.py "
+    "— the Delta mechanism in miniature: immutable parquet file "
+    "groups + numbered JSON commits, atomically published by "
+    "create-exclusive link, snapshots resolved by log replay): the "
+    "events table is loaded as two commits (days < Jan 15, then the "
+    "rest), and the query reads BOTH versions of the same table — "
+    "version 1 must equal the historical prefix, version 2 the full "
+    "table, byte-for-byte against the raw-data oracle. No file is "
+    "ever rewritten, so old versions stay consistent under "
+    "concurrent readers; log size is O(commits) metadata whatever "
+    "the data volume.",
+    tags=("format", "txlog", "time-travel"),
+)
+def format_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        scratch_table,
+    )
+
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    t = scratch_table("events_2commit", table_path(sf_dir, "events"))
+    if t.latest_version() < 1:
+        cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+        if t.latest_version() < 0:
+            t.append(ev.filter(F.col("ts") < cut))
+        t.append(ev.filter(F.col("ts") >= cut))
+    out = None
+    for v, tag in ((0, 1), (1, 2)):
+        snap = (
+            t.snapshot(spark, version=v)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.lit(tag).alias("version"), "event_type", "n_events")
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

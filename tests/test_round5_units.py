@@ -179,3 +179,28 @@ def test_quality_compression_ratio_matches_zlib(spark):
         ratio = round(comp / max(len(raw), 1), 6)
         keep = 1 if 0.25 <= ratio <= 1.05 else 0
         assert got[d] == (len(raw), comp, ratio, keep), d
+
+
+def test_txtable_versions_are_immutable(spark, tmp_path):
+    """Transaction-log table: append/append/overwrite must yield three
+    versions whose snapshots stay byte-stable — overwriting the table
+    cannot change what an old version reads (no file is ever mutated)."""
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "tx"))
+    df1 = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(10, 15).selectExpr("id", "id * 2 AS v")
+    df3 = spark.range(100, 103).selectExpr("id", "id * 2 AS v")
+    assert t.append(df1) == 0
+    assert t.append(df2) == 1
+    v0 = sorted(r["id"] for r in t.snapshot(spark, 0).collect())
+    v1 = sorted(r["id"] for r in t.snapshot(spark, 1).collect())
+    assert v0 == list(range(10))
+    assert v1 == list(range(15))
+    assert t.overwrite(df3) == 2
+    # Latest = only the overwrite's rows; old versions unchanged.
+    assert sorted(r["id"] for r in t.snapshot(spark).collect()) == [100, 101, 102]
+    assert sorted(r["id"] for r in t.snapshot(spark, 0).collect()) == v0
+    assert sorted(r["id"] for r in t.snapshot(spark, 1).collect()) == v1
+    # Commit numbering is dense and replayable.
+    assert t.latest_version() == 2
