@@ -217,3 +217,47 @@ def format_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+@query(
+    "format_incremental_read",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type
+    """,
+    doc="INCREMENTAL READ over the transaction-log table (the "
+    "change-data-feed read path): consume ONLY the files added "
+    "between two versions — here commit 1's delta on the same "
+    "two-commit events table format_time_travel builds — instead of "
+    "re-reading the snapshot and diffing. This is how a downstream "
+    "job tails a 100 TB table for pennies: the increment's cost is "
+    "proportional to the CHANGE, the log replay that finds it is "
+    "metadata-only, and immutable file groups mean the delta is "
+    "exactly the files the commit names, never a partial rewrite. "
+    "Values oracled against the raw events the second commit "
+    "ingested.",
+    tags=("format", "txlog", "cdc", "incremental"),
+)
+def format_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        scratch_table,
+    )
+
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    t = scratch_table("events_2commit", table_path(sf_dir, "events"))
+    if t.latest_version() < 1:
+        cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+        if t.latest_version() < 0:
+            t.append(ev.filter(F.col("ts") < cut))
+        t.append(ev.filter(F.col("ts") >= cut))
+    # Files added strictly AFTER version 0, up to version 1 = the delta.
+    before = set(t.live_files(0))
+    delta = [f for f in t.live_files(1) if f not in before]
+    return (
+        spark.read.parquet(*delta)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
