@@ -261,3 +261,53 @@ def format_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "format_txlog_optimize",
+    oracle="""
+        SELECT 1 AS version, event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 2 AS version, event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    doc="OPTIMIZE composed with versioning: the two-commit events "
+    "txlog table is compacted by a third commit that ADDS one merged "
+    "file group and REMOVES the fragmented ones — identical content, "
+    "fewer files — and because compaction is just another commit over "
+    "immutable files, the PRE-compaction version remains readable and "
+    "bit-identical (both versions here must equal the raw-table "
+    "oracle). This is the maintenance contract every lakehouse "
+    "guarantees: layout rewrites never invalidate history or break "
+    "concurrent readers pinned to old snapshots. File-count shrink is "
+    "unit-asserted in tests/test_round5_units.py.",
+    tags=("format", "txlog", "maintenance", "compaction"),
+)
+def format_txlog_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        scratch_table,
+    )
+
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    t = scratch_table("events_optimize", table_path(sf_dir, "events"))
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    if t.latest_version() < 0:
+        t.append(ev.filter(F.col("ts") < cut).repartition(8))
+    if t.latest_version() < 1:
+        t.append(ev.filter(F.col("ts") >= cut).repartition(8))
+    if t.latest_version() < 2:
+        # OPTIMIZE: same rows, one file group, committed like any write.
+        t.overwrite(t.snapshot(spark).coalesce(1))
+    out = None
+    for v, tag in ((1, 1), (2, 2)):
+        snap = (
+            t.snapshot(spark, version=v)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.lit(tag).alias("version"), "event_type", "n_events")
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

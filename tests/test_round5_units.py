@@ -204,3 +204,24 @@ def test_txtable_versions_are_immutable(spark, tmp_path):
     assert sorted(r["id"] for r in t.snapshot(spark, 1).collect()) == v1
     # Commit numbering is dense and replayable.
     assert t.latest_version() == 2
+
+
+def test_txlog_optimize_shrinks_files_keeps_history(spark):
+    """format_txlog_optimize: the compaction commit must reduce the
+    LIVE file count to 1 while the pre-compaction version still lists
+    the fragmented set (immutable history)."""
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        scratch_table,
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    all_queries()["format_txlog_optimize"].fn(spark, SF_DIR).collect()
+    t = scratch_table("events_optimize", table_path(SF_DIR, "events"))
+    assert t.latest_version() == 2
+    assert len(t.live_files(2)) == 1
+    assert len(t.live_files(1)) == 16  # 2 commits x repartition(8)
+    # History is immutable: the fragmented files still exist on disk.
+    import os
+
+    assert all(os.path.exists(f) for f in t.live_files(1))
