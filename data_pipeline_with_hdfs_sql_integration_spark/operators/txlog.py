@@ -123,3 +123,32 @@ def scratch_table(kind: str, source_path: str) -> TxTable:
 
 
 __all__ = ["TxTable", "scratch_table"]
+
+
+def vacuum(table: TxTable, keep_versions: int = 1) -> list[str]:
+    """Delete data files referenced ONLY by versions older than the
+    last `keep_versions` commits — the txlog VACUUM. Files still live
+    in any retained version survive; history older than the retention
+    horizon stops being time-travelable (exactly Delta's trade-off).
+    Returns the deleted paths. Never touches the log itself: replay
+    stays dense, and a snapshot request for a vacuumed version fails
+    loudly at read (missing file) rather than silently serving holes."""
+    import os
+
+    latest = table.latest_version()
+    if latest < 0:
+        return []
+    horizon = max(0, latest - keep_versions + 1)
+    keep: set[str] = set()
+    for v in range(horizon, latest + 1):
+        keep |= set(table.live_files(v))
+    doomed = []
+    for group in os.listdir(table.data_dir):
+        gdir = os.path.join(table.data_dir, group)
+        for f in os.listdir(gdir):
+            path = os.path.join(gdir, f)
+            if f.endswith(".parquet") and path not in keep:
+                doomed.append(path)
+    for path in doomed:
+        os.unlink(path)
+    return sorted(doomed)

@@ -225,3 +225,28 @@ def test_txlog_optimize_shrinks_files_keeps_history(spark):
     import os
 
     assert all(os.path.exists(f) for f in t.live_files(1))
+
+
+def test_txlog_vacuum_respects_retention(spark, tmp_path):
+    """VACUUM deletes only files exclusive to versions past retention;
+    retained versions stay readable, vacuumed ones fail loudly."""
+    import pytest
+
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        TxTable,
+        vacuum,
+    )
+
+    t = TxTable(str(tmp_path / "tx"))
+    t.append(spark.range(0, 5).selectExpr("id"))          # v0
+    t.overwrite(spark.range(10, 12).selectExpr("id"))     # v1 replaces v0
+    t.append(spark.range(20, 22).selectExpr("id"))        # v2 adds
+    deleted = vacuum(t, keep_versions=2)  # retain v1, v2
+    # v0's files were only referenced by v0 -> gone; v1/v2 files kept.
+    assert deleted and all("g-" in p for p in deleted)
+    assert sorted(r["id"] for r in t.snapshot(spark, 2).collect()) == [10, 11, 20, 21]
+    assert sorted(r["id"] for r in t.snapshot(spark, 1).collect()) == [10, 11]
+    with pytest.raises(Exception):
+        t.snapshot(spark, 0).collect()  # vacuumed history fails loudly
+    # Idempotent: nothing left to delete.
+    assert vacuum(t, keep_versions=2) == []
