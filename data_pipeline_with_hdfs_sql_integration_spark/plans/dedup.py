@@ -1391,11 +1391,17 @@ def _register_dedup_incremental_semantic() -> None:
     the same increment."""
     from data_pipeline_with_hdfs_sql_integration_spark.plans import similarity as sim
 
+    ham_max = _emb_lsh_ham_max()
+
     @query(
         "dedup_incremental_semantic",
         oracle=f"""
             WITH e AS ({sim._SQL_VECS}),
             {sim._KMEANS_CTES},
+            sigs AS (SELECT vec_id,
+                            {sim._sql_lsh_sig('v', 0)} AS sig_lo,
+                            {sim._sql_lsh_sig('v', 1)} AS sig_hi
+                     FROM e),
             assignedf AS (
                 SELECT vec_id, cell_id FROM (
                     SELECT e.vec_id, c.cell_id,
@@ -1404,8 +1410,10 @@ def _register_dedup_incremental_semantic() -> None:
                                         c.cell_id ASC) AS rn
                     FROM e, {sim._KMEANS_FINAL} c)
                 WHERE rn = 1),
-            m AS (SELECT a.vec_id, a.cell_id, e.v
-                  FROM assignedf a JOIN e ON a.vec_id = e.vec_id),
+            m AS (SELECT a.vec_id, a.cell_id, e.v, s.sig_lo, s.sig_hi
+                  FROM assignedf a
+                  JOIN e ON a.vec_id = e.vec_id
+                  JOIN sigs s ON a.vec_id = s.vec_id),
             scored AS (
                 SELECT n.vec_id AS new_vec, o.vec_id AS match,
                        {sim._sql_cosine('n.v', 'o.v')} AS cos
@@ -1414,6 +1422,8 @@ def _register_dedup_incremental_semantic() -> None:
                  AND o.vec_id <> n.vec_id
                  AND (o.vec_id % {INCR_NEW_MOD} <> 0 OR o.vec_id < n.vec_id)
                 WHERE n.vec_id % {INCR_NEW_MOD} = 0
+                  AND bit_count(xor(n.sig_lo, o.sig_lo))
+                      + bit_count(xor(n.sig_hi, o.sig_hi)) <= {ham_max}
                   AND {sim._sql_cosine('n.v', 'o.v')} >= {EMB_COSINE_THRESHOLD}
             ),
             best AS (
@@ -1450,18 +1460,26 @@ def _register_dedup_incremental_semantic() -> None:
         apply_runtime_confs(spark)
         _cent, assigned = sim.ivf_index_store(spark, sf_dir)
         e = sim._vecs(spark, sf_dir)
-        m = assigned.select("vec_id", "cell_id").join(e, "vec_id")
+        sigs = sim.lsh_signature_store(spark, sf_dir)
+        # Same bare-candidate + hamming-gate shape as dedup_semantic:
+        # the pair join ships 16-byte sigs, survivors re-attach vectors.
+        m = assigned.select("vec_id", "cell_id").join(sigs, "vec_id")
         new = m.filter(F.col("vec_id") % INCR_NEW_MOD == 0).select(
             F.col("cell_id"),
             F.col("vec_id").alias("new_vec"),
-            F.col("v").alias("vn"),
+            F.col("sig_lo").alias("lo_n"),
+            F.col("sig_hi").alias("hi_n"),
         )
         other = m.select(
             F.col("cell_id"),
             F.col("vec_id").alias("match"),
-            F.col("v").alias("vm"),
+            F.col("sig_lo").alias("lo_m"),
+            F.col("sig_hi").alias("hi_m"),
         )
-        scored = (
+        ham = F.bit_count(F.col("lo_n").bitwiseXOR(F.col("lo_m"))) + F.bit_count(
+            F.col("hi_n").bitwiseXOR(F.col("hi_m"))
+        )
+        cand = (
             new.join(other, "cell_id")
             .filter(
                 (F.col("match") != F.col("new_vec"))
@@ -1470,6 +1488,14 @@ def _register_dedup_incremental_semantic() -> None:
                     | (F.col("match") < F.col("new_vec"))
                 )
             )
+            .filter(ham <= ham_max)
+            .select("new_vec", "match")
+        )
+        en = e.select(F.col("vec_id").alias("new_vec"), F.col("v").alias("vn"))
+        em = e.select(F.col("vec_id").alias("match"), F.col("v").alias("vm"))
+        scored = (
+            cand.join(en, "new_vec")
+            .join(em, "match")
             .select(
                 "new_vec",
                 "match",
