@@ -80,6 +80,8 @@ HEADLINE = [
     "quality_char_entropy",
     "pipeline_training_corpus",
     "rollup_ohlc",
+    "dedup_winnowing_overlap",
+    "text_sparse_cosine_pairs",
 ]
 
 

@@ -30,6 +30,7 @@ def load_all_plans() -> None:
         linkage,
         merge_ops,
         multimodal,
+        overlap,
         profiling,
         rollup_hypertable,
         sampling,
