@@ -391,3 +391,143 @@ def sketch_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total").cast("long").alias("n"),
         )
     )
+
+
+# ------------------------------------------------------------------ bloom
+#: Bloom filter geometry: BLOOM_WORDS words of 62 usable bits (the
+#: sign and top bit stay clear so `1 << pos` never wraps in either
+#: engine — same 62-bit convention as the LSH signature words).
+BLOOM_WORDS = 64
+BLOOM_WORD_BITS = 62
+BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS
+#: k independent hash functions (reuse the shared affine family).
+BLOOM_K = 3
+
+
+def _bloom_params() -> list[tuple[int, int]]:
+    return tf.MINHASH_PARAMS[CMS_DEPTH : CMS_DEPTH + BLOOM_K]
+
+
+def _sql_bloom_pos(key: str, a: int, b: int) -> str:
+    return f"(({a} * {key} + {b}) % {tf.MOD}) % {BLOOM_BITS}"
+
+
+def _bloom_word_mask(df: DataFrame) -> DataFrame:
+    """Explode a keyed relation into its (k, word, mask) filter cells.
+
+    pos = affine hash mod the bit width; word/mask derive via integer
+    div and a 62-bit-safe shiftleft (SQL expr — the Python shiftleft
+    binding takes only literal shift amounts).
+    """
+    pos_arr = F.array(
+        *[((F.lit(a) * F.col("k") + F.lit(b)) % tf.MOD) % BLOOM_BITS for a, b in _bloom_params()]
+    )
+    return df.select("k", F.explode(pos_arr).alias("pos")).select(
+        "k",
+        F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+        F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {BLOOM_WORD_BITS} as int))").alias("mask"),
+    )
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=f"""
+        WITH members AS (
+            SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        ),
+        setbits AS (
+            {" UNION ALL ".join(
+                f'''SELECT {_sql_bloom_pos('k', a, b)} // {BLOOM_WORD_BITS} AS word,
+                           (CAST(1 AS BIGINT) << ({_sql_bloom_pos('k', a, b)} % {BLOOM_WORD_BITS})) AS mask
+                    FROM members'''
+                for a, b in _bloom_params()
+            )}
+        ),
+        bloom AS (
+            SELECT word, bit_or(mask) AS bits FROM setbits GROUP BY word
+        ),
+        probes AS (
+            SELECT c.c_custkey AS k,
+                   EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'F') AS exact_member
+            FROM customer c
+        ),
+        checks AS (
+            {" UNION ALL ".join(
+                f'''SELECT k, {_sql_bloom_pos('k', a, b)} // {BLOOM_WORD_BITS} AS word,
+                           (CAST(1 AS BIGINT) << ({_sql_bloom_pos('k', a, b)} % {BLOOM_WORD_BITS})) AS mask
+                    FROM probes'''
+                for a, b in _bloom_params()
+            )}
+        ),
+        verdicts AS (
+            SELECT ch.k,
+                   min(CASE WHEN (bl.bits & ch.mask) <> 0 THEN 1 ELSE 0 END) AS all_set
+            FROM checks ch LEFT JOIN bloom bl ON bl.word = ch.word
+            GROUP BY ch.k
+        )
+        SELECT p.k AS custkey,
+               (v.all_set = 1) AS bloom_positive,
+               p.exact_member,
+               (v.all_set = 1 AND NOT p.exact_member) AS false_positive
+        FROM probes p JOIN verdicts v ON v.k = p.k
+    """,
+    doc="Deterministic Bloom-filter membership: the distinct custkeys "
+    f"holding finalized ('F') orders are inserted into a {BLOOM_BITS}-bit filter "
+    f"({BLOOM_WORDS} x {BLOOM_WORD_BITS}-bit BIGINT words, "
+    f"{BLOOM_K} affine hashes from the shared family), then EVERY "
+    "customer is probed — per-customer verdict (bloom_positive, "
+    "exact_member, false_positive) against the exact semi-join truth. "
+    "The filter build is one explode + bit_or groupBy (mergeable: "
+    "filters from shards/days OR together), and the word geometry is "
+    "sign-safe in both engines. The filter is deliberately undersized "
+    "(load ~k*n/m) so false positives actually occur and their exact "
+    "set is value-checked — 'deterministically approximate' like the "
+    "count-min sketch. At 100 TB this is THE semi-join reduction tool: "
+    "a few KiB broadcast to every scan task filters a fact table "
+    "before the shuffle (the hand-rolled, cross-engine-checkable "
+    "analog of Spark's runtime InBloomFilter pruning, which "
+    "layout_bloom_join_pruning proves engages natively).",
+    tags=("sketch", "approx", "join"),
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    orders = load_parallel(spark, sf_dir, "orders")
+    customer = load_parallel(spark, sf_dir, "customer")
+    members = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+
+    setbits = _bloom_word_mask(members)
+    bloom = setbits.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+    probes = customer.select(F.col("c_custkey").alias("k")).join(
+        members.withColumnRenamed("k", "mk"),
+        F.col("k") == F.col("mk"),
+        "left",
+    ).select("k", F.col("mk").isNotNull().alias("exact_member"))
+
+    checks = _bloom_word_mask(probes.select("k"))
+    verdicts = (
+        checks.join(F.broadcast(bloom), "word", "left")
+        .select(
+            "k",
+            F.when(F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("mask")) != 0), 1)
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("k")
+        .agg(F.min("hit").alias("all_set"))
+    )
+    return (
+        probes.join(verdicts, "k")
+        .select(
+            F.col("k").alias("custkey"),
+            (F.col("all_set") == 1).alias("bloom_positive"),
+            "exact_member",
+            ((F.col("all_set") == 1) & ~F.col("exact_member")).alias("false_positive"),
+        )
+    )
