@@ -985,3 +985,160 @@ def _rp_cols() -> list:
 def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     return _vecs(spark, sf_dir).select("vec_id", *_rp_cols())
+
+
+# ----------------------------------------------------------------- MMR
+#: MMR diversification: candidate pool size, picks, and the relevance/
+#: diversity trade-off 7:3 (lambda = 0.7, scaled x10 so the greedy
+#: score stays in exact BIGINTs).
+MMR_POOL = 24
+MMR_PICKS = 8
+MMR_REL_W = 7
+MMR_DIV_W = 3
+
+
+def _cos_e6(a, b):
+    """Cosine scaled to an exact BIGINT (ppm) — sequential-fold dot,
+    one IEEE divide, one round: both engines produce the identical
+    double, so the integer is identical too (same posture as the
+    rounded-cosine family)."""
+    return F.round(
+        tf.dot(a, b) / (F.sqrt(tf.dot(a, a)) * F.sqrt(tf.dot(b, b))) * 1000000
+    ).cast("long")
+
+
+def _sql_cos_e6(a: str, b: str) -> str:
+    return (
+        f"CAST(round({tf.sql_dot(a, b)} / (sqrt({tf.sql_dot(a, a)}) * "
+        f"sqrt({tf.sql_dot(b, b)})) * 1000000) AS BIGINT)"
+    )
+
+
+def _sql_mmr() -> str:
+    rounds = []
+    prev_all = "all_1"
+    rounds.append(
+        f"""cand AS MATERIALIZED (
+            SELECT e.vec_id, {_sql_cos_e6('e.v', 'q.qv')} AS rel_e6, e.v
+            FROM e, q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+            ORDER BY rel_e6 DESC, e.vec_id ASC
+            LIMIT {MMR_POOL}
+        ),
+        pairsim AS MATERIALIZED (
+            SELECT a.vec_id AS pa, b.vec_id AS pb, {_sql_cos_e6('a.v', 'b.v')} AS sim_e6
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        ),
+        p1 AS (
+            SELECT vec_id, rel_e6, CAST(1 AS BIGINT) AS pick_round
+            FROM cand ORDER BY rel_e6 DESC, vec_id ASC LIMIT 1
+        ),
+        all_1 AS MATERIALIZED (SELECT vec_id, rel_e6, pick_round FROM p1)"""
+    )
+    for i in range(2, MMR_PICKS + 1):
+        rounds.append(
+            f"""sc{i} AS (
+            SELECT c.vec_id, c.rel_e6,
+                   {MMR_REL_W} * c.rel_e6 - {MMR_DIV_W} * max(ps.sim_e6) AS score
+            FROM cand c
+            JOIN pairsim ps ON ps.pa = c.vec_id
+            JOIN {prev_all} s ON ps.pb = s.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_all})
+            GROUP BY c.vec_id, c.rel_e6
+        ),
+        p{i} AS (
+            SELECT vec_id, rel_e6, CAST({i} AS BIGINT) AS pick_round
+            FROM sc{i} ORDER BY score DESC, vec_id ASC LIMIT 1
+        ),
+        all_{i} AS MATERIALIZED (
+            SELECT vec_id, rel_e6, pick_round FROM {prev_all}
+            UNION ALL
+            SELECT vec_id, rel_e6, pick_round FROM p{i}
+        )"""
+        )
+        prev_all = f"all_{i}"
+    return ",\n        ".join(rounds), prev_all
+
+
+_MMR_CTES, _MMR_FINAL = _sql_mmr()
+
+
+@query(
+    "sim_mmr_diversify",
+    oracle=f"""
+        WITH e AS ({_SQL_VECS}),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+        {_MMR_CTES}
+        SELECT pick_round, vec_id, rel_e6 FROM {_MMR_FINAL}
+    """,
+    doc=f"Maximal-marginal-relevance re-rank: the top-{MMR_POOL} "
+    "cosine candidates are greedily re-selected so each pick maximizes "
+    f"{MMR_REL_W}*relevance - {MMR_DIV_W}*max-similarity-to-already-"
+    f"picked (lambda=0.7), yielding {MMR_PICKS} results that cover the "
+    "neighborhood instead of returning near-duplicates of each other "
+    "— the standard retrieval diversification between ANN and the "
+    "consumer. Everything is exact BIGINT ppm (rounded-cosine "
+    "integers; argmax ties by vec_id), so the greedy trace is "
+    "bit-identical across engines — the oracle unrolls the same "
+    f"{MMR_PICKS} rounds as chained CTEs (the PageRank unrolling "
+    "pattern). Scale shape: the DISTRIBUTED work is the candidate "
+    "top-K scan (TakeOrderedAndProject, like sim_cosine_topk); the "
+    f"greedy runs on the constant-size {MMR_POOL}-candidate pool and "
+    f"its {MMR_POOL}x{MMR_POOL} pairwise-sim relation — per-round "
+    "cost is independent of corpus size, exactly like the k-means "
+    "center collect. At 100 TB swap the exact candidate scan for any "
+    "ANN tier (LSH/IVF/PQ) unchanged.",
+    tags=("similarity", "topk"),
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _cos_e6(F.col("v"), F.col("qv")).alias("rel_e6"), "v")
+        .orderBy(F.col("rel_e6").desc(), F.col("vec_id").asc())
+        .limit(MMR_POOL)
+        .persist()
+    )
+    ca = cand.alias("ca")
+    cb = cand.alias("cb")
+    pairsim = (
+        ca.join(cb, F.col("ca.vec_id") != F.col("cb.vec_id"))
+        .select(
+            F.col("ca.vec_id").alias("pa"),
+            F.col("cb.vec_id").alias("pb"),
+            _cos_e6(F.col("ca.v"), F.col("cb.v")).alias("sim_e6"),
+        )
+        .persist()
+    )
+    # Each greedy round's argmax is a 1-row driver collect (the
+    # constant-size k-means-centers pattern); chaining the rounds as
+    # one lazy plan instead would reference round i-1 twice per round
+    # and blow the plan up exponentially.
+    first = (
+        cand.orderBy(F.col("rel_e6").desc(), F.col("vec_id").asc())
+        .select("vec_id", "rel_e6")
+        .first()
+    )
+    picks = [(1, first["vec_id"], first["rel_e6"])]
+    for i in range(2, MMR_PICKS + 1):
+        picked_ids = [p[1] for p in picks]
+        row = (
+            cand.filter(~F.col("vec_id").isin(picked_ids))
+            .join(pairsim, F.col("pa") == F.col("vec_id"))
+            .filter(F.col("pb").isin(picked_ids))
+            .groupBy("vec_id", "rel_e6")
+            .agg(
+                (
+                    F.lit(MMR_REL_W) * F.col("rel_e6") - F.lit(MMR_DIV_W) * F.max("sim_e6")
+                ).alias("score")
+            )
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .first()
+        )
+        picks.append((i, row["vec_id"], row["rel_e6"]))
+    return spark.createDataFrame(
+        picks, "pick_round bigint, vec_id bigint, rel_e6 bigint"
+    )
