@@ -82,6 +82,9 @@ HEADLINE = [
     "rollup_ohlc",
     "dedup_winnowing_overlap",
     "text_sparse_cosine_pairs",
+    "sim_mmr_diversify",
+    "sketch_bloom_membership",
+    "graph_triangle_count",
 ]
 
 

@@ -531,3 +531,110 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("all_set") == 1) & ~F.col("exact_member")).alias("false_positive"),
         )
     )
+
+
+# -------------------------------------------------------------------- KMV
+#: k-minimum-values sketch: keep the k smallest distinct hash values;
+#: estimate distinct count as (k-1) * HASH_RANGE / kth_min. Mergeable
+#: by unioning k-min sets and re-truncating to k — shown below by
+#: deriving the union estimate FROM the per-group sketches.
+KMV_K = 64
+#: Affine hash index 7 (count-min uses 0-3, the Bloom filter 4-6).
+KMV_PARAM_IDX = 7
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT DISTINCT l_returnflag AS grp,
+                   ({tf.MINHASH_PARAMS[KMV_PARAM_IDX][0]} * l_orderkey
+                    + {tf.MINHASH_PARAMS[KMV_PARAM_IDX][1]}) % {tf.MOD} AS h
+            FROM lineitem
+        ),
+        ranked AS (
+            SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rn
+            FROM hashed
+        ),
+        kmin AS (
+            SELECT grp, h, rn FROM ranked WHERE rn <= {KMV_K}
+        ),
+        grp_est AS (
+            SELECT grp,
+                   CAST(({KMV_K} - 1) * CAST({tf.MOD} AS BIGINT) // h AS BIGINT)
+                       AS kmv_estimate
+            FROM kmin WHERE rn = {KMV_K}
+        ),
+        grp_exact AS (
+            SELECT l_returnflag AS grp,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+            FROM lineitem GROUP BY 1
+        ),
+        merged AS (
+            SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+            FROM (SELECT DISTINCT h FROM kmin)
+        ),
+        union_est AS (
+            SELECT CAST(({KMV_K} - 1) * CAST({tf.MOD} AS BIGINT) // h AS BIGINT)
+                       AS kmv_estimate
+            FROM merged WHERE rn = {KMV_K}
+        ),
+        union_exact AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+            FROM lineitem
+        )
+        SELECT g.grp, g.kmv_estimate, x.exact_distinct
+        FROM grp_est g JOIN grp_exact x USING (grp)
+        UNION ALL
+        SELECT '__union__' AS grp, u.kmv_estimate, x.exact_distinct
+        FROM union_est u, union_exact x
+    """,
+    doc=f"K-minimum-values distinct sketch: per returnflag, the {KMV_K} "
+    "smallest distinct affine-hash values of l_orderkey; estimate = "
+    f"(k-1)*RANGE/kth_min in exact BIGINTs. The '__union__' row is the "
+    "point: its estimate is derived from the per-group SKETCHES alone "
+    "(union the k-min sets, re-truncate to k, read the new kth min) — "
+    "the mergeability that lets 1000 executors sketch their partitions "
+    "independently and combine in O(k) per group, and the same "
+    "algebra that gives set-INTERSECTION estimates (inclusion-"
+    "exclusion over merged sketches), which HLL cannot do. Exact "
+    "distinct counts ride alongside so the (deterministic, "
+    "value-checked) error is visible. Scale: the sketch build is one "
+    "distinct + one bounded window per group — the k-min set is "
+    f"{KMV_K} longs per group regardless of cardinality; compare "
+    "agg_approx_distinct (engine-native HLL, error-bound-checked "
+    "only) and sketch_count_min_tokens (frequency, not cardinality).",
+    tags=("sketch", "approx", "agg"),
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    li = load_parallel(spark, sf_dir, "lineitem")
+    a, b = tf.MINHASH_PARAMS[KMV_PARAM_IDX]
+    hashed = li.select(
+        F.col("l_returnflag").alias("grp"),
+        ((F.lit(a) * F.col("l_orderkey") + F.lit(b)) % tf.MOD).alias("h"),
+    ).distinct()
+    ranked = hashed.select(
+        "grp", "h", F.row_number().over(Window.partitionBy("grp").orderBy(F.col("h").asc())).alias("rn")
+    )
+    kmin = ranked.filter(F.col("rn") <= KMV_K)
+    est_expr = F.expr(f"CAST(({KMV_K} - 1) * CAST({tf.MOD} AS BIGINT) div h AS BIGINT)")
+    grp_est = kmin.filter(F.col("rn") == KMV_K).select("grp", est_expr.alias("kmv_estimate"))
+    grp_exact = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    merged = (
+        kmin.select("h")
+        .distinct()
+        .select("h", F.row_number().over(Window.orderBy(F.col("h").asc())).alias("rn"))
+    )
+    union_est = merged.filter(F.col("rn") == KMV_K).select(est_expr.alias("kmv_estimate"))
+    union_exact = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
+    return grp_est.join(grp_exact, "grp").unionAll(
+        union_est.crossJoin(union_exact).select(
+            F.lit("__union__").alias("grp"), "kmv_estimate", "exact_distinct"
+        )
+    )
