@@ -55,48 +55,55 @@ FP_DF_CEIL = 32
 COS_NUM = 4
 
 
-def _winnow_fps(text_col):
-    """array<struct<h:bigint,p:bigint>> of winnowed (hash, position).
+def _winnow_fp_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp_hash, fp_pos) — winnowed fingerprints, relational.
 
-    Pure map-side column math (JVM higher-order functions): gram
-    hashes via the shared polynomial fold, then for each window start
-    a fold selecting (min hash, rightmost position). No shuffle, no
-    Python — the per-document cost is O(n_grams * (k + w)).
+    Formulated over EXPLODED token rows, not per-row arrays: the
+    array-of-lambdas version re-evaluates the whole token-hash array
+    for every gram slice (Catalyst does no common-subexpression
+    elimination inside interpreted HOF lambdas), which is quadratic in
+    document length — measured 380 s at sf0.1 vs ~3 s for this shape.
+    Here every expensive value is computed ONCE per row: token hash on
+    the exploded row, gram hash from {k-1} leads, window selection as
+    a frame min of struct(hash, -pos) (min hash, rightmost tie). One
+    shuffle on doc_id serves all window passes; per-doc state is the
+    sort buffer, the standard posting-shuffle posture at 100 TB.
     """
-    toks = tf.tokens(text_col)
-    th = F.transform(toks, lambda s: tf.poly_hash_str(s))
-    n_grams = F.size(th) - (WINNOW_K - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), n_grams - 1),
-        lambda i: F.struct(
-            tf.poly_hash_longs(F.slice(th, i + 1, WINNOW_K)).alias("h"),
-            i.cast("long").alias("p"),
-        ),
-    )
-    # argmin with rightmost tie-break over one window of gram structs.
-    def _window_min(win):
-        return F.aggregate(
-            win,
-            F.element_at(win, 1),
-            lambda acc, x: F.when(
-                (x["h"] < acc["h"]) | ((x["h"] == acc["h"]) & (x["p"] > acc["p"])), x
-            ).otherwise(acc),
-        )
+    from pyspark.sql import Window
 
-    full = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_grams - WINNOW_W),
-            lambda s: _window_min(F.slice(grams, s + 1, WINNOW_W)),
-        )
+    toks = docs.select(
+        "doc_id", F.posexplode(tf.tokens(F.col("text"))).alias("p", "tok")
     )
-    # Shorter than one window (but >= 1 gram): the global minimum.
-    short = F.array(_window_min(grams))
-    empty = F.array().cast("array<struct<h:bigint,p:bigint>>")
-    return (
-        F.when(n_grams >= WINNOW_W, full)
-        .when(n_grams >= 1, short)
-        .otherwise(empty)
+    th = toks.select("doc_id", "p", tf.poly_hash_str(F.col("tok")).alias("th"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    # Rolling polynomial fold over k consecutive token hashes (exactly
+    # poly_hash_longs' (acc*BASE + x) % MOD starting from acc = 0).
+    g = F.col("th")
+    for i in range(1, WINNOW_K):
+        g = (g * tf.BASE + F.lead("th", i).over(w)) % tf.MOD
+    grams = (
+        th.select("doc_id", F.col("p").cast("long").alias("p"), g.alias("g"))
+        .filter(F.col("g").isNotNull())
     )
+    wg = Window.partitionBy("doc_id").orderBy("p")
+    frame = wg.rowsBetween(0, WINNOW_W - 1)
+    sel = grams.select(
+        "doc_id",
+        "p",
+        F.min(F.struct(F.col("g").alias("h"), (-F.col("p")).alias("np"))).over(frame).alias("m"),
+        F.lead("g", WINNOW_W - 1).over(wg).alias("gw"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_grams"),
+        F.min("p").over(Window.partitionBy("doc_id")).alias("p0"),
+    )
+    picked = sel.filter(
+        F.col("gw").isNotNull()
+        | ((F.col("p") == F.col("p0")) & (F.col("n_grams") < WINNOW_W))
+    )
+    return picked.select(
+        "doc_id",
+        F.col("m.h").alias("fp_hash"),
+        (-F.col("m.np")).alias("fp_pos"),
+    ).distinct()
 
 
 def _sql_winnow_ctes() -> str:
@@ -157,22 +164,20 @@ def _sql_winnow_ctes() -> str:
     "position-robust — inserting a paragraph shifts positions but "
     "reselects the same hashes elsewhere — and density-guaranteed: "
     f"every shared run of >= {WINNOW_K + WINNOW_W - 1} tokens yields "
-    "at least one identical fingerprint in both documents. Pure "
-    "map-side JVM HOF math (no Python, no shuffle); the fingerprint "
-    "set is ~1/w the gram count, so downstream joins touch a fraction "
-    "of the corpus — this is the index a plagiarism/passage-overlap "
-    "pipeline materializes once at 100 TB.",
+    "at least one identical fingerprint in both documents. Computed "
+    "relationally over exploded token rows (hash once per token, gram "
+    "via lead(), selection via a frame min — see _winnow_fp_rows for "
+    "why the per-row-array formulation is quadratic); one doc_id "
+    "shuffle serves every window pass. The fingerprint set is ~1/w "
+    "the gram count, so downstream joins touch a fraction of the "
+    "corpus — this is the index a plagiarism/passage-overlap pipeline "
+    "materializes once at 100 TB.",
     tags=("text", "dedup", "winnowing"),
 )
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     docs = load_parallel(spark, sf_dir, "documents")
-    fps = docs.select("doc_id", F.explode(_winnow_fps(F.col("text"))).alias("f"))
-    return fps.select(
-        "doc_id",
-        F.col("f.h").alias("fp_hash"),
-        F.col("f.p").alias("fp_pos"),
-    )
+    return _winnow_fp_rows(docs)
 
 
 @query(
@@ -216,11 +221,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     docs = load_parallel(spark, sf_dir, "documents")
-    fp = (
-        docs.select("doc_id", F.explode(_winnow_fps(F.col("text"))).alias("f"))
-        .select("doc_id", F.col("f.h").alias("fp_hash"))
-        .distinct()
-    )
+    fp = _winnow_fp_rows(docs).select("doc_id", "fp_hash").distinct()
     keep = (
         fp.groupBy("fp_hash")
         .agg(F.count("*").alias("df"))
