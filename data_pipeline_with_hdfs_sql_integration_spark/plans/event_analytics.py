@@ -662,3 +662,64 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wau").cast("long").alias("wau"),
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM ordered WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT from_type, sum(n_transitions) AS total
+            FROM pairs GROUP BY 1
+        )
+        SELECT p.from_type, p.to_type, p.n_transitions,
+               CAST(1000000 * p.n_transitions // t.total AS BIGINT) AS p_ppm
+        FROM pairs p JOIN totals t USING (from_type)
+    """,
+    doc="First-order Markov transition matrix over user event streams: "
+    "each user's events ordered by the (ts, event_id) total order, "
+    "lag() yields (prev, next) pairs, and the |types|^2 matrix carries "
+    "exact counts plus parts-per-million transition probabilities "
+    "(integer division — no float drift). This is the behavioral "
+    "model behind next-action prediction, anomaly scoring (improbable "
+    "transitions), and synthetic-session generation; "
+    "cep_journey_patterns asks regex questions about whole journeys, "
+    "this asks distributional ones about steps. One window exchange "
+    "on user_id, one map-side-combined pair aggregate; the matrix is "
+    "|types|^2 rows whatever the stream volume, and the row-"
+    "normalizing totals join is over that constant-size relation.",
+    tags=("events", "window", "agg"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n_transitions").alias("total"))
+    return (
+        pairs.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("CAST(1000000 * n_transitions div total AS BIGINT)").alias("p_ppm"),
+        )
+    )

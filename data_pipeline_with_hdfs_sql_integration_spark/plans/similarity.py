@@ -1142,3 +1142,105 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "pick_round bigint, vec_id bigint, rel_e6 bigint"
     )
+
+
+# ---------------------------------------------------------- grid join
+#: Grid-bucketed spatial self-join: radius and cell side (cell = r, so
+#: all true neighbors live in the 3x3 neighborhood of a point's cell).
+GRID_R2 = 0.0001  # r = 0.01 in the 2-D projection
+GRID_CELL = 0.01
+
+
+@query(
+    "sim_grid_neighbors",
+    oracle=f"""
+        WITH p AS (
+            SELECT vec_id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT vec_id, x, y,
+                   CAST(floor(x / {GRID_CELL}) AS BIGINT) AS cx,
+                   CAST(floor(y / {GRID_CELL}) AS BIGINT) AS cy
+            FROM p
+        ),
+        probes AS (
+            SELECT c.vec_id, c.x, c.y, c.cx + dx.d AS ncx, c.cy + dy.d AS ncy
+            FROM cells c,
+                 (VALUES (-1), (0), (1)) dx(d),
+                 (VALUES (-1), (0), (1)) dy(d)
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), 9)
+                   AS dist2
+        FROM probes a
+        JOIN cells b ON b.cx = a.ncx AND b.cy = a.ncy AND a.vec_id < b.vec_id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {GRID_R2}
+    """,
+    doc="Grid-bucketed spatial self-join: all point pairs within "
+    "radius r in the embedding's first two dimensions. Cell side = r, "
+    "so every true neighbor pair shares a cell or touches an adjacent "
+    "one: ONE side replicates to its 9 neighbor cells (bounded "
+    "explode), the join is an equi-join on cell id, and the exact "
+    "distance check runs only within candidate cells — the canonical "
+    "blocked spatial join (work ∝ points-per-cell², never |P|²; no "
+    "cross join in the plan). Each qualifying pair is found exactly "
+    "once because the build side keys on its OWN cell. Distances are "
+    "identical doubles in both engines (same expression order). At "
+    "100 TB the cell id is the shuffle key — uniform for "
+    "near-uniform point sets; for skewed sets split hot cells by a "
+    "secondary hash exactly like the salted-join tooling in "
+    "operators/skew.py.",
+    tags=("similarity", "join", "spatial"),
+)
+def sim_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    pts = _vecs_scan(spark, sf_dir).select(
+        "vec_id",
+        F.element_at("v", 1).cast("double").alias("x"),
+        F.element_at("v", 2).cast("double").alias("y"),
+    )
+    cells = pts.select(
+        "vec_id",
+        "x",
+        "y",
+        F.floor(F.col("x") / GRID_CELL).cast("long").alias("cx"),
+        F.floor(F.col("y") / GRID_CELL).cast("long").alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).cast("long").alias("dx"), F.lit(dy).cast("long").alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = cells.select(
+        "vec_id", "x", "y", "cx", "cy", F.explode(offsets).alias("o")
+    ).select(
+        "vec_id",
+        "x",
+        "y",
+        (F.col("cx") + F.col("o.dx")).alias("ncx"),
+        (F.col("cy") + F.col("o.dy")).alias("ncy"),
+    )
+    a = probes.alias("a")
+    b = cells.alias("b")
+    dist2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    return (
+        a.join(
+            b,
+            (F.col("b.cx") == F.col("a.ncx"))
+            & (F.col("b.cy") == F.col("a.ncy"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(dist2 <= GRID_R2)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dist2, 9).alias("dist2"),
+        )
+    )

@@ -577,3 +577,43 @@ def test_compaction_reduces_file_count(spark):
     n_comp = len(glob.glob(os.path.join(compacted, "*.parquet")))
     assert n_frag == 64
     assert 1 <= n_comp <= 4
+
+
+def test_grid_join_no_cartesian(spark):
+    """sim_grid_neighbors must plan as a cell-keyed equi-join: the
+    radius predicate is a post-join filter, never a join strategy."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["sim_grid_neighbors"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """graph_triangle_count: wedge and closing joins are equi-keyed."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["graph_triangle_count"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnowing_single_window_exchange(spark):
+    """text_winnowing's lead/frame-min/count windows must all ride ONE
+    hashpartitioning(doc_id) exchange (plus the small-input repartition
+    guard) — a second per-window shuffle would double the dominant cost
+    at 100 TB."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["text_winnowing"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    import re
+
+    doc_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(doc_id" in ln
+    ]
+    assert len(doc_exchanges) <= 1, plan
