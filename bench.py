@@ -85,6 +85,8 @@ HEADLINE = [
     "sim_mmr_diversify",
     "sketch_bloom_membership",
     "graph_triangle_count",
+    "events_markov_transitions",
+    "sim_grid_neighbors",
 ]
 
 

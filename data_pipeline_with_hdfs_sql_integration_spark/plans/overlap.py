@@ -221,7 +221,8 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     docs = load_parallel(spark, sf_dir, "documents")
-    fp = _winnow_fp_rows(docs).select("doc_id", "fp_hash").distinct()
+    # Referenced by both the df-ceiling aggregate and the pair join.
+    fp = _winnow_fp_rows(docs).select("doc_id", "fp_hash").distinct().persist()
     keep = (
         fp.groupBy("fp_hash")
         .agg(F.count("*").alias("df"))

@@ -180,3 +180,95 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("relation")
+
+
+@query(
+    "audit_table_checksums",
+    oracle="""
+        SELECT 'lineitem' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(((((l_orderkey * 31 + l_partkey) % 1000000007) * 31
+                         + l_suppkey) % 1000000007) * 31 + l_linenumber)
+                    % 1000000007 AS BIGINT) AS checksum
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(((o_orderkey * 31 + o_custkey) % 1000000007) * 31
+                        + CAST(round(o_totalprice * 100) AS BIGINT))
+                    % 1000000007 AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'events',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(((event_id * 31 + user_id) % 1000000007) * 31
+                        + epoch_us(ts) % 1000000007)
+                    % 1000000007 AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'customer',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(((c_custkey * 31 + c_nationkey) % 1000000007) * 31
+                        + CAST(round(c_acctbal * 100) AS BIGINT))
+                    % 1000000007 AS BIGINT)
+        FROM customer
+    """,
+    doc="Order-independent table checksums: each table reduces to "
+    "(n_rows, sum of per-row polynomial digests over its key/value "
+    "columns mod 1e9+7) — the migration-validation tool a user "
+    "switching engines runs on both sides (this repo's whole oracle "
+    "methodology, packaged as a query; doubles enter via exact cents/"
+    "micros). Commutative addition makes the checksum partition-order "
+    "independent, map-side combinable, and shard-mergeable: at 100 TB "
+    "each executor digests its split and one number per table comes "
+    "back; per-row digests stay < 2^35 so int64 sums hold to ~2^28 "
+    "rows per task partial — beyond that widen the sum to "
+    "DECIMAL(38,0), the formula is unchanged. Four scans, four 1-row "
+    "aggregates, zero shuffle beyond the final union.",
+    tags=("profiling", "maintenance", "agg"),
+)
+def audit_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    M = 1_000_000_007
+
+    def digest(df: DataFrame, name: str, expr: Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            (F.sum(expr) % M).alias("checksum"),
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    cu = load(spark, sf_dir, "customer")
+    parts = [
+        digest(
+            li,
+            "lineitem",
+            ((((F.col("l_orderkey") * 31 + F.col("l_partkey")) % M) * 31
+              + F.col("l_suppkey")) % M) * 31 + F.col("l_linenumber"),
+        ),
+        digest(
+            od,
+            "orders",
+            ((F.col("o_orderkey") * 31 + F.col("o_custkey")) % M) * 31
+            + F.round(F.col("o_totalprice") * 100).cast("long"),
+        ),
+        digest(
+            ev,
+            "events",
+            ((F.col("event_id") * 31 + F.col("user_id")) % M) * 31
+            + F.unix_micros(F.col("ts")) % M,
+        ),
+        digest(
+            cu,
+            "customer",
+            ((F.col("c_custkey") * 31 + F.col("c_nationkey")) % M) * 31
+            + F.round(F.col("c_acctbal") * 100).cast("long"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

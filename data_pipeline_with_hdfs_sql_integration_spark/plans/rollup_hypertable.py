@@ -296,3 +296,86 @@ def rollup_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+@query(
+    "rollup_downsample_extrema",
+    oracle="""
+        WITH pts AS (
+            SELECT user_id,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   event_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        stats AS (
+            SELECT user_id, bucket_ts, event_id, ts, cents,
+                   sum(cents) OVER (PARTITION BY user_id, bucket_ts) AS s,
+                   count(*) OVER (PARTITION BY user_id, bucket_ts) AS n
+            FROM pts
+        ),
+        ranked AS (
+            SELECT user_id, bucket_ts, event_id, cents, n,
+                   row_number() OVER (
+                       PARTITION BY user_id, bucket_ts
+                       ORDER BY abs(cents * n - s) DESC, ts ASC, event_id ASC
+                   ) AS rk
+            FROM stats
+        )
+        SELECT user_id, bucket_ts,
+               event_id AS rep_event_id,
+               cents AS rep_cents,
+               CAST(n AS BIGINT) AS n_events
+        FROM ranked WHERE rk = 1
+    """,
+    doc="Extremum-preserving downsampling: one representative event "
+    "per (user, hour) — the point FARTHEST from its bucket mean "
+    "(then earliest on ties), so spikes survive the reduction that a "
+    "plain avg-per-bucket rollup would erase; the same goal as LTTB "
+    "chart downsampling, in a deterministic windowed form (LTTB "
+    "itself is a sequential greedy — its anchor depends on the "
+    "previous pick — and does not parallelize). The deviation "
+    "compare is |cents*n - sum| — the mean inequality cross-"
+    "multiplied into exact BIGINTs, no division, no float boundary. "
+    "One (user, bucket) window serves the stats and the ranking: a "
+    "single shuffle, per-task state bounded by bucket size. At 100 TB "
+    "this is the ingest-side reduction before dashboards/alerting, "
+    "composable with rollup_hourly_to_daily's lossless aggregates.",
+    tags=("timeseries", "rollup", "window"),
+)
+def rollup_downsample_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wb = Window.partitionBy("user_id", "bucket_ts")
+    stats = pts.select(
+        "user_id", "bucket_ts", "event_id", "ts", "cents",
+        F.sum("cents").over(wb).alias("s"),
+        F.count("*").over(wb).alias("n"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id", "bucket_ts").orderBy(
+            F.abs(F.col("cents") * F.col("n") - F.col("s")).desc(),
+            F.col("ts").asc(),
+            F.col("event_id").asc(),
+        )
+    )
+    return (
+        stats.select("user_id", "bucket_ts", "event_id", "cents", "n", rk.alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "bucket_ts",
+            F.col("event_id").alias("rep_event_id"),
+            F.col("cents").alias("rep_cents"),
+            F.col("n").cast("long").alias("n_events"),
+        )
+    )
