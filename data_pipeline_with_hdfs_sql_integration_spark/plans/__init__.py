@@ -46,3 +46,7 @@ def load_all_plans() -> None:
         udtf_queries,
         window_fns,
     )
+
+    # Cross-module compositions that embed other queries' oracle text
+    # register after every plan module has finished importing.
+    similarity._register_pipeline_embedding_curation()

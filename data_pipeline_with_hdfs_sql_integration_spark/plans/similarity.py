@@ -1244,3 +1244,109 @@ def sim_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dist2, 9).alias("dist2"),
         )
     )
+
+
+# ------------------------------------------------------- curation pipeline
+#: Per-cell budget for the diversity-preserving sample.
+CURATE_PER_CELL = 8
+#: Affine hash index 8 for the deterministic sample rank (count-min
+#: uses 0-3, Bloom 4-6, KMV 7).
+CURATE_HASH_IDX = 8
+
+
+def _register_pipeline_embedding_curation() -> None:
+    """Called from plans/__init__.load_all_plans AFTER every module has
+    registered: the oracle embeds dedup_semantic's oracle text, and
+    dedup.py imports THIS module mid-registration — calling at import
+    time would race that cycle."""
+    from data_pipeline_with_hdfs_sql_integration_spark import registry
+
+    if "pipeline_embedding_curation" in registry._REGISTRY:
+        return
+    ha, hb = tf.MINHASH_PARAMS[CURATE_HASH_IDX]
+    base_oracle = registry._REGISTRY["dedup_semantic"].oracle
+
+    @query(
+        "pipeline_embedding_curation",
+        oracle=f"""
+            WITH base AS ({base_oracle}),
+            surv AS (
+                SELECT vec_id, cell_id,
+                       ({ha} * vec_id + {hb}) % {tf.MOD} AS h
+                FROM base WHERE keep = 1
+            ),
+            ranked AS (
+                SELECT vec_id, cell_id,
+                       row_number() OVER (PARTITION BY cell_id
+                                          ORDER BY h ASC, vec_id ASC) AS rn
+                FROM surv
+            ),
+            sampled AS (
+                SELECT cell_id,
+                       CAST(count(*) AS BIGINT) AS n_sampled,
+                       CAST(sum(vec_id) % {tf.MOD} AS BIGINT) AS sample_checksum
+                FROM ranked WHERE rn <= {CURATE_PER_CELL}
+                GROUP BY cell_id
+            ),
+            totals AS (
+                SELECT cell_id,
+                       CAST(count(*) AS BIGINT) AS n_total,
+                       CAST(sum(keep) AS BIGINT) AS n_kept
+                FROM base GROUP BY cell_id
+            )
+            SELECT t.cell_id, t.n_total, t.n_kept,
+                   coalesce(s.n_sampled, 0) AS n_sampled,
+                   coalesce(s.sample_checksum, 0) AS sample_checksum
+            FROM totals t LEFT JOIN sampled s USING (cell_id)
+        """,
+        doc="End-to-end embedding-curation pipeline, the vector-space "
+        "sibling of pipeline_training_corpus: IVF k-means cells (the "
+        "build-once ANN index) -> SemDeDup greedy semantic dedup "
+        "(dedup_semantic's verdicts, reused verbatim — its oracle is "
+        f"embedded as this one's base CTE) -> a {CURATE_PER_CELL}-per-"
+        "cell budgeted sample picked by deterministic key hash, so "
+        "every region of embedding space keeps representation (the "
+        "diversity-aware subsetting a dataset-distillation step runs "
+        "after dedup). Per-cell manifest: total, surviving dedup, "
+        "sampled, and an order-independent checksum of the sampled "
+        "ids. Scale shape: dedup is cell-keyed (SemDeDup), the sample "
+        "rank is a per-cell window over survivors, the manifest is a "
+        "tiny aggregate — nothing corpus-quadratic anywhere.",
+        tags=("pipeline", "embeddings", "training", "sampling"),
+    )
+    def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        apply_runtime_confs(spark)
+        base = registry.get("dedup_semantic").fn(spark, sf_dir).persist()
+        surv = base.filter(F.col("keep") == 1).select(
+            "vec_id",
+            "cell_id",
+            ((F.lit(ha) * F.col("vec_id") + F.lit(hb)) % tf.MOD).alias("h"),
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("cell_id").orderBy(F.col("h").asc(), F.col("vec_id").asc())
+        )
+        sampled = (
+            surv.select("vec_id", "cell_id", rn.alias("rn"))
+            .filter(F.col("rn") <= CURATE_PER_CELL)
+            .groupBy("cell_id")
+            .agg(
+                F.count("*").alias("n_sampled"),
+                (F.sum("vec_id") % tf.MOD).alias("sample_checksum"),
+            )
+        )
+        totals = base.groupBy("cell_id").agg(
+            F.count("*").alias("n_total"), F.sum("keep").alias("n_kept")
+        )
+        return (
+            totals.join(sampled, "cell_id", "left")
+            .select(
+                "cell_id",
+                "n_total",
+                "n_kept",
+                F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),
+                F.coalesce("sample_checksum", F.lit(0).cast("long")).alias("sample_checksum"),
+            )
+        )
+
