@@ -87,6 +87,9 @@ HEADLINE = [
     "graph_triangle_count",
     "events_markov_transitions",
     "sim_grid_neighbors",
+    "rollup_downsample_extrema",
+    "audit_table_checksums",
+    "pipeline_embedding_curation",
 ]
 
 
