@@ -40,6 +40,10 @@ PICKS = [
     ("pipeline_training_corpus", "all gates map-side in ONE scan; persisted slim survivors feed dedup + manifest; sha256 shuffle key"),
     ("diff_snapshots", "FULL OUTER co-partitioned on the key; unchanged rows filtered inside the join output, no second pass"),
     ("sql_lateral_topk", "correlated LATERAL decorrelated: WindowGroupLimit pushes rank<=2 below the sort; broadcast join back"),
+    ("text_winnowing", "relational winnowing: every window pass (lead, frame-min, counts) rides ONE hashpartitioning(doc_id) exchange"),
+    ("sim_grid_neighbors", "grid spatial join: 9-cell explode on one side, equi-join on cell id — no CartesianProduct, radius check post-join"),
+    ("graph_triangle_count", "degree-oriented triangles: wedge join keyed on center, closing-edge equi-join; persisted k-NN edge build"),
+    ("sketch_bloom_membership", "bloom build = explode + bit_or groupBy; probe joins the broadcast 64-word filter"),
 ]
 
 
