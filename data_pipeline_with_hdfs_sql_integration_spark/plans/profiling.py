@@ -272,3 +272,46 @@ def audit_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "stream_table_checksum",
+    oracle="""
+        SELECT 'events' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(((event_id * 31 + user_id) % 1000000007) * 31
+                        + epoch_us(ts) % 1000000007)
+                    % 1000000007 AS BIGINT) AS checksum
+        FROM events
+    """,
+    doc="The events checksum from audit_table_checksums maintained BY "
+    "A STREAM: because the digest is a commutative modular sum, it is "
+    "a valid streaming aggregate — micro-batches contribute partial "
+    "sums in any arrival order and the availableNow result equals the "
+    "batch checksum exactly (the oracle IS the batch SQL). This is "
+    "the continuous-integrity posture: a pipeline can carry a running "
+    "checksum per table/day and reconcile against the source engine "
+    "without re-scanning history. Streaming state is ONE row (count + "
+    "running sum); the modular reduction keeps the sum bounded "
+    "forever, which a raw int64 running sum would not be.",
+    tags=("streaming", "profiling", "maintenance"),
+)
+def stream_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    from data_pipeline_with_hdfs_sql_integration_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+    )
+
+    M = 1_000_000_007
+    ev = events_stream(spark, sf_dir)
+    digest = ((F.col("event_id") * 31 + F.col("user_id")) % M) * 31 + F.unix_micros(
+        F.col("ts")
+    ) % M
+    agg = ev.agg(
+        F.lit("events").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        (F.sum(digest) % M).alias("checksum"),
+    )
+    spark, name = run_to_memory(agg)
+    return spark.table(name)
