@@ -535,3 +535,102 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Custom SINK via the Spark 4 Python DataSource writer API — "
+    "the write-side counterpart of source_python_datasource: each "
+    "task's write(iterator) streams its partition to a JSON-lines "
+    "part file and returns a WriterCommitMessage (file, row count); "
+    "the driver-side commit() runs only when every task succeeded and "
+    "publishes a _MANIFEST listing exactly the committed files — the "
+    "standard two-phase commit that makes a distributed write atomic "
+    "(abort() removes orphans, and underscore-prefixed control files "
+    "are invisible to readers). The query writes the per-priority "
+    "order rollup through the sink, reads the directory back with the "
+    "plain JSON reader, and must reproduce the batch aggregate "
+    "exactly — a sink you cannot re-read and value-check is a sink "
+    "you cannot trust (same contract as the O5 parquet roundtrip). "
+    "Classes are nested so cloudpickle ships them by value.",
+    tags=("sink", "python-datasource", "api", "format"),
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    apply_runtime_confs(spark)
+    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+    class _Committed(WriterCommitMessage):
+        def __init__(self, file: str | None, rows: int) -> None:
+            self.file = file
+            self.rows = rows
+
+    class JsonlSinkWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            out = _os.path.join(self.path, f"part-{pid:05d}.json")
+            n = 0
+            buf = []
+            for row in iterator:
+                buf.append(_json.dumps(row.asDict(), sort_keys=True))
+                n += 1
+            if n == 0:
+                return _Committed(None, 0)
+            with open(out, "w") as f:
+                f.write("\n".join(buf) + "\n")
+            return _Committed(out, n)
+
+        def commit(self, messages):
+            manifest = {
+                "files": sorted(m.file for m in messages if m.file),
+                "rows": sum(m.rows for m in messages),
+            }
+            with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                _json.dump(manifest, f)
+
+        def abort(self, messages):
+            for m in messages:
+                if m.file and _os.path.exists(m.file):
+                    _os.remove(m.file)
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dps_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return JsonlSinkWriter(self.options)
+
+    spark.dataSource.register(JsonlSink)
+    orders = load(spark, sf_dir, "orders")
+    rollup = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )
+    target = _tempfile.mkdtemp(prefix="dps_pysink_")
+    rollup.write.format("dps_jsonl_sink").option("path", target).mode("append").save()
+    # The manifest must exist (commit ran) and must account for every
+    # row the readers see — the atomicity contract, checked per run.
+    with open(_os.path.join(target, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    back = spark.read.schema("n_orders bigint, o_orderpriority string, total_cents bigint").json(
+        target
+    )
+    assert manifest["rows"] == back.count()
+    return back.select("o_orderpriority", "n_orders", "total_cents")
