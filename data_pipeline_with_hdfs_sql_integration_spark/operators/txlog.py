@@ -84,13 +84,68 @@ class TxTable:
         ]
 
     def append(self, df: DataFrame) -> int:
+        self._validate(df)
         files = self._write_files(df)
         return self._commit({"add": files, "remove": []})
 
     def overwrite(self, df: DataFrame) -> int:
+        self._validate(df)
         files = self._write_files(df)
         live = self.live_files()
         return self._commit({"add": files, "remove": live})
+
+    # ------------------------------------------------------ constraints
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """Active CHECK constraints at a version (log metadata replay,
+        same mechanism as the live file set)."""
+        active: dict[str, str] = {}
+        for name in self._commits():
+            v = int(name.split(".")[0])
+            if version is not None and v > version:
+                break
+            with open(os.path.join(self.log_dir, name)) as f:
+                entry = json.load(f)
+            active.update(entry.get("setConstraint", {}))
+            for dropped in entry.get("dropConstraint", []):
+                active.pop(dropped, None)
+        return active
+
+    def set_constraint(self, name: str, predicate: str) -> int:
+        """Record a CHECK constraint as a metadata-only commit. Every
+        subsequent append/overwrite must satisfy it or the commit is
+        refused (files may be written but never referenced — invisible
+        to every reader, the same atomicity that protects crashed
+        writes)."""
+        return self._commit(
+            {"add": [], "remove": [], "setConstraint": {name: predicate}}
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        return self._commit({"add": [], "remove": [], "dropConstraint": [name]})
+
+    def _validate(self, df: DataFrame) -> None:
+        """One aggregate pass counting violations of every active
+        constraint (NULL predicate results count as violations, the
+        Delta CHECK semantic — a constraint must evaluate TRUE)."""
+        from pyspark.sql import functions as F
+
+        active = self.constraints()
+        if not active:
+            return
+        names = sorted(active)
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(~F.coalesce(F.expr(active[n]), F.lit(False)), 1).otherwise(0)
+                ).alias(n)
+                for n in names
+            ]
+        ).first()
+        bad = {n: counts[n] for n in names if (counts[n] or 0) > 0}
+        if bad:
+            raise ConstraintViolation(
+                f"commit refused: constraint violations {bad}"
+            )
 
     # ------------------------------------------------------------- read
     def live_files(self, version: int | None = None) -> list[str]:
@@ -122,7 +177,12 @@ def scratch_table(kind: str, source_path: str) -> TxTable:
     return TxTable(deterministic_tmp_dir(f"txtable_{kind}", source_path))
 
 
-__all__ = ["TxTable", "scratch_table"]
+class ConstraintViolation(ValueError):
+    """An append/overwrite batch violated an active CHECK constraint;
+    nothing was committed."""
+
+
+__all__ = ["ConstraintViolation", "TxTable", "scratch_table"]
 
 
 def vacuum(table: TxTable, keep_versions: int = 1) -> list[str]:

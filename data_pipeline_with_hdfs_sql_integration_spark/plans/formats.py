@@ -311,3 +311,67 @@ def format_txlog_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+@query(
+    "format_txlog_constraints",
+    oracle="""
+        SELECT 'final_version' AS metric, CAST(2 AS BIGINT) AS value
+        UNION ALL
+        SELECT 'n_rows', CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        UNION ALL
+        SELECT 'rejected_batches', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'n_constraints', CAST(1 AS BIGINT)
+    """,
+    doc="CHECK constraints on the transaction-log table "
+    "(operators/txlog.py set_constraint — write-time data quality, "
+    "the Delta CHECK mechanism): the constraint is itself a "
+    "metadata-only commit replayed from the log, and every "
+    "append/overwrite validates its batch in ONE aggregate pass "
+    "(NULL evaluates as violation) BEFORE any file is referenced — a "
+    "refused batch raises ConstraintViolation and leaves version, "
+    "live files, and every reader untouched (the same atomicity that "
+    "protects crashed writes). This query builds an orders table "
+    "with `o_totalprice >= 0`, appends two clean slices, then proves "
+    "a poisoned batch (negated prices) is REJECTED on every run: the "
+    "final version, row count, rejection count, and constraint count "
+    "all value-check against the raw data. At 100 TB validation cost "
+    "is one map-side aggregate over the incoming batch only — never "
+    "the table.",
+    tags=("format", "txlog", "maintenance"),
+)
+def format_txlog_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        ConstraintViolation,
+        scratch_table,
+    )
+
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders")
+    t = scratch_table("orders_checked", table_path(sf_dir, "orders"))
+    if t.latest_version() < 2:
+        if t.latest_version() < 0:
+            t.set_constraint("non_negative_price", "o_totalprice >= 0")
+        if t.latest_version() < 1:
+            t.append(orders.filter(F.col("o_orderpriority") == "1-URGENT"))
+        t.append(orders.filter(F.col("o_orderpriority") == "2-HIGH"))
+    # The poisoned batch runs EVERY call — enforcement is proven per
+    # run, and a refused append changes no state (idempotent probe).
+    poisoned = orders.filter(F.col("o_orderpriority") == "3-MEDIUM").withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    rejected = 0
+    try:
+        t.append(poisoned)
+    except ConstraintViolation:
+        rejected = 1
+    rows = [
+        ("final_version", t.latest_version()),
+        ("n_rows", t.snapshot(spark).count()),
+        ("rejected_batches", rejected),
+        ("n_constraints", len(t.constraints())),
+    ]
+    return spark.createDataFrame(rows, "metric string, value bigint")

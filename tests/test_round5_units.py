@@ -250,3 +250,36 @@ def test_txlog_vacuum_respects_retention(spark, tmp_path):
         t.snapshot(spark, 0).collect()  # vacuumed history fails loudly
     # Idempotent: nothing left to delete.
     assert vacuum(t, keep_versions=2) == []
+
+
+def test_txlog_constraints_protocol(spark, tmp_path):
+    """set/drop constraint metadata commits; refused appends leave
+    version + snapshot untouched; NULL predicate counts as violation."""
+    import pytest
+
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        ConstraintViolation,
+        TxTable,
+    )
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.set_constraint("positive", "v > 0")
+    assert t.constraints() == {"positive": "v > 0"}
+    t.append(spark.createDataFrame([(1,), (2,)], "v int"))
+    v_before = t.latest_version()
+    rows_before = t.snapshot(spark).count()
+
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([(3,), (-1,)], "v int"))
+    # NULL must also be refused (constraint must evaluate TRUE).
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([(None,)], "v int"))
+    assert t.latest_version() == v_before
+    assert t.snapshot(spark).count() == rows_before
+
+    t.drop_constraint("positive")
+    assert t.constraints() == {}
+    t.append(spark.createDataFrame([(-5,)], "v int"))  # now admissible
+    assert t.snapshot(spark).count() == rows_before + 1
+    # Historical constraint state is versioned like the file set.
+    assert t.constraints(version=v_before) == {"positive": "v > 0"}
