@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as tf
 from data_pipeline_with_hdfs_sql_integration_spark.functions.textfns import MOD
 from data_pipeline_with_hdfs_sql_integration_spark.registry import query
 from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
@@ -128,3 +129,102 @@ def sample_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ------------------------------------------------------------ bootstrap
+#: Poisson(1) multiplicity thresholds scaled to 1e6 (inverse-CDF on a
+#: uniform integer hash): P(0)=.367879, P(<=1)=.735759, P(<=2)=.919699,
+#: P(<=3)=.981012, truncated at 4.
+BOOT_REPLICAS = 3
+BOOT_CDF_PPM = (367879, 735759, 919699, 981012)
+#: Affine hash index 9 (count-min 0-3, Bloom 4-6, KMV 7, curation 8).
+BOOT_HASH_IDX = 9
+
+
+def _boot_mult_sql(u: str) -> str:
+    c = BOOT_CDF_PPM
+    return (
+        f"CASE WHEN {u} < {c[0]} THEN 0 WHEN {u} < {c[1]} THEN 1 "
+        f"WHEN {u} < {c[2]} THEN 2 WHEN {u} < {c[3]} THEN 3 ELSE 4 END"
+    )
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+        WITH reps AS (
+            SELECT o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                   k.k,
+                   ({tf.MINHASH_PARAMS[BOOT_HASH_IDX][0]} * (o.o_orderkey * 10 + k.k)
+                    + {tf.MINHASH_PARAMS[BOOT_HASH_IDX][1]}) % {tf.MOD} % 1000000 AS u
+            FROM orders o, (SELECT unnest(generate_series(1, {BOOT_REPLICAS})) AS k) k
+        )
+        SELECT k AS replica,
+               CAST(sum({_boot_mult_sql('u')}) AS BIGINT) AS n_rows,
+               CAST(sum({_boot_mult_sql('u')} * cents) AS BIGINT) AS sum_cents
+        FROM reps
+        GROUP BY k
+        UNION ALL
+        SELECT 0 AS replica,
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders
+    """,
+    doc=f"Deterministic Poisson bootstrap: {BOOT_REPLICAS} bagging "
+    "replicas of the orders table where each row's multiplicity in "
+    "replica k is Poisson(1) via inverse-CDF over a uniform integer "
+    "key hash — the online-bootstrap trick (Oza/Russell) that makes "
+    "resampling-with-replacement a MAP-SIDE operation: no global n "
+    "to sample against, no RNG state, and the same row always lands "
+    "the same multiplicity whatever the partitioning or engine "
+    "(replica 0 = the original, for comparison). Per-replica row "
+    "counts and exact-cents totals come from one explode + one "
+    "map-side-combined aggregate; at 100 TB this is how bagged "
+    "models and bootstrap confidence intervals run over data too "
+    "big to resample by index.",
+    tags=("sampling", "stats", "training"),
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders")
+    a, b = tf.MINHASH_PARAMS[BOOT_HASH_IDX]
+    c = BOOT_CDF_PPM
+
+    def mult(u):
+        return (
+            F.when(u < c[0], 0)
+            .when(u < c[1], 1)
+            .when(u < c[2], 2)
+            .when(u < c[3], 3)
+            .otherwise(4)
+        )
+
+    reps = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"),
+                        mult(
+                            (F.lit(a) * (F.col("o_orderkey") * 10 + k) + F.lit(b))
+                            % tf.MOD
+                            % 1000000
+                        ).alias("m"),
+                    )
+                    for k in range(1, BOOT_REPLICAS + 1)
+                ]
+            )
+        ).alias("r"),
+    )
+    boot = reps.groupBy(F.col("r.k").alias("replica")).agg(
+        F.sum("r.m").alias("n_rows"),
+        F.sum(F.col("r.m") * F.col("cents")).alias("sum_cents"),
+    )
+    orig = orders.agg(
+        F.lit(0).cast("long").alias("replica"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+    )
+    return boot.unionAll(orig)
