@@ -90,6 +90,8 @@ HEADLINE = [
     "rollup_downsample_extrema",
     "audit_table_checksums",
     "pipeline_embedding_curation",
+    "stats_ks_two_sample",
+    "sample_poisson_bootstrap",
 ]
 
 
