@@ -73,3 +73,119 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct("word").alias("n_distinct_words"),
     )
+
+
+SESSION_GAP_MINUTES = 30
+
+
+@query(
+    "udtf_session_stats",
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL '{SESSION_GAP_MINUTES} minutes'
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+            FROM marked
+        ),
+        sessions AS (
+            SELECT user_id, sess,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+            FROM numbered GROUP BY user_id, sess
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(max(n) AS BIGINT) AS max_session_events,
+               CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+        FROM sessions
+        GROUP BY user_id
+    """,
+    doc="Stateful table-argument UDTF (the newest Spark 4 UDTF "
+    "surface): session_stats(TABLE(events) PARTITION BY user_id "
+    "ORDER BY ts, event_id) — the engine feeds each user's events to "
+    "one UDTF instance in time order, eval() folds the "
+    f"{SESSION_GAP_MINUTES}-minute gaps-and-islands state machine "
+    "row by row, and terminate() emits the per-user session profile "
+    "(count, events, longest, exact total duration in integer "
+    "microseconds computed via timedelta fields, never float "
+    "epoch seconds). The oracle recomputes the same sessions "
+    "relationally, so the imperative per-partition fold and the "
+    "declarative window formulation must agree — the same two-"
+    "formulation proof as sessionize_events, now over the "
+    "PARTITION BY-routed Python extension point. Scale: partitions "
+    "stream through workers one user at a time with O(1) state; keep "
+    "it off hot paths (row-at-a-time Python), it exists for logic a "
+    "window can't express.",
+    tags=("udtf", "python", "session"),
+)
+def udtf_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    apply_runtime_confs(spark)
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+
+    @udtf(
+        returnType="user_id bigint, n_sessions bigint, n_events bigint, "
+        "max_session_events bigint, total_dur_us bigint"
+    )
+    class SessionStats:
+        def __init__(self):
+            import datetime as _dt
+
+            self._epoch = _dt.datetime(1970, 1, 1)
+            self.user = None
+            self.prev = None
+            self.sess_start = None
+            self.sess_n = 0
+            self.n_sessions = 0
+            self.n_events = 0
+            self.max_n = 0
+            self.dur = 0
+
+        def _us(self, ts):
+            d = ts.replace(tzinfo=None) - self._epoch
+            return d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds
+
+        def _close(self):
+            if self.sess_n:
+                self.n_sessions += 1
+                self.max_n = max(self.max_n, self.sess_n)
+                self.dur += self.prev - self.sess_start
+
+        def eval(self, row):
+            t = self._us(row["ts"])
+            self.user = row["user_id"]
+            if self.prev is None or t - self.prev > gap_us:
+                self._close()
+                self.sess_start = t
+                self.sess_n = 0
+            self.prev = t
+            self.sess_n += 1
+            self.n_events += 1
+
+        def terminate(self):
+            self._close()
+            if self.user is not None:
+                yield (
+                    self.user,
+                    self.n_sessions,
+                    self.n_events,
+                    self.max_n,
+                    self.dur,
+                )
+
+    spark.udtf.register("dps_session_stats", SessionStats)
+    load(spark, sf_dir, "events").createOrReplaceTempView("dps_udtf_events")
+    return spark.sql(
+        "SELECT * FROM dps_session_stats(TABLE(dps_udtf_events) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))"
+    )
