@@ -404,3 +404,88 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d_at_cents"
         ),
     )
+
+
+#: Value bands for the chi-square contingency (event cents).
+CHI2_BANDS = (2_000, 8_000)
+#: 0.05 critical value for df = (5-1)*(3-1) = 8, in milli-units.
+CHI2_CRIT_MILLI_DF8 = 15_507
+
+
+@query(
+    "stats_chi2_independence",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type AS et,
+                   CASE WHEN CAST(round(value * 100) AS BIGINT) < {CHI2_BANDS[0]} THEN 'low'
+                        WHEN CAST(round(value * 100) AS BIGINT) < {CHI2_BANDS[1]} THEN 'mid'
+                        ELSE 'high' END AS band,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        rows_t AS (SELECT et, sum(o) AS r FROM cells GROUP BY et),
+        cols_t AS (SELECT band, sum(o) AS c FROM cells GROUP BY band),
+        n_t AS (SELECT sum(o) AS n FROM cells),
+        contrib AS (
+            SELECT CAST(
+                CAST(ce.o * n.n - rt.r * ct.c AS HUGEINT)
+                * (ce.o * n.n - rt.r * ct.c)
+                // (rt.r * ct.c) AS BIGINT) AS k
+            FROM cells ce
+            JOIN rows_t rt USING (et)
+            JOIN cols_t ct USING (band)
+            CROSS JOIN n_t n
+        )
+        SELECT CAST(8 AS BIGINT) AS df,
+               CAST(1000 * sum(k) // n.n AS BIGINT) AS chi2_milli,
+               (1000 * sum(k) // n.n >= {CHI2_CRIT_MILLI_DF8}) AS dependent
+        FROM contrib, n_t n
+        GROUP BY n.n
+    """,
+    doc="Chi-square test of independence between event_type and the "
+    "value band (low/mid/high cents) — the categorical-association "
+    "check a feature-audit runs before using a column pair in "
+    "stratification or mixing. Exact integer end to end: per-cell "
+    "contribution (o*N - r*c)^2 // (r*c) runs in 128-bit/decimal "
+    "intermediates (BIGINT would overflow at (o*N)^2) and floors "
+    "deterministically in both engines; chi2 emerges in milli-units "
+    "with the df=8 verdict against the 0.05 critical value. The "
+    "per-cell floor understates true chi-square by < cells/1000 "
+    "milli-units — irrelevant to the test, essential to cross-engine "
+    "bit equality. Scale: one grouped count builds the contingency "
+    "(map-side combinable); everything after runs on the "
+    "|types|x|bands| relation.",
+    tags=("profiling", "stats", "agg"),
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    band = (
+        F.when(cents < CHI2_BANDS[0], "low")
+        .when(cents < CHI2_BANDS[1], "mid")
+        .otherwise("high")
+    )
+    cells = ev.groupBy(F.col("event_type").alias("et"), band.alias("band")).agg(
+        F.count("*").alias("o")
+    )
+    rows_t = cells.groupBy("et").agg(F.sum("o").alias("r"))
+    cols_t = cells.groupBy("band").agg(F.sum("o").alias("c"))
+    n_t = cells.agg(F.sum("o").alias("n"))
+    contrib = (
+        cells.join(rows_t, "et")
+        .join(F.broadcast(cols_t), "band")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            F.expr(
+                "CAST(CAST(o * n - r * c AS DECIMAL(38,0)) "
+                "* CAST(o * n - r * c AS DECIMAL(38,0)) div (r * c) AS BIGINT)"
+            ).alias("k"),
+            "n",
+        )
+    )
+    return contrib.groupBy("n").agg(
+        F.lit(8).cast("long").alias("df"),
+        F.expr(f"CAST(1000 * sum(k) div n AS BIGINT)").alias("chi2_milli"),
+        F.expr(f"1000 * sum(k) div n >= {CHI2_CRIT_MILLI_DF8}").alias("dependent"),
+    ).drop("n")
