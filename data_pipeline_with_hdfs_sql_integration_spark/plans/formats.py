@@ -375,3 +375,89 @@ def format_txlog_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_constraints", len(t.constraints())),
     ]
     return spark.createDataFrame(rows, "metric string, value bigint")
+
+
+#: Corrupt-record fixture: rows 0..N-1, every MULT-th row malformed.
+CSV_BAD_N = 120
+CSV_BAD_MULT = 10
+
+
+@query(
+    "format_csv_corrupt_records",
+    oracle=f"""
+        WITH rows_t AS (SELECT unnest(range(0, {CSV_BAD_N})) AS i),
+        tagged AS (
+            SELECT i, (i % {CSV_BAD_MULT} = 0) AS bad FROM rows_t
+        )
+        SELECT 'permissive_good' AS metric,
+               CAST(count(*) FILTER (NOT bad) AS BIGINT) AS n,
+               CAST(sum(i * 7) FILTER (NOT bad) AS BIGINT) AS checksum
+        FROM tagged
+        UNION ALL
+        SELECT 'permissive_corrupt',
+               CAST(count(*) FILTER (bad) AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM tagged
+        UNION ALL
+        SELECT 'dropmalformed',
+               CAST(count(*) FILTER (NOT bad) AS BIGINT),
+               CAST(sum(i * 7) FILTER (NOT bad) AS BIGINT)
+        FROM tagged
+    """,
+    doc="Bad-record tolerance on the CSV read path: a generated file "
+    f"of {CSV_BAD_N} rows poisons every {CSV_BAD_MULT}th row "
+    "(non-numeric value in a LONG column), read twice — PERMISSIVE "
+    "mode must route exactly the poisoned rows into "
+    "_corrupt_record (good rows keep exact value checksums), "
+    "DROPMALFORMED must silently keep exactly the complement. The "
+    "oracle reproduces every count and checksum from the same "
+    "arithmetic formula that generated the file, so the parser's "
+    "classification is value-checked, not assumed — the difference "
+    "between 'the job didn't crash' and 'we know precisely which "
+    "rows survived', which is what an ETL audit needs. At 100 TB "
+    "this is the standard quarantine pattern: PERMISSIVE + a "
+    "corrupt-record sink, with DROPMALFORMED reserved for "
+    "quarantine-later backfills.",
+    tags=("format", "csv", "cleaning"),
+)
+def format_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    apply_runtime_confs(spark)
+    target = tempfile.mkdtemp(prefix="dps_badcsv_")
+    path = os.path.join(target, "rows.csv")
+    with open(path, "w") as f:
+        for i in range(CSV_BAD_N):
+            if i % CSV_BAD_MULT == 0:
+                f.write(f"{i},not_a_number\n")  # poisons the LONG column
+            else:
+                f.write(f"{i},{i * 7}\n")
+    perm = (
+        spark.read.schema("i long, v long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    good = perm.filter(F.col("_corrupt_record").isNull()).agg(
+        F.lit("permissive_good").alias("metric"),
+        F.count("*").alias("n"),
+        F.sum("v").alias("checksum"),
+    )
+    corrupt = perm.filter(F.col("_corrupt_record").isNotNull()).agg(
+        F.lit("permissive_corrupt").alias("metric"),
+        F.count("*").alias("n"),
+        F.lit(0).cast("long").alias("checksum"),
+    )
+    dropped = (
+        spark.read.schema("i long, v long")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+        .agg(
+            F.lit("dropmalformed").alias("metric"),
+            F.count("*").alias("n"),
+            F.sum("v").alias("checksum"),
+        )
+    )
+    return good.unionAll(corrupt).unionAll(dropped)
