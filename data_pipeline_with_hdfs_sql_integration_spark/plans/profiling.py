@@ -489,3 +489,140 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(1000 * sum(k) div n AS BIGINT)").alias("chi2_milli"),
         F.expr(f"1000 * sum(k) div n >= {CHI2_CRIT_MILLI_DF8}").alias("dependent"),
     ).drop("n")
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle="""
+        WITH s AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        per_v AS (
+            SELECT cents,
+                   CAST(sum(is_a) AS BIGINT) AS c1,
+                   CAST(sum(1 - is_a) AS BIGINT) AS c2
+            FROM s GROUP BY cents
+        ),
+        cum AS (
+            SELECT cents, c1, c2,
+                   coalesce(sum(c1) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b1
+            FROM per_v
+        ),
+        tot AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+            FROM per_v
+        )
+        SELECT t.n1, t.n2,
+               CAST(sum(c2 * (2 * b1 + c1)) AS BIGINT) AS u1_x2,
+               CAST(2 * t.n1 * t.n2 - sum(c2 * (2 * b1 + c1)) AS BIGINT) AS u2_x2
+        FROM cum, tot t
+        GROUP BY t.n1, t.n2
+    """,
+    doc="Two-sample Mann-Whitney U between 'view' and 'click' value "
+    "distributions — the rank-based location test that complements "
+    "stats_ks_two_sample's shape test (KS sees any CDF gap, U asks "
+    "specifically 'does one sample stochastically dominate'). Exact "
+    "integers with ties handled by midranks: U1 = sum over distinct "
+    "values of c2*(smaller-sample-1-count + ties/2), carried DOUBLED "
+    "(u1_x2) so the half-tie term never touches floats; u1+u2 = "
+    "n1*n2 is the built-in self-check. Same scale shape as KS: "
+    "grouped counts per distinct value, one window over the distinct-"
+    "value relation only.",
+    tags=("profiling", "stats", "anomaly"),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
+    )
+    per_v = s.groupBy("cents").agg(
+        F.sum("is_a").alias("c1"), F.sum(1 - F.col("is_a")).alias("c2")
+    )
+    wprev = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum("c1").over(wprev), F.lit(0)).alias("b1"),
+    )
+    tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    scored = cum.crossJoin(F.broadcast(tot))
+    return scored.groupBy("n1", "n2").agg(
+        F.sum(F.col("c2") * (2 * F.col("b1") + F.col("c1"))).alias("u1_x2"),
+        (
+            2 * F.first("n1") * F.first("n2")
+            - F.sum(F.col("c2") * (2 * F.col("b1") + F.col("c1")))
+        ).alias("u2_x2"),
+    )
+
+
+#: Benford expected first-digit frequencies, ppm: log10(1 + 1/d).
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+@query(
+    "audit_benford_first_digit",
+    oracle=f"""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders WHERE o_totalprice > 0
+        ),
+        counts AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+        ),
+        tot AS (SELECT sum(n) AS total FROM counts),
+        exp_t AS (
+            {" UNION ALL ".join(f"SELECT {i + 1} AS digit, {p} AS expected_ppm" for i, p in enumerate(BENFORD_PPM))}
+        )
+        SELECT e.digit,
+               coalesce(c.n, 0) AS n,
+               CAST(1000000 * coalesce(c.n, 0) // t.total AS BIGINT) AS observed_ppm,
+               CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+               CAST(abs(1000000 * coalesce(c.n, 0) // t.total - e.expected_ppm)
+                    AS BIGINT) AS dev_ppm
+        FROM exp_t e LEFT JOIN counts c USING (digit), tot t
+    """,
+    doc="Benford first-digit audit of order totals: observed leading-"
+    "digit frequencies (of the exact cents integer) against Benford's "
+    "log10(1+1/d) expectation, deviations in integer ppm — the "
+    "classic fabricated-data / truncation / unit-mix detector an "
+    "ingest audit runs on monetary columns (synthetic uniform data "
+    "deviates wildly, which is itself the point: the audit flags "
+    "non-Benford sources either way). One map-side digit extraction "
+    "+ a 9-row aggregate; the expected table is a literal. All "
+    "arithmetic is integer division — engine-exact.",
+    tags=("profiling", "stats", "maintenance"),
+)
+def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    exp_rows = [(i + 1, p) for i, p in enumerate(BENFORD_PPM)]
+    exp_t = spark.createDataFrame(exp_rows, "digit bigint, expected_ppm bigint")
+    obs_ppm = F.expr("CAST(1000000 * coalesce(n, 0) div total AS BIGINT)")
+    return (
+        exp_t.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            obs_ppm.alias("observed_ppm"),
+            "expected_ppm",
+            F.abs(obs_ppm - F.col("expected_ppm")).alias("dev_ppm"),
+        )
+    )
