@@ -589,3 +589,133 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode,
         schema="media_id long, width int, height int, pixel_sum long, energy long",
     )
+
+
+# ------------------------------------------------------------- real Y4M path
+Y4M_W = 8
+Y4M_H = 6
+Y4M_FPS = 25
+Y4M_MOD = 251
+Y4M_SAMPLE_STRIDE = 2  # decode-side frame sampling: every 2nd frame
+
+
+@query(
+    "multimodal_y4m_frames",
+    oracle=f"""
+        WITH v AS (
+            SELECT doc_id, 3 + doc_id % 4 AS n_frames FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, f.v AS f,
+                   sum((d.doc_id * 11 + f.v * 7 + y.v * 3 + x.v) % {Y4M_MOD}) AS fsum
+            FROM v d,
+                 (SELECT unnest(generate_series(0, 6)) AS v) f,
+                 (SELECT unnest(generate_series(0, {Y4M_H - 1})) AS v) y,
+                 (SELECT unnest(generate_series(0, {Y4M_W - 1})) AS v) x
+            WHERE f.v < d.n_frames
+            GROUP BY d.doc_id, f.v
+        )
+        SELECT v.doc_id AS media_id,
+               CAST({Y4M_W} AS INT) AS width,
+               CAST({Y4M_H} AS INT) AS height,
+               CAST(v.n_frames AS BIGINT) AS n_frames,
+               CAST((SELECT sum(fsum) FROM px WHERE px.doc_id = v.doc_id)
+                    AS BIGINT) AS luma_sum,
+               CAST((SELECT sum(fsum) FROM px
+                     WHERE px.doc_id = v.doc_id AND px.f % {Y4M_SAMPLE_STRIDE} = 0)
+                    AS BIGINT) AS sampled_luma_sum
+        FROM v
+    """,
+    doc="REAL video container path (no stub, stdlib-only): per "
+    f"document a {Y4M_W}x{Y4M_H} monochrome YUV4MPEG2 (.y4m) stream — "
+    "the uncompressed interchange format ffmpeg/mpv read directly — "
+    "is ENCODED from deterministic luma planes (proper "
+    "'YUV4MPEG2 W.. H.. F..:1 Ip A1:1 Cmono' stream header and "
+    "per-frame FRAME markers), then DECODED BACK by an independent "
+    "mapInPandas stage that parses the header fields, walks the "
+    "frame markers, and computes total and stride-sampled luma sums "
+    "— frame sampling running ON DECODED BYTES, completing "
+    "multimodal_frame_sample's metadata-only plan with a real "
+    "container walk. The oracle recomputes every sum from the pixel "
+    "formula (never touching Y4M), so a hash match proves the "
+    "encode->container->decode round-trip byte-faithful. What stays "
+    "gated behind NotImplementedError is only COMPRESSED codecs "
+    "(H.264 etc., needs ffmpeg); the container/framing/sampling "
+    "plumbing — the Spark-side engineering — is all real. Both "
+    "stages Arrow-batched mapInPandas, embarrassingly parallel, zero "
+    "shuffle.",
+    tags=("multimodal", "video"),
+)
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    w, h, fps, mod, stride = Y4M_W, Y4M_H, Y4M_FPS, Y4M_MOD, Y4M_SAMPLE_STRIDE
+
+    def _synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for mid in b["doc_id"]:
+                m = int(mid)
+                n_frames = 3 + m % 4
+                out = bytearray()
+                out += f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+                for f in range(n_frames):
+                    out += b"FRAME\n"
+                    out += bytes(
+                        (m * 11 + f * 7 + y * 3 + x) % mod
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                payloads.append(bytes(out))
+            yield pd.DataFrame({"media_id": b["doc_id"], "y4m": payloads})
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            width, height, n_frames, luma, sampled = [], [], [], [], []
+            for payload in b["y4m"]:
+                data = bytes(payload)
+                nl = data.index(b"\n")
+                header = data[:nl].decode()
+                fields = header.split()
+                assert fields[0] == "YUV4MPEG2", header
+                params = {f[0]: f[1:] for f in fields[1:]}
+                fw, fh = int(params["W"]), int(params["H"])
+                assert params["C"] == "mono", params
+                frame_bytes = fw * fh
+                pos = nl + 1
+                nf = 0
+                total = 0
+                samp = 0
+                while pos < len(data):
+                    fnl = data.index(b"\n", pos)
+                    assert data[pos:fnl].split(b" ")[0] == b"FRAME"
+                    frame = data[fnl + 1 : fnl + 1 + frame_bytes]
+                    assert len(frame) == frame_bytes
+                    s = sum(frame)
+                    total += s
+                    if nf % stride == 0:
+                        samp += s
+                    nf += 1
+                    pos = fnl + 1 + frame_bytes
+                width.append(fw)
+                height.append(fh)
+                n_frames.append(nf)
+                luma.append(total)
+                sampled.append(samp)
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "width": width,
+                    "height": height,
+                    "n_frames": n_frames,
+                    "luma_sum": luma,
+                    "sampled_luma_sum": sampled,
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    vids = docs.mapInPandas(_synthesize, schema="media_id long, y4m binary")
+    return vids.mapInPandas(
+        _decode,
+        schema="media_id long, width int, height int, n_frames long, "
+        "luma_sum long, sampled_luma_sum long",
+    )
