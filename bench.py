@@ -92,6 +92,7 @@ HEADLINE = [
     "pipeline_embedding_curation",
     "stats_ks_two_sample",
     "sample_poisson_bootstrap",
+    "multimodal_y4m_frames",
 ]
 
 
