@@ -723,3 +723,94 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(1000000 * n_transitions div total AS BIGINT)").alias("p_ppm"),
         )
     )
+
+
+@query(
+    "mine_association_pairs",
+    oracle="""
+        WITH baskets AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+            FROM events
+        ),
+        nb AS (
+            SELECT count(*) AS n FROM (SELECT DISTINCT user_id, day FROM baskets)
+        ),
+        items AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+            FROM baskets GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS antecedent, b.event_type AS consequent,
+                   CAST(count(*) AS BIGINT) AS n_pair
+            FROM baskets a
+            JOIN baskets b
+              ON a.user_id = b.user_id AND a.day = b.day
+             AND a.event_type <> b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.antecedent, p.consequent, p.n_pair,
+               CAST(1000000 * p.n_pair // nb.n AS BIGINT) AS support_ppm,
+               CAST(1000000 * p.n_pair // ia.n_item AS BIGINT) AS confidence_ppm,
+               CAST((1000000 * p.n_pair * nb.n) // (ia.n_item * ic.n_item)
+                    AS BIGINT) AS lift_ppm
+        FROM pairs p
+        JOIN items ia ON ia.event_type = p.antecedent
+        JOIN items ic ON ic.event_type = p.consequent
+        CROSS JOIN nb
+    """,
+    doc="Market-basket association rules over (user, day) baskets of "
+    "event types: for every ordered type pair, basket co-occurrence "
+    "count plus support/confidence/lift in exact integer ppm "
+    "(lift > 1e6 <=> positive association) — the a-priori pair-"
+    "counting step every recommender/cross-sell analysis starts "
+    "from, with all three rule metrics engine-exact (integer "
+    "division, no float ratios). Scale shape: baskets build from one "
+    "distinct (map-side combinable); the pair join is keyed on the "
+    "BASKET id so fanout is bounded by items-per-basket squared "
+    "(here <= |types|^2, generally the a-priori pruning bound), and "
+    "the rule metrics join runs over the |types|^2 relation. For "
+    "million-item catalogs the same plan applies after a frequent-"
+    "item filter (support floor) shrinks the alphabet — the classic "
+    "two-pass a-priori.",
+    tags=("events", "agg", "join"),
+)
+def mine_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).distinct()
+    nb = baskets.select("user_id", "day").distinct().agg(F.count("*").alias("n"))
+    items = baskets.groupBy("event_type").agg(F.count("*").alias("n_item"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+    )
+    ia = items.alias("ia")
+    ic = items.alias("ic")
+    return (
+        pairs.join(F.broadcast(ia), F.col("antecedent") == F.col("ia.event_type"))
+        .join(F.broadcast(ic), F.col("consequent") == F.col("ic.event_type"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            F.expr("CAST(1000000 * n_pair div n AS BIGINT)").alias("support_ppm"),
+            F.expr("CAST(1000000 * n_pair div ia.n_item AS BIGINT)").alias("confidence_ppm"),
+            F.expr("CAST((1000000 * n_pair * n) div (ia.n_item * ic.n_item) AS BIGINT)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
