@@ -634,3 +634,48 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert manifest["rows"] == back.count()
     return back.select("o_orderpriority", "n_orders", "total_cents")
+
+
+@query(
+    "api_pandas_on_spark",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="The pandas API on Spark (pyspark.pandas) as a first-class "
+    "front door: the orders rollup written in pandas idiom "
+    "(column assignment, groupby().agg(named aggs), reset_index) "
+    "runs distributed via .pandas_api() and converts back with "
+    ".to_spark() — a pandas user can drive this engine without "
+    "learning the DataFrame API, and the result value-checks against "
+    "the SQL oracle exactly because the math stays in integer cents "
+    "(the float mean a naive pandas port would use is exactly what "
+    "the exactness rules here forbid). Under the hood this plans as "
+    "the same scan + hash aggregate as agg_pricing_summary — the "
+    "pandas layer is sugar, not a different engine — so the 100 TB "
+    "posture is unchanged.",
+    tags=("api", "python", "agg"),
+)
+def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    # distributed index: no global sequence window, the only index
+    # choice that scales (and silences the advisory warning).
+    spark.conf.set("spark.pandas.compute.default_index_type", "distributed")
+    orders = load(spark, sf_dir, "orders")
+    psdf = orders.pandas_api()
+    psdf = psdf.assign(cents=(psdf.o_totalprice * 100).round().astype("int64"))
+    rolled = (
+        psdf.groupby("o_orderpriority")
+        .agg(n_orders=("cents", "count"), total_cents=("cents", "sum"))
+        .reset_index()
+    )
+    out = rolled.to_spark()
+    return out.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long"),
+        F.col("total_cents").cast("long"),
+    )

@@ -626,3 +626,55 @@ def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(obs_ppm - F.col("expected_ppm")).alias("dev_ppm"),
         )
     )
+
+
+@query(
+    "observe_scan_metrics",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_input,
+               CAST(count(*) FILTER (o_totalprice >= 100000) AS BIGINT) AS n_kept,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FILTER (o_totalprice >= 100000) AS BIGINT) AS kept_cents,
+               CAST(count(*) FILTER (o_totalprice < 100000) AS BIGINT) AS n_filtered
+        FROM orders
+    """,
+    doc="Job-piggybacked metrics via Observation/df.observe(): the "
+    "scan-side audit counters (input rows, kept rows, kept value, "
+    "filtered rows) are collected BY THE SAME JOB that runs the "
+    "filter — no second pass over the data, which at 100 TB is the "
+    "difference between free monitoring and doubling the pipeline "
+    "cost. observe() attaches aggregate expressions to a plan node; "
+    "the executor-side partial values merge exactly like any "
+    "aggregate (exact integer cents, order-independent), and the "
+    "driver reads them after the action. The query returns the "
+    "observed metrics as a row, value-checked against the oracle "
+    "recomputing them relationally — proving the monitoring channel "
+    "reports the same truth the query engine computes.",
+    tags=("profiling", "maintenance", "api"),
+)
+def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders")
+    obs_in = Observation("input")
+    obs_kept = Observation("kept")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    observed = (
+        orders.observe(obs_in, F.count(F.lit(1)).alias("n_input"))
+        .filter(F.col("o_totalprice") >= 100000)
+        .observe(
+            obs_kept,
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(cents).alias("kept_cents"),
+        )
+    )
+    # One action drives the whole plan; the metrics ride along.
+    observed.write.format("noop").mode("overwrite").save()
+    n_input = obs_in.get["n_input"]
+    n_kept = obs_kept.get["n_kept"]
+    kept_cents = obs_kept.get["kept_cents"]
+    return spark.createDataFrame(
+        [(n_input, n_kept, kept_cents, n_input - n_kept)],
+        "n_input bigint, n_kept bigint, kept_cents bigint, n_filtered bigint",
+    )
