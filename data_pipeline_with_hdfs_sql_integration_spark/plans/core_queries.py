@@ -679,3 +679,100 @@ def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long"),
         F.col("total_cents").cast("long"),
     )
+
+
+@query(
+    "sql_scripting_threshold",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        ),
+        thr AS (SELECT sum(cents) // count(*) AS t FROM c)
+        SELECT CASE WHEN c.cents >= thr.t THEN 'above' ELSE 'below' END AS side,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c.cents) AS BIGINT) AS total_cents
+        FROM c, thr
+        GROUP BY 1
+    """,
+    doc="SQL scripting (Spark 4 BEGIN...END batches, "
+    "spark.sql.scripting.enabled): a compound script DECLAREs a "
+    "session variable, SETs it from a data-derived scalar (the exact "
+    "integer mean — sum div count, never a float avg), and the final "
+    "statement splits order totals around it — the "
+    "stored-procedure-shaped workflow migrating warehouse users "
+    "expect, executed natively by the engine with the variable "
+    "resolved at script runtime. The oracle computes the identical "
+    "result with a scalar CTE (DuckDB has no scripting — the VALUE "
+    "semantics, not the control-flow syntax, are what must agree). "
+    "Plan-wise the final statement is an ordinary scan + aggregate; "
+    "scripting adds driver-side orchestration only, nothing touches "
+    "the data path.",
+    tags=("sql", "api"),
+)
+def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import register_views
+
+    apply_runtime_confs(spark)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 0;
+          SET thr = (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            div count(*) FROM orders);
+          SELECT CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) >= thr
+                      THEN 'above' ELSE 'below' END AS side,
+                 count(*) AS n,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+          FROM orders
+          GROUP BY 1;
+        END
+        """
+    )
+
+
+PARAM_SEGMENT = "BUILDING"
+PARAM_MIN_CENTS = 5_000_000
+
+
+@query(
+    "sql_parameterized",
+    oracle=f"""
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = '{PARAM_SEGMENT}'
+          AND CAST(round(o.o_totalprice * 100) AS BIGINT) >= {PARAM_MIN_CENTS}
+        GROUP BY c.c_mktsegment
+    """,
+    doc="Parameterized SQL (spark.sql(..., args={...})): the segment "
+    "and threshold arrive as NAMED PARAMETER MARKERS (:segment, "
+    ":min_cents), bound server-side — the injection-safe way a "
+    "service layer templates user input into queries (the reference "
+    "interpolates strings into SQL, server.py's central hazard; this "
+    "is the engine-native fix). Parameters bind before analysis, so "
+    "Catalyst still sees literals: the segment filter pushes into "
+    "the customer scan and the join broadcasts exactly as the "
+    "hand-written query would.",
+    tags=("sql", "api"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import register_views
+
+    apply_runtime_confs(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = :segment
+          AND CAST(round(o.o_totalprice * 100) AS BIGINT) >= :min_cents
+        GROUP BY c.c_mktsegment
+        """,
+        args={"segment": PARAM_SEGMENT, "min_cents": PARAM_MIN_CENTS},
+    )
