@@ -169,6 +169,24 @@ def main() -> None:
     if pairs:
         co = sum(1 for a, b in pairs if cells.get(a) == cells.get(b))
         recalls["dedup_semantic_cell_recall"] = round(co / len(pairs), 3)
+        # End-to-end detection: share of ground-truth pairs whose
+        # higher-id endpoint the dedup actually drops — the number a
+        # user feels. Single-probe is bounded by cell recall; the
+        # 2-probe variant shows the multi-probe recovery.
+        base_keep = {
+            r["vec_id"]: r["keep"]
+            for r in specs["dedup_semantic"].fn(spark, SF_DIR).collect()
+        }
+        p2_keep = {
+            r["vec_id"]: r["keep"]
+            for r in specs["dedup_semantic_probe2"].fn(spark, SF_DIR).collect()
+        }
+        recalls["dedup_semantic_detection"] = round(
+            sum(1 for a, b in pairs if base_keep.get(max(a, b)) == 0) / len(pairs), 3
+        )
+        recalls["dedup_semantic_probe2_detection"] = round(
+            sum(1 for a, b in pairs if p2_keep.get(max(a, b)) == 0) / len(pairs), 3
+        )
 
     out = {
         "metric": "headline_queries_total",
