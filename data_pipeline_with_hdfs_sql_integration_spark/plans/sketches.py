@@ -638,3 +638,138 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("__union__").alias("grp"), "kmv_estimate", "exact_distinct"
         )
     )
+
+
+@query(
+    "sketch_kmv_intersection",
+    oracle=f"""
+        WITH hashed AS (
+            -- Two chained affine rounds: user_id spans a tiny range, so
+            -- one round never wraps the modulus (an arithmetic
+            -- progression is NOT uniform); the second round's
+            -- multiplication wraps many times and uniformizes.
+            SELECT DISTINCT
+                   CASE WHEN event_type = 'view' THEN 'A' ELSE 'B' END AS side,
+                   ({tf.MINHASH_PARAMS[3][0]}
+                    * (({tf.MINHASH_PARAMS[KMV_PARAM_IDX][0]} * user_id
+                        + {tf.MINHASH_PARAMS[KMV_PARAM_IDX][1]}) % {tf.MOD})
+                    + {tf.MINHASH_PARAMS[3][1]}) % {tf.MOD} AS h
+            FROM events WHERE event_type IN ('view', 'purchase')
+        ),
+        kmin AS (
+            SELECT side, h,
+                   row_number() OVER (PARTITION BY side ORDER BY h ASC) AS rn
+            FROM hashed
+        ),
+        sk AS (SELECT side, h FROM kmin WHERE rn <= {KMV_K}),
+        est AS (
+            -- n < k: the sketch holds the whole set, estimate = exact n
+            -- (the standard KMV small-set rule).
+            SELECT side,
+                   coalesce(
+                       CAST(({KMV_K} - 1) * CAST({tf.MOD} AS BIGINT)
+                            // max(CASE WHEN rn = {KMV_K} THEN h END) AS BIGINT),
+                       count(*)) AS e
+            FROM kmin WHERE rn <= {KMV_K}
+            GROUP BY side
+        ),
+        merged AS (
+            SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+            FROM (SELECT DISTINCT h FROM sk)
+        ),
+        uest AS (
+            SELECT coalesce(
+                       CAST(({KMV_K} - 1) * CAST({tf.MOD} AS BIGINT)
+                            // max(CASE WHEN rn = {KMV_K} THEN h END) AS BIGINT),
+                       count(*)) AS e
+            FROM merged
+        ),
+        exact AS (
+            SELECT CAST(count(DISTINCT CASE WHEN event_type = 'view'
+                                            THEN user_id END) AS BIGINT) AS na,
+                   CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                            THEN user_id END) AS BIGINT) AS nb,
+                   CAST(count(DISTINCT CASE WHEN user_id IN (
+                            SELECT user_id FROM events WHERE event_type = 'view')
+                          AND user_id IN (
+                            SELECT user_id FROM events WHERE event_type = 'purchase')
+                        THEN user_id END) AS BIGINT) AS nab
+            FROM events WHERE event_type IN ('view', 'purchase')
+        )
+        SELECT (SELECT e FROM est WHERE side = 'A') AS est_a,
+               (SELECT e FROM est WHERE side = 'B') AS est_b,
+               (SELECT e FROM uest) AS est_union,
+               (SELECT e FROM est WHERE side = 'A')
+               + (SELECT e FROM est WHERE side = 'B')
+               - (SELECT e FROM uest) AS est_intersection,
+               x.na AS exact_a, x.nb AS exact_b, x.nab AS exact_intersection
+        FROM exact x
+    """,
+    doc="KMV set-INTERSECTION estimate by inclusion-exclusion over "
+    "merged sketches: |A∩B| ≈ est(A) + est(B) - est(A∪B), where the "
+    "union estimate comes purely from merging the two k-min sets — "
+    "the algebra HLL cannot do (HLL unions losslessly but cannot "
+    "subtract), and the reason KMV is the audience-overlap / "
+    "cross-source-contamination sketch of choice. Exact distinct "
+    "counts ride alongside so the (deterministic, value-checked) "
+    "error is visible; all estimates are the same integer "
+    "(k-1)*RANGE/kth_min rule as sketch_kmv_distinct. At 100 TB each "
+    "source sketches independently (k longs), and ANY pairwise "
+    "overlap question is answered from sketches alone — no joint "
+    "scan of the two sources ever runs.",
+    tags=("sketch", "approx", "agg"),
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    ev = load_parallel(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    a1, b1 = tf.MINHASH_PARAMS[KMV_PARAM_IDX]
+    a2, b2 = tf.MINHASH_PARAMS[3]
+    h1 = (F.lit(a1) * F.col("user_id") + F.lit(b1)) % tf.MOD
+    hashed = ev.select(
+        F.when(F.col("event_type") == "view", "A").otherwise("B").alias("side"),
+        ((F.lit(a2) * h1 + F.lit(b2)) % tf.MOD).alias("h"),
+    ).distinct()
+    ranked = hashed.select(
+        "side", "h", F.row_number().over(Window.partitionBy("side").orderBy(F.col("h").asc())).alias("rn")
+    )
+    sk = ranked.filter(F.col("rn") <= KMV_K)
+    kth = F.max(F.when(F.col("rn") == KMV_K, F.col("h")))
+    est_of_kth = F.expr(
+        f"CAST(({KMV_K} - 1) * CAST({tf.MOD} AS BIGINT) div "
+        f"max(CASE WHEN rn = {KMV_K} THEN h END) AS BIGINT)"
+    )
+    # n < k: the sketch holds the whole set, estimate = exact n.
+    est = sk.groupBy("side").agg(
+        F.coalesce(est_of_kth, F.count("*")).alias("e")
+    )
+    merged = (
+        sk.select("h")
+        .distinct()
+        .select("h", F.row_number().over(Window.orderBy(F.col("h").asc())).alias("rn"))
+    )
+    uest = merged.agg(F.coalesce(est_of_kth, F.count("*")).alias("e"))
+    views = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        views.agg(F.count("*").alias("exact_a"))
+        .crossJoin(purch.agg(F.count("*").alias("exact_b")))
+        .crossJoin(views.join(purch, "user_id").agg(F.count("*").alias("exact_intersection")))
+    )
+    ea = est.filter(F.col("side") == "A").select(F.col("e").alias("est_a"))
+    eb = est.filter(F.col("side") == "B").select(F.col("e").alias("est_b"))
+    eu = uest.select(F.col("e").alias("est_union"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias("est_intersection"),
+        )
+        .crossJoin(exact)
+    )
