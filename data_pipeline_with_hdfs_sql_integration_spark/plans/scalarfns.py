@@ -92,3 +92,101 @@ def fn_string_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "fn_collation_ci",
+    oracle="""
+        WITH m AS (
+            SELECT p_partkey,
+                   CASE WHEN p_partkey % 3 = 0 THEN upper(p_brand)
+                        WHEN p_partkey % 3 = 1 THEN lower(p_brand)
+                        ELSE p_brand END AS mixed
+            FROM part
+        )
+        SELECT lower(mixed) AS canon,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT mixed) AS BIGINT) AS n_case_variants
+        FROM m
+        GROUP BY lower(mixed)
+    """,
+    doc="Case-insensitive COLLATION (new Spark 4 collation engine): "
+    "manufacturer names are deliberately case-mangled, then grouped "
+    "under COLLATE UTF8_LCASE — the engine's collation-aware "
+    "grouping/equality, not an explicit lower() in the business "
+    "logic (though the grouped key is surfaced lowercased so the "
+    "result is engine-portable; DuckDB reproduces the semantics with "
+    "lower()). n_case_variants counts the distinct raw spellings "
+    "each group absorbed — >1 proves the collation actually merged "
+    "case variants. At scale collation-aware comparisons stay "
+    "codegen'd JVM string ops: no UDF, no normalization pass.",
+    tags=("functions", "string", "sql"),
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import register_views
+
+    apply_runtime_confs(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH m AS (
+            SELECT p_partkey,
+                   CASE WHEN p_partkey % 3 = 0 THEN upper(p_brand)
+                        WHEN p_partkey % 3 = 1 THEN lower(p_brand)
+                        ELSE p_brand END AS mixed
+            FROM part
+        ),
+        c AS (SELECT mixed, mixed COLLATE UTF8_LCASE AS ci FROM m)
+        SELECT lower(ci) AS canon,
+               count(*) AS n,
+               count(DISTINCT mixed) AS n_case_variants
+        FROM c
+        GROUP BY ci
+        """
+    )
+
+
+@query(
+    "fn_try_semantics",
+    oracle="""
+        WITH r AS (
+            SELECT o_orderkey AS k,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderkey % 7 AS d
+            FROM orders
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (d = 0) AS BIGINT) AS n_div_null,
+               CAST(sum(CASE WHEN d <> 0 THEN cents // d END) AS BIGINT)
+                   AS sum_safe_div,
+               CAST(count(*) FILTER (
+                   TRY_CAST('v' || CAST(k AS VARCHAR) AS BIGINT) IS NULL
+               ) AS BIGINT) AS n_cast_null
+        FROM r
+    """,
+    doc="Error-safe expression family (try_divide / try_cast): "
+    "division by a data-derived zero yields NULL instead of an ANSI "
+    "error (counted per row), and casting a malformed string yields "
+    "NULL instead of failing the job — the semantics that keep a "
+    "100 TB pipeline alive when one row in a billion is garbage, "
+    "with the damage COUNTED rather than silently absorbed (pair "
+    "with format_csv_corrupt_records for the file-level analog). "
+    "DuckDB mirrors with TRY_CAST and a guarded CASE; the safe-"
+    "division sum is exact integer div on both engines.",
+    tags=("functions", "scalar", "cleaning"),
+)
+def fn_try_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = F.col("o_orderkey") % 7
+    safe_div = F.expr(
+        "try_divide(CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey % 7)"
+    )
+    bad_cast = F.expr("try_cast(concat('v', CAST(o_orderkey AS STRING)) AS BIGINT)")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(d == 0, 1).otherwise(0)).alias("n_div_null"),
+        F.sum(F.floor(safe_div)).cast("long").alias("sum_safe_div"),
+        F.sum(F.when(bad_cast.isNull(), 1).otherwise(0)).alias("n_cast_null"),
+    )
