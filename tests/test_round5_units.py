@@ -283,3 +283,32 @@ def test_txlog_constraints_protocol(spark, tmp_path):
     assert t.snapshot(spark).count() == rows_before + 1
     # Historical constraint state is versioned like the file set.
     assert t.constraints(version=v_before) == {"positive": "v > 0"}
+
+
+def test_txlog_concurrent_appends(spark, tmp_path):
+    """Two writers racing the optimistic create-exclusive commit: both
+    appends must land under DISTINCT versions and the final snapshot
+    must contain both batches exactly once."""
+    import threading
+
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "race"))
+    t.append(spark.createDataFrame([(0,)], "v int"))
+    errs = []
+
+    def writer(val: int) -> None:
+        try:
+            TxTable(t.root).append(spark.createDataFrame([(val,)], "v int"))
+        except Exception as ex:  # pragma: no cover - diagnostic only
+            errs.append(ex)
+
+    th = [threading.Thread(target=writer, args=(v,)) for v in (1, 2)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    assert t.latest_version() == 2
+    vals = sorted(r["v"] for r in t.snapshot(spark).collect())
+    assert vals == [0, 1, 2]
