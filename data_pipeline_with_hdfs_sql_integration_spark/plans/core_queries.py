@@ -776,3 +776,55 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"segment": PARAM_SEGMENT, "min_cents": PARAM_MIN_CENTS},
     )
+
+
+@query(
+    "o13_file_introspection",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(1 AS BIGINT) AS n_files,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Partition-level introspection via input_file_name() / "
+    "spark_partition_id() — the DataFrame-native analog of O13's "
+    "block-location metadata scan (SURVEY.md §2 O13 'partition-level "
+    "analog'): lineitem is written as a returnflag-partitioned layout "
+    "(repartitioned to exactly one file per key), read back, and "
+    "every row reports WHICH file served it; per-flag file counts "
+    "and row counts must match the relational truth — proving the "
+    "physical layout landed as planned (1 file per key) and that "
+    "file-to-row attribution is exact. This is the observability "
+    "primitive behind storage audits (hot files, small-file "
+    "detection, locality debugging) when block-host metadata (the "
+    "JVM-gateway path o13_block_locations takes) is out of reach.",
+    tags=("metadata", "layout", "scan"),
+)
+def o13_file_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        table_path,
+    )
+
+    apply_runtime_confs(spark)
+    li = load(spark, sf_dir, "lineitem")
+    layout = deterministic_tmp_dir("introspect_rf", table_path(sf_dir, "lineitem"))
+    if not os.path.exists(os.path.join(layout, "_SUCCESS")):
+        (
+            li.repartition("l_returnflag")
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .parquet(layout)
+        )
+    back = spark.read.parquet(layout)
+    return (
+        back.select("l_returnflag", F.input_file_name().alias("f"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("f").alias("n_files"),
+            F.count("*").alias("n_rows"),
+        )
+    )
