@@ -131,3 +131,84 @@ def temporal_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "user_id").agg(
         F.count("view_ts").alias("n_views_prev_hour")
     )
+
+
+#: Interval-overlap banding: 10-minute grid over exact epoch micros.
+IVL_BUCKET_US = 600_000_000
+
+
+@query(
+    "temporal_interval_overlap",
+    oracle=f"""
+        WITH iv AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(ts) AS s,
+                   epoch_us(ts) + CAST(round(value) AS BIGINT) * 1000000 AS e
+            FROM events WHERE event_type IN ('view', 'error')
+        ),
+        a AS (SELECT * FROM iv WHERE event_type = 'view'),
+        b AS (SELECT * FROM iv WHERE event_type = 'error')
+        SELECT a.event_id AS view_id, b.event_id AS error_id,
+               CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+        FROM a JOIN b
+          ON a.user_id = b.user_id
+         AND a.s < b.e AND b.s < a.e
+    """,
+    doc="Interval x interval OVERLAP join: each view event carries an "
+    "activity interval [ts, ts + value seconds], each error event "
+    "likewise; pairs of overlapping view/error intervals per user are "
+    "reported with their exact overlap in integer microseconds — the "
+    "incident-correlation primitive (which activity windows did an "
+    "error window intersect?). Distinct from temporal_range_join_"
+    "counts' point-in-window shape: BOTH sides are intervals. Scale "
+    "shape: each interval explodes onto its covered 10-minute grid "
+    "buckets (bounded: duration/bucket + 2), the join is an equi-join "
+    "on (user, bucket) with the exact overlap predicate after, and "
+    "pairs found in multiple shared buckets dedupe on the pair key — "
+    "work proportional to colliding-bucket pairs, never |A|x|B|; the "
+    "oracle states the same join declaratively.",
+    tags=("temporal", "join", "events"),
+)
+def temporal_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type").isin("view", "error")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + F.round(F.col("value")).cast("long") * 1_000_000).alias(
+            "e"
+        ),
+    )
+    bucketed = iv.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {IVL_BUCKET_US}"), F.expr(f"e div {IVL_BUCKET_US}")
+            )
+        ).alias("bucket"),
+    )
+    a = bucketed.filter(F.col("event_type") == "view").alias("a")
+    b = bucketed.filter(F.col("event_type") == "error").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .select(
+            F.col("a.event_id").alias("view_id"),
+            F.col("b.event_id").alias("error_id"),
+            (
+                F.least(F.col("a.e"), F.col("b.e")) - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
