@@ -133,8 +133,9 @@ def temporal_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Interval-overlap banding: 10-minute grid over exact epoch micros.
-IVL_BUCKET_US = 600_000_000
+#: Interval-overlap banding: 1-hour grid over exact epoch micros
+#: (intervals run up to ~8 h, so each covers <= 9 buckets).
+IVL_BUCKET_US = 3_600_000_000
 
 
 @query(
@@ -143,7 +144,7 @@ IVL_BUCKET_US = 600_000_000
         WITH iv AS (
             SELECT event_id, user_id, event_type,
                    epoch_us(ts) AS s,
-                   epoch_us(ts) + CAST(round(value) AS BIGINT) * 1000000 AS e
+                   epoch_us(ts) + CAST(round(value) AS BIGINT) * 60000000 AS e
             FROM events WHERE event_type IN ('view', 'error')
         ),
         a AS (SELECT * FROM iv WHERE event_type = 'view'),
@@ -155,7 +156,7 @@ IVL_BUCKET_US = 600_000_000
          AND a.s < b.e AND b.s < a.e
     """,
     doc="Interval x interval OVERLAP join: each view event carries an "
-    "activity interval [ts, ts + value seconds], each error event "
+    "activity interval [ts, ts + value minutes], each error event "
     "likewise; pairs of overlapping view/error intervals per user are "
     "reported with their exact overlap in integer microseconds — the "
     "incident-correlation primitive (which activity windows did an "
@@ -177,7 +178,7 @@ def temporal_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.unix_micros(F.col("ts")).alias("s"),
-        (F.unix_micros(F.col("ts")) + F.round(F.col("value")).cast("long") * 1_000_000).alias(
+        (F.unix_micros(F.col("ts")) + F.round(F.col("value")).cast("long") * 60_000_000).alias(
             "e"
         ),
     )
