@@ -617,3 +617,26 @@ def test_winnowing_single_window_exchange(spark):
         if "Exchange hashpartitioning(doc_id" in ln
     ]
     assert len(doc_exchanges) <= 1, plan
+
+
+def test_cbo_stats_reach_the_plan(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS must surface rowCount/sizeInBytes
+    stats that the cost-based optimizer can read — the prerequisite for
+    stats-driven join ordering on a real warehouse."""
+    import re
+
+    loc = (tmp_path / "stats_t").as_posix()
+    spark.sql("DROP TABLE IF EXISTS dps_stats_t")
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").write.option("path", loc).saveAsTable(
+        "dps_stats_t"
+    )
+    before = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql("ANALYZE TABLE dps_stats_t COMPUTE STATISTICS")
+        cost = spark.sql("EXPLAIN COST SELECT * FROM dps_stats_t").collect()[0][0]
+        assert re.search(r"rowCount=\d+", cost), cost[:500]
+        assert "sizeInBytes" in cost
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", before)
+        spark.sql("DROP TABLE IF EXISTS dps_stats_t")
