@@ -814,3 +814,49 @@ def mine_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_trigram_paths",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS t2,
+                   lead(event_type, 2) OVER w AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type AS step1, t2 AS step2, t3 AS step3,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM ordered
+        WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n_paths DESC, step1, step2, step3
+        LIMIT 20
+    """,
+    doc="Second-order path analysis: the top-20 three-step event "
+    "sequences across all user journeys ((ts, event_id) total order, "
+    "two leads per row) — the Sankey/flow diagram's data, and the "
+    "next-order complement to events_markov_transitions' one-step "
+    "matrix (a first-order chain cannot see that view->click->buy "
+    "outnumbers click->view->buy). One window exchange on user_id, "
+    "one map-side-combined aggregate over at most |types|^3 keys, "
+    "top-k as TakeOrderedAndProject with a total tie-break.",
+    tags=("events", "window", "topk"),
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    )
+    return (
+        ordered.filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "step1", "step2", "step3")
+        .limit(20)
+    )

@@ -1116,3 +1116,39 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def _register_text_langid_confusion() -> None:
+    from data_pipeline_with_hdfs_sql_integration_spark import registry
+
+    base_oracle = registry._REGISTRY["text_langid"].oracle
+
+    @query(
+        "text_langid_confusion",
+        oracle=f"""
+            WITH preds AS ({base_oracle})
+            SELECT labeled_lang, predicted_lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM preds
+            GROUP BY labeled_lang, predicted_lang
+        """,
+        doc="Classifier evaluation as a query: the language-ID "
+        "confusion matrix (labeled x predicted counts) over "
+        "text_langid's predictions — the per-class error breakdown a "
+        "model audit reads before trusting a filter stage (diagonal = "
+        "correct, off-diagonal cells name exactly WHICH languages "
+        "confuse). Reuses text_langid's oracle verbatim as the base "
+        "CTE, so the evaluation and the model stay provably in sync. "
+        "One aggregate over the prediction relation; the matrix is "
+        "|langs|^2 rows at any corpus size.",
+        tags=("text", "quality", "model"),
+    )
+    def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        apply_runtime_confs(spark)
+        preds = registry._REGISTRY["text_langid"].fn(spark, sf_dir)
+        return preds.groupBy("labeled_lang", "predicted_lang").agg(
+            F.count("*").alias("n")
+        )
+
+
+_register_text_langid_confusion()
