@@ -493,3 +493,69 @@ def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+        WITH per_c AS (
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+            FROM per_c
+        ),
+        agg AS (
+            SELECT count(*) AS n, sum(cents) AS total,
+                   sum(i * cents) AS weighted
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               CAST(total AS BIGINT) AS total_cents,
+               CAST((2000000 * weighted) // (n * total)
+                    - (1000000 * (n + 1)) // n AS BIGINT) AS gini_ppm
+        FROM agg
+    """,
+    doc="Revenue concentration as an exact Gini coefficient over "
+    "per-customer order totals: G = 2*sum(i*x_(i))/(n*sum(x)) - "
+    "(n+1)/n on the ascending-sorted totals, evaluated entirely in "
+    "BIGINTs scaled to ppm (one integer division per term, no float "
+    "accumulation) — the whale-dependence metric behind account "
+    "planning and the skew early-warning for key-salting decisions "
+    "(a high Gini on a join key IS the skew the AQE/salting tooling "
+    "exists for). Scale shape: the fact collapses to the per-"
+    "customer relation first (map-side combinable), and the rank "
+    "window runs over THAT — customers, not orders; at 100 TB "
+    "replace the exact rank with sketch_histogram_quantiles' binned "
+    "Lorenz curve, same formula over bins.",
+    tags=("agg", "stats", "skew"),
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = per_c.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc()))
+        .alias("i"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).alias("weighted"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("total").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST((2000000 * weighted) div (n * total) - (1000000 * (n + 1)) div n AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

@@ -346,3 +346,54 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot * dot * COS_NUM >= F.col("na.n2") * F.col("nb.n2")).alias("is_dup"),
         )
     )
+
+
+#: Anchored prefix dedup: documents sharing their first N tokens.
+PREFIX_N = 12
+
+
+@query(
+    "dedup_prefix_anchor",
+    oracle=f"""
+        WITH th AS (
+            SELECT doc_id,
+                   list_transform({tf.sql_tokens('text')},
+                                  s -> {tf.sql_poly_hash_str('s')}) AS hs
+            FROM documents
+        ),
+        pref AS (
+            SELECT doc_id,
+                   {tf.sql_poly_hash_longs(f'list_slice(hs, 1, {PREFIX_N})')} AS ph
+            FROM th WHERE len(hs) >= {PREFIX_N}
+        )
+        SELECT ph AS prefix_hash,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+        FROM pref
+        GROUP BY ph
+        HAVING count(*) >= 2
+    """,
+    doc=f"Anchored prefix duplicates: documents whose first {PREFIX_N} "
+    "tokens hash identically — the templated-intro/boilerplate-header "
+    "detector (mirror pages, scraped article farms, licence preambles "
+    "pasted at position zero). ANCHORED at the document start, it "
+    "catches what position-robust winnowing treats as a minor shared "
+    "passage and whole-document hashes miss entirely; together with "
+    "dedup_exact (whole doc), dedup_winnowing_overlap (any passage) "
+    "and dedup_substring_spans (any span) this completes the "
+    "granularity ladder. Pure map-side prefix fold + one groupBy on "
+    "the uniform hash — exactly dedup_exact's shape and cost.",
+    tags=("dedup", "text"),
+)
+def dedup_prefix_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    th = F.transform(tf.tokens(F.col("text")), lambda t: tf.poly_hash_str(t))
+    pref = docs.select(
+        "doc_id", F.when(F.size(th) >= PREFIX_N, tf.poly_hash_longs(F.slice(th, 1, PREFIX_N))).alias("ph")
+    ).filter(F.col("ph").isNotNull())
+    return (
+        pref.groupBy(F.col("ph").alias("prefix_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
