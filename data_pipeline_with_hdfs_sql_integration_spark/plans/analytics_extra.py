@@ -555,7 +555,10 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("n").cast("long").alias("n_customers"),
         F.col("total").cast("long").alias("total_cents"),
+        # weighted*2e6 tops int64 past ~1e3 customers x 1e11 cents —
+        # widen to DECIMAL(38,0) (DuckDB's sum() is already HUGEINT).
         F.expr(
-            "CAST((2000000 * weighted) div (n * total) - (1000000 * (n + 1)) div n AS BIGINT)"
+            "CAST((2000000 * CAST(weighted AS DECIMAL(38,0))) div (n * total) "
+            "- (1000000 * (n + 1)) div n AS BIGINT)"
         ).alias("gini_ppm"),
     )
