@@ -1152,3 +1152,84 @@ def _register_text_langid_confusion() -> None:
 
 
 _register_text_langid_confusion()
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+        WITH counts AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '')) AS tok
+                  FROM documents)
+            GROUP BY tok
+        ),
+        ranked AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk
+            FROM counts
+        ),
+        pts AS (
+            SELECT CAST(round(1000000 * log10(rnk)) AS BIGINT) AS x,
+                   CAST(round(1000000 * log10(freq)) AS BIGINT) AS y
+            FROM ranked
+        ),
+        sums AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_types,
+               CAST((1000000 * (n * sxy - sx * sy))
+                    // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm
+        FROM sums
+    """,
+    doc="Zipf's-law fit over the corpus vocabulary: least-squares "
+    "slope of log10(frequency) against log10(rank) — natural text "
+    "sits near -1, and a corpus that drifts far off is "
+    "machine-generated, truncated, or template-dominated (a cheap "
+    "corpus-level forensic next to the per-document quality gates). "
+    "Determinism: log10 takes small-INTEGER ranks/frequencies (the "
+    "char-entropy precedent — identical doubles in both engines), "
+    "is immediately rounded to fixed-point ppm integers, and every "
+    "regression sum is then exact integer arithmetic "
+    "(128-bit intermediates for the cross terms — the Gini lesson); "
+    "ranks tie-break lexicographically. Scale: the fact collapses "
+    "to the vocabulary relation first; the rank window runs over "
+    "vocab only, and the regression is one tiny aggregate.",
+    tags=("text", "stats", "quality"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tf.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = counts.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("tok").asc()))
+        .alias("rnk"),
+    )
+    pts = ranked.select(
+        F.round(1000000 * F.log10(F.col("rnk").cast("double"))).cast("long").alias("x"),
+        F.round(1000000 * F.log10(F.col("freq").cast("double"))).cast("long").alias("y"),
+    )
+    sums = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.expr(
+            "CAST((1000000 * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)) "
+            "div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"
+        ).alias("slope_ppm"),
+    )
