@@ -562,3 +562,60 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "- (1000000 * (n + 1)) div n AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+@query(
+    "agg_skyline_2d",
+    oracle="""
+        WITH pts AS (
+            SELECT p_partkey,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                   CAST(p_size AS BIGINT) AS size
+            FROM part
+        ),
+        ranked AS (
+            SELECT p_partkey, price_cents, size,
+                   max(size) OVER (ORDER BY price_cents ASC, p_partkey ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS best_size_cheaper
+            FROM pts
+        )
+        SELECT p_partkey, price_cents, size
+        FROM ranked
+        WHERE best_size_cheaper IS NULL OR size > best_size_cheaper
+    """,
+    doc="Skyline / Pareto front (minimize price, maximize size) over "
+    "part: a part survives iff nothing cheaper-or-equal offers more "
+    "size — the dominance filter behind product-recommendation and "
+    "multi-objective candidate pruning, and an operator family of "
+    "its own (neither join nor aggregate expresses it directly). The "
+    "2-D case collapses to ONE window: sort by price, keep rows "
+    "beating the running size-max of all strictly-preceding "
+    "(cheaper-or-tied, id-earlier) rows — O(n log n) where the "
+    "textbook NOT-EXISTS formulation is a quadratic nested loop; "
+    "ties resolve by the (price, partkey) total order so both "
+    "engines pick identical survivors. At 100 TB: map-side LOCAL "
+    "skylines per partition first (each partition's dominated points "
+    "die before the shuffle), then this global window over the tiny "
+    "union — the classic distributed-skyline two-phase.",
+    tags=("agg", "window", "analytics"),
+)
+def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    part = load(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w = Window.orderBy(F.col("price_cents").asc(), F.col("p_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = pts.select(
+        "p_partkey", "price_cents", "size", F.max("size").over(w).alias("best_size_cheaper")
+    )
+    return ranked.filter(
+        F.col("best_size_cheaper").isNull() | (F.col("size") > F.col("best_size_cheaper"))
+    ).select("p_partkey", "price_cents", "size")
