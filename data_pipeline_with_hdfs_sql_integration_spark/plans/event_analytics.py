@@ -860,3 +860,45 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "step1", "step2", "step3")
         .limit(20)
     )
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+        WITH h AS (
+            SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (SELECT event_type, sum(n) AS total FROM h GROUP BY 1)
+        SELECT h.event_type, h.hour_of_day,
+               CAST(h.n AS BIGINT) AS n_events,
+               CAST(1000000 * h.n // t.total AS BIGINT) AS share_ppm
+        FROM h JOIN t USING (event_type)
+    """,
+    doc="Hour-of-day seasonality profile per event type: counts and "
+    "integer-ppm within-type shares — the diurnal fingerprint behind "
+    "capacity planning, anomaly baselines (compare a live hour "
+    "against its profile slot), and bot detection (flat profiles "
+    "where humans sleep). UTC hour extraction is pinned by the "
+    "engine's session timezone so both engines bucket identically. "
+    "One map-side hour extract + two tiny aggregates; the profile is "
+    "|types| x 24 rows at any volume.",
+    tags=("events", "timeseries", "agg"),
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(F.count("*").alias("n"))
+    t = h.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return (
+        h.join(t, "event_type")
+        .select(
+            "event_type",
+            "hour_of_day",
+            F.col("n").cast("long").alias("n_events"),
+            F.expr("CAST(1000000 * n div total AS BIGINT)").alias("share_ppm"),
+        )
+    )
