@@ -640,3 +640,13 @@ def test_cbo_stats_reach_the_plan(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", before)
         spark.sql("DROP TABLE IF EXISTS dps_stats_t")
+
+
+def test_association_pairs_no_cartesian(spark):
+    """mine_association_pairs' pair join must stay keyed on the basket
+    (user, day) — never a cross product over items."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["mine_association_pairs"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan

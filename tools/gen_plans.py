@@ -44,6 +44,9 @@ PICKS = [
     ("sim_grid_neighbors", "grid spatial join: 9-cell explode on one side, equi-join on cell id — no CartesianProduct, radius check post-join"),
     ("graph_triangle_count", "degree-oriented triangles: wedge join keyed on center, closing-edge equi-join; persisted k-NN edge build"),
     ("sketch_bloom_membership", "bloom build = explode + bit_or groupBy; probe joins the broadcast 64-word filter"),
+    ("agg_skyline_2d", "Pareto front as ONE running-max window over the price sort — no quadratic NOT-EXISTS join"),
+    ("temporal_interval_overlap", "interval x interval: hour-bucket explode, (user, bucket) equi-join, exact overlap post-filter, pair distinct"),
+    ("mine_association_pairs", "basket-keyed pair join (items-per-basket bounded fanout); rule metrics over the |types|^2 relation"),
 ]
 
 
