@@ -662,9 +662,11 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    # distributed index: no global sequence window, the only index
-    # choice that scales (and silences the advisory warning).
-    spark.conf.set("spark.pandas.compute.default_index_type", "distributed")
+    # distributed index: no global sequence window — the only index
+    # choice that scales.
+    import pyspark.pandas as ps
+
+    ps.set_option("compute.default_index_type", "distributed")
     orders = load(spark, sf_dir, "orders")
     psdf = orders.pandas_api()
     psdf = psdf.assign(cents=(psdf.o_totalprice * 100).round().astype("int64"))
