@@ -10,7 +10,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load, load_parallel
 from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as tf
 from data_pipeline_with_hdfs_sql_integration_spark.operators.skew import salted_group_count
 from data_pipeline_with_hdfs_sql_integration_spark.registry import query
@@ -594,28 +594,44 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(cheaper-or-tied, id-earlier) rows — O(n log n) where the "
     "textbook NOT-EXISTS formulation is a quadratic nested loop; "
     "ties resolve by the (price, partkey) total order so both "
-    "engines pick identical survivors. At 100 TB: map-side LOCAL "
-    "skylines per partition first (each partition's dominated points "
-    "die before the shuffle), then this global window over the tiny "
-    "union — the classic distributed-skyline two-phase.",
+    "engines pick identical survivors. Implemented as the REAL "
+    "distributed two-phase: a local skyline keyed on "
+    "spark_partition_id() kills dominated points map-side (locally "
+    "dominated => globally dominated, so no answer is lost), and the "
+    "global single-partition window runs only over the union of "
+    "local survivors — the structure that keeps the final sort "
+    "trivial at 100 TB. The partition-id intermediate never affects "
+    "the result (partition-invariance suite covers the family).",
     tags=("agg", "window", "analytics"),
 )
 def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     apply_runtime_confs(spark)
-    part = load(spark, sf_dir, "part")
+    part = load_parallel(spark, sf_dir, "part")
     pts = part.select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
         F.col("p_size").cast("long").alias("size"),
     )
-    w = Window.orderBy(F.col("price_cents").asc(), F.col("p_partkey").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
+
+    def skyline_pass(df: DataFrame, *partition_cols) -> DataFrame:
+        w = Window.partitionBy(*partition_cols).orderBy(
+            F.col("price_cents").asc(), F.col("p_partkey").asc()
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        best = F.max("size").over(w)
+        return (
+            df.select("p_partkey", "price_cents", "size", best.alias("b"))
+            .filter(F.col("b").isNull() | (F.col("size") > F.col("b")))
+            .select("p_partkey", "price_cents", "size")
+        )
+
+    # Phase 1: LOCAL skylines keyed on the physical partition id —
+    # dominated points die map-side before anything moves (a point
+    # dominated within its partition is dominated globally, so this
+    # only ever removes non-answers). Phase 2: the global window runs
+    # over the tiny union of local survivors, not the table.
+    local = skyline_pass(
+        pts.withColumn("pid", F.spark_partition_id()), "pid"
     )
-    ranked = pts.select(
-        "p_partkey", "price_cents", "size", F.max("size").over(w).alias("best_size_cheaper")
-    )
-    return ranked.filter(
-        F.col("best_size_cheaper").isNull() | (F.col("size") > F.col("best_size_cheaper"))
-    ).select("p_partkey", "price_cents", "size")
+    return skyline_pass(local)

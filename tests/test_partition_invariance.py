@@ -27,6 +27,7 @@ SENSITIVE = [
     "grouped_linreg_trend",
     "agg_skew_kurtosis",
     "rollup_downsample_extrema",
+    "agg_skyline_2d",
 ]
 
 
