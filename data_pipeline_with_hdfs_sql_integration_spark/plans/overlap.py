@@ -5,7 +5,8 @@ The reference engine deduplicates at whole-row granularity only
 (server.py's exact-match semantics); a training-data pipeline also
 needs PARTIAL-overlap detection — documents that share passages
 without being near-identical globally (boilerplate injection, quote
-farms, licence blocks). Two complementary detectors:
+farms, licence blocks). Complementary detectors, from anchored to
+position-free:
 
 - Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
   algorithm): select a deterministic, position-robust subset of
@@ -19,8 +20,10 @@ farms, licence blocks). Two complementary detectors:
   a document-frequency ceiling dropping stop-tokens so no single
   token fans out quadratically.
 
-Everything is integer arithmetic on the shared textfns constants, so
-both queries are value-oracled bit-for-bit against DuckDB.
+Plus the LSH-candidate exact TF-cosine verify and the anchored
+prefix-hash detector registered below. Everything is integer
+arithmetic on the shared textfns constants, value-oracled bit-for-bit
+against DuckDB.
 """
 
 from __future__ import annotations

@@ -591,7 +591,10 @@ KMV_PARAM_IDX = 7
         FROM union_est u, union_exact x
     """,
     doc=f"K-minimum-values distinct sketch: per returnflag, the {KMV_K} "
-    "smallest distinct affine-hash values of l_orderkey; estimate = "
+    "smallest distinct affine-hash values of l_orderkey (whose range "
+    "wraps the modulus many times, so ONE affine round is uniform "
+    "enough — small-range keys need the chained rounds "
+    "sketch_kmv_intersection uses); estimate = "
     f"(k-1)*RANGE/kth_min in exact BIGINTs. The '__union__' row is the "
     "point: its estimate is derived from the per-group SKETCHES alone "
     "(union the k-min sets, re-truncate to k, read the new kth min) — "
