@@ -804,23 +804,24 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("metadata", "layout", "scan"),
 )
 def o13_file_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
         deterministic_tmp_dir,
+        publish_store,
         table_path,
     )
 
     apply_runtime_confs(spark)
     li = load(spark, sf_dir, "lineitem")
     layout = deterministic_tmp_dir("introspect_rf", table_path(sf_dir, "lineitem"))
-    if not os.path.exists(os.path.join(layout, "_SUCCESS")):
-        (
+    publish_store(
+        layout,
+        lambda staging: (
             li.repartition("l_returnflag")
             .write.mode("overwrite")
             .partitionBy("l_returnflag")
-            .parquet(layout)
-        )
+            .parquet(staging)
+        ),
+    )
     back = spark.read.parquet(layout)
     return (
         back.select("l_returnflag", F.input_file_name().alias("f"))
