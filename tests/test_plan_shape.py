@@ -650,3 +650,27 @@ def test_association_pairs_no_cartesian(spark):
     df = all_queries()["mine_association_pairs"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_trigram_paths_topk_plan(spark):
+    """events_trigram_paths' top-20 must plan as TakeOrderedAndProject
+    (per-partition heaps), not a global sort."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["events_trigram_paths"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_skyline_two_phase_plan(spark):
+    """agg_skyline_2d must show BOTH window passes: the local skyline
+    partitioned by spark_partition_id() and the global one — the
+    distributed two-phase structure, not a single global sort of the
+    full table."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["agg_skyline_2d"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Window") >= 2, plan
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert "CartesianProduct" not in plan
