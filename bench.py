@@ -93,6 +93,9 @@ HEADLINE = [
     "stats_ks_two_sample",
     "sample_poisson_bootstrap",
     "multimodal_y4m_frames",
+    "agg_skyline_2d",
+    "agg_gini_concentration",
+    "text_zipf_fit",
 ]
 
 
