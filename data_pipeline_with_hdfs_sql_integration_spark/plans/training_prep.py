@@ -669,3 +669,66 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "mix_entropy_profile",
+    oracle="""
+        WITH g AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang, source
+        ),
+        t AS (SELECT sum(n) AS total, count(*) AS n_cells FROM g)
+        SELECT CAST(t.n_cells AS BIGINT) AS n_cells,
+               CAST(t.total AS BIGINT) AS n_docs,
+               CAST(round(1000000 * (log2(t.total)
+                    - sum(g.n * log2(g.n)) / t.total)) AS BIGINT)
+                   AS entropy_upm,
+               CAST(round(1000000 * log2(t.n_cells)) AS BIGINT)
+                   AS max_entropy_upm
+        FROM g, t
+        GROUP BY t.n_cells, t.total
+    """,
+    doc="Corpus-mixture entropy: Shannon entropy (bits, fixed-point "
+    "micro-units) of the (lang, source) cell distribution, next to "
+    "its log2(cells) maximum — the diversity dial a data-mixing step "
+    "watches (entropy near max = balanced corpus; collapsing entropy "
+    "= one bucket swallowing the mix; mix_weighted_budget is the "
+    "actuator this metric monitors). Determinism: the char-entropy "
+    "formulation — H = log2(N) - sum(n*log2(n))/N so every log2 "
+    "argument is a small INTEGER count (identical doubles in both "
+    "engines) and the single division happens once, rounded to 1e-6 "
+    "bits. One tiny grouped count; the entropy aggregate runs over "
+    "the |langs x sources| relation.",
+    tags=("training", "mixing", "stats"),
+)
+def mix_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    t = g.agg(F.sum("n").alias("total"), F.count("*").alias("n_cells"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("n_cells", "total")
+        .agg(
+            F.round(
+                1000000
+                * (
+                    F.log2(F.first("total").cast("double"))
+                    - F.sum(F.col("n") * F.log2(F.col("n").cast("double")))
+                    / F.first("total")
+                )
+            )
+            .cast("long")
+            .alias("entropy_upm"),
+            F.round(1000000 * F.log2(F.first("n_cells").cast("double")))
+            .cast("long")
+            .alias("max_entropy_upm"),
+        )
+        .select(
+            F.col("n_cells").cast("long"),
+            F.col("total").cast("long").alias("n_docs"),
+            "entropy_upm",
+            "max_entropy_upm",
+        )
+    )
