@@ -44,18 +44,43 @@ class TxTable:
 
     # ------------------------------------------------------------- log
     def _commits(self) -> list[str]:
+        # Only real commit names (NNNNNNNN.json). A racing writer's
+        # in-flight ``.tmp-<uuid>.json`` must never be replayed: its
+        # name has no version number (int('') raises) and its content
+        # may be half-written JSON.
+        import re
+
         return sorted(
-            f for f in os.listdir(self.log_dir) if f.endswith(".json")
+            f
+            for f in os.listdir(self.log_dir)
+            if re.fullmatch(r"\d{8}\.json", f)
         )
 
     def latest_version(self) -> int:
         commits = self._commits()
         return int(commits[-1].split(".")[0]) if commits else -1
 
-    def _commit(self, entry: dict) -> int:
+    def _commit(
+        self,
+        entry: dict,
+        df: DataFrame | None = None,
+        validated: dict[str, str] | None = None,
+    ) -> int:
         """Atomic rename onto the next free commit number (optimistic
-        single-writer: a racing writer loses the rename and retries)."""
+        single-writer: a racing writer loses the rename and retries).
+
+        When ``df``/``validated`` are given (data commits), each retry
+        re-reads the active constraint set and re-validates the batch if
+        it changed since the caller's validation — closing the
+        validate-then-commit TOCTOU where a racing ``set_constraint``
+        lands between validation and the winning link.
+        """
         while True:
+            if df is not None:
+                active = self.constraints()
+                if active != validated:
+                    self._validate_against(df, active)
+                    validated = active
             version = self.latest_version() + 1
             entry = {**entry, "version": version}
             tmp = os.path.join(
@@ -84,15 +109,19 @@ class TxTable:
         ]
 
     def append(self, df: DataFrame) -> int:
-        self._validate(df)
+        active = self.constraints()
+        self._validate_against(df, active)
         files = self._write_files(df)
-        return self._commit({"add": files, "remove": []})
+        return self._commit({"add": files, "remove": []}, df=df, validated=active)
 
     def overwrite(self, df: DataFrame) -> int:
-        self._validate(df)
+        active = self.constraints()
+        self._validate_against(df, active)
         files = self._write_files(df)
         live = self.live_files()
-        return self._commit({"add": files, "remove": live})
+        return self._commit(
+            {"add": files, "remove": live}, df=df, validated=active
+        )
 
     # ------------------------------------------------------ constraints
     def constraints(self, version: int | None = None) -> dict[str, str]:
@@ -123,13 +152,12 @@ class TxTable:
     def drop_constraint(self, name: str) -> int:
         return self._commit({"add": [], "remove": [], "dropConstraint": [name]})
 
-    def _validate(self, df: DataFrame) -> None:
-        """One aggregate pass counting violations of every active
-        constraint (NULL predicate results count as violations, the
+    def _validate_against(self, df: DataFrame, active: dict[str, str]) -> None:
+        """One aggregate pass counting violations of every constraint in
+        ``active`` (NULL predicate results count as violations, the
         Delta CHECK semantic — a constraint must evaluate TRUE)."""
         from pyspark.sql import functions as F
 
-        active = self.constraints()
         if not active:
             return
         names = sorted(active)

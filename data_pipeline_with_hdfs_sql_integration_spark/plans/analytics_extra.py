@@ -550,15 +550,18 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("total"),
-        F.sum(F.col("i") * F.col("cents")).alias("weighted"),
+        # Widen BEFORE the sum: rank i reaches n_customers, so a BIGINT
+        # running sum of i*cents overflows around ~1e9 customer rows
+        # even though each term fits. DECIMAL(38,0) terms keep the whole
+        # accumulation exact (DuckDB's sum() is already HUGEINT).
+        F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * cents")).alias("weighted"),
     )
     return agg.select(
         F.col("n").cast("long").alias("n_customers"),
         F.col("total").cast("long").alias("total_cents"),
-        # weighted*2e6 tops int64 past ~1e3 customers x 1e11 cents —
-        # widen to DECIMAL(38,0) (DuckDB's sum() is already HUGEINT).
+        # n*total also tops int64 at scale — widen the divisor too.
         F.expr(
-            "CAST((2000000 * CAST(weighted AS DECIMAL(38,0))) div (n * total) "
+            "CAST((2000000 * weighted) div (CAST(n AS DECIMAL(38,0)) * total) "
             "- (1000000 * (n + 1)) div n AS BIGINT)"
         ).alias("gini_ppm"),
     )

@@ -581,10 +581,18 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.path = options["path"]
 
         def write(self, iterator):
+            import uuid as _uuid
+
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
-            out = _os.path.join(self.path, f"part-{pid:05d}.json")
+            # Attempt-unique name: a retried/speculative attempt for the
+            # same partition writes a DIFFERENT file, and only the
+            # attempt whose message reaches commit() lands in the
+            # manifest — orphans are invisible to manifest-scoped reads.
+            out = _os.path.join(
+                self.path, f"part-{pid:05d}-{_uuid.uuid4().hex}.json"
+            )
             n = 0
             buf = []
             for row in iterator:
@@ -625,13 +633,14 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = _tempfile.mkdtemp(prefix="dps_pysink_")
     rollup.write.format("dps_jsonl_sink").option("path", target).mode("append").save()
-    # The manifest must exist (commit ran) and must account for every
-    # row the readers see — the atomicity contract, checked per run.
+    # The manifest must exist (commit ran), and readers consume EXACTLY
+    # the committed file list — never a directory glob, which would
+    # serve orphans from failed/speculative attempts or prior runs.
     with open(_os.path.join(target, "_MANIFEST.json")) as f:
         manifest = _json.load(f)
-    back = spark.read.schema("n_orders bigint, o_orderpriority string, total_cents bigint").json(
-        target
-    )
+    back = spark.read.schema(
+        "n_orders bigint, o_orderpriority string, total_cents bigint"
+    ).json(manifest["files"])
     assert manifest["rows"] == back.count()
     return back.select("o_orderpriority", "n_orders", "total_cents")
 

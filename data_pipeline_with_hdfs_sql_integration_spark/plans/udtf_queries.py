@@ -82,7 +82,7 @@ SESSION_GAP_MINUTES = 30
     "udtf_session_stats",
     oracle=f"""
         WITH marked AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR ts - lag(ts) OVER w > INTERVAL '{SESSION_GAP_MINUTES} minutes'
                         THEN 1 ELSE 0 END AS is_start
@@ -90,8 +90,12 @@ SESSION_GAP_MINUTES = 30
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         numbered AS (
+            -- Same (ts, event_id) tie-break as the session-start window:
+            -- under duplicate timestamps an untie-broken cumulative sum
+            -- could reorder a start row among its equal-ts peers and
+            -- make session membership nondeterministic.
             SELECT user_id, ts,
-                   sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS sess
             FROM marked
         ),
