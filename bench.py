@@ -106,6 +106,7 @@ def _time(fn) -> float:
 
 
 def main() -> None:
+    from data_pipeline_with_hdfs_sql_integration_spark import catalog
     from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
     from data_pipeline_with_hdfs_sql_integration_spark.session import get_spark
 
@@ -115,8 +116,32 @@ def main() -> None:
     # Warm the JVM / codegen before timing.
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
 
-    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    # Partition-cache create vs reuse FIRST, before the 70+ headline
+    # queries age the session (round-5 lesson: timed last, cache_create
+    # doubled purely from end-of-session GC/state pressure — the
+    # operator's own plan was unchanged). Reference benchmark shape:
+    # performance_analyzer.py:36-67, 5 keys, cold then warm. The
+    # create→reuse RATIO is the designated reproducible metric
+    # (BASELINE.md), and a one-shot measurement of sub-second runs is
+    # GC-noise-vulnerable — so take the min of repeated passes:
+    # reuse is idempotent, and create repeats via invalidate().
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.cache_queries import CACHE_KEYS, build_cache
+
     timings: dict[str, float] = {}
+    cache = build_cache(spark, SF_DIR, tempfile.mkdtemp(prefix="dps_bench_cache_"))
+    # One unmeasured pass warms the whole create path (codegen for the
+    # pruned scan + parquet write) exactly like the headline warmups.
+    [cache.calc_avg(k) for k in CACHE_KEYS]
+    creates = []
+    for _ in range(3):
+        cache.invalidate()
+        creates.append(_time(lambda: [cache.calc_avg(k) for k in CACHE_KEYS]))
+    t_create = min(creates)
+    t_reuse = min(_time(lambda: [cache.calc_avg(k) for k in CACHE_KEYS]) for _ in range(3))
+    timings["cache_create"] = t_create
+    timings["cache_reuse"] = t_reuse
+
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     for name in HEADLINE:
         if name not in specs:
             continue
@@ -124,28 +149,12 @@ def main() -> None:
         # noop sink: full materialization, no collect/driver cost.
         run = lambda: df.write.format("noop").mode("overwrite").save()
         if warmup:
-            # First run pays codegen/JIT compilation; report warm
-            # throughput (set SPARK_GRAFT_BENCH_WARMUP=0 for cold).
+            # First run pays codegen/JIT compilation (and any cold
+            # derived-store build, which lands in store_build_s, not in
+            # the timing); report warm throughput
+            # (set SPARK_GRAFT_BENCH_WARMUP=0 for cold).
             run()
         timings[name] = _time(run)
-
-    # Partition-cache create vs reuse (reference benchmark shape:
-    # performance_analyzer.py:36-67, 5 keys, cold then warm). The
-    # create→reuse RATIO is the designated reproducible metric
-    # (BASELINE.md), and a one-shot measurement of sub-second runs is
-    # GC-noise-vulnerable — so take the min of repeated passes:
-    # reuse is idempotent, and create repeats via invalidate().
-    from data_pipeline_with_hdfs_sql_integration_spark.plans.cache_queries import CACHE_KEYS, build_cache
-
-    cache = build_cache(spark, SF_DIR, tempfile.mkdtemp(prefix="dps_bench_cache_"))
-    creates = []
-    for _ in range(2):
-        cache.invalidate()
-        creates.append(_time(lambda: [cache.calc_avg(k) for k in CACHE_KEYS]))
-    t_create = min(creates)
-    t_reuse = min(_time(lambda: [cache.calc_avg(k) for k in CACHE_KEYS]) for _ in range(3))
-    timings["cache_create"] = t_create
-    timings["cache_reuse"] = t_reuse
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # ANN quality next to ANN speed: recall@10 of each approximate tier
@@ -191,14 +200,52 @@ def main() -> None:
             sum(1 for a, b in pairs if p2_keep.get(max(a, b)) == 0) / len(pairs), 3
         )
 
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    total = round(sum(timings.values()), 4)
+    speedup = round(t_create / t_reuse, 3) if t_reuse > 0 else None
+
+    # Full per-query record → a committed file (the driver's stdout
+    # capture keeps only the final ~2 KB; round 5's one-line dump
+    # outgrew it and the artifact became unparseable).
+    detail = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 4),
+        "value": total,
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in timings.items()},
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cache_speedup": round(t_create / t_reuse, 3) if t_reuse > 0 else None,
+        "sf": sf_val,
+        "cache_speedup": speedup,
         "ann_recall_at_10": recalls,
+        # Cold derived-store build seconds (empty when /tmp was warm):
+        # localizes any "query X got slower" to "no — its store rebuilt".
+        "store_build_s": dict(catalog.STORE_BUILD_TIMES),
+    }
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+
+    # Compact summary as the FINAL line — guaranteed to fit the tail
+    # capture whole. The `queries` map carries only the cache pair plus
+    # the 5 slowest headline queries; the complete map lives in
+    # BENCH_DETAIL.json (path echoed in `detail`).
+    slowest = dict(
+        sorted(
+            ((k, round(v, 4)) for k, v in timings.items() if not k.startswith("cache_")),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            "cache_create": round(t_create, 4),
+            "cache_reuse": round(t_reuse, 4),
+            **slowest,
+        },
+        "n_queries": len(timings),
+        "sf": sf_val,
+        "cache_speedup": speedup,
+        "ann_recall_at_10": recalls,
+        "detail": detail_path.name,
     }
     print(json.dumps(out))
 

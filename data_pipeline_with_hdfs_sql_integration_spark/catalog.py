@@ -140,6 +140,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# Wall-clock seconds spent *building* each derived store this process
+# actually materialized (cache hits don't appear). bench.py emits this
+# map so a bench regression caused by cold-store rebuild cost is
+# localizable instantly instead of bleeding anonymously into whichever
+# query triggered the build.
+STORE_BUILD_TIMES: dict[str, float] = {}
+
+
 def publish_store(store: str, write_fn) -> None:
     """Materialize a derived parquet store exactly once, atomically.
 
@@ -174,7 +182,13 @@ def publish_store(store: str, write_fn) -> None:
             shutil.rmtree(store, ignore_errors=True)
     staging = f"{store}.staging.{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
+    t0 = time.monotonic()
     write_fn(staging)
+    STORE_BUILD_TIMES[os.path.basename(store)] = round(
+        STORE_BUILD_TIMES.get(os.path.basename(store), 0.0)
+        + (time.monotonic() - t0),
+        4,
+    )
     try:
         os.rename(staging, store)
     except OSError:
