@@ -48,6 +48,11 @@ JACCARD_THRESHOLD = 0.5
 MINHASH_EST_THRESHOLD = 0.5
 EMB_SUBSET = 400  # bounded exact-pair subset (vec_id < EMB_SUBSET)
 EMB_COSINE_THRESHOLD = 0.40
+# SemDeDup multi-probe width: each vector searches under its top-P
+# quantizer cells. P=1 misses 78% of exact above-threshold pairs on
+# this corpus (quantization boundary loss, measured r05); P=2 is the
+# default recall/cost point, floor gated in test_similarity_recall.py.
+SEMANTIC_PROBES = 2
 
 # ------------------------------------------------------------------ shared
 # Shingle hash = polynomial fold over the three TOKEN hashes (each token
@@ -1285,18 +1290,18 @@ def _register_dedup_semantic() -> None:
                             {sim._sql_lsh_sig('v', 0)} AS sig_lo,
                             {sim._sql_lsh_sig('v', 1)} AS sig_hi
                      FROM e),
-            assignedf AS (
-                SELECT vec_id, cell_id FROM (
+            probes AS (
+                SELECT vec_id, cell_id, rn FROM (
                     SELECT e.vec_id, c.cell_id,
                            row_number() OVER (PARTITION BY e.vec_id
                                ORDER BY {sim._sql_cosine('e.v', 'c.cv')} DESC,
                                         c.cell_id ASC) AS rn
                     FROM e, {sim._KMEANS_FINAL} c)
-                WHERE rn = 1),
-            m AS (SELECT a.vec_id, a.cell_id, e.v, s.sig_lo, s.sig_hi
-                  FROM assignedf a
-                  JOIN e ON a.vec_id = e.vec_id
-                  JOIN sigs s ON a.vec_id = s.vec_id),
+                WHERE rn <= {SEMANTIC_PROBES}),
+            m AS (SELECT p.vec_id, p.cell_id, e.v, s.sig_lo, s.sig_hi
+                  FROM probes p
+                  JOIN e ON p.vec_id = e.vec_id
+                  JOIN sigs s ON p.vec_id = s.vec_id),
             dup AS (
                 SELECT DISTINCT b.vec_id
                 FROM m a JOIN m b
@@ -1304,35 +1309,57 @@ def _register_dedup_semantic() -> None:
                 WHERE bit_count(xor(a.sig_lo, b.sig_lo))
                       + bit_count(xor(a.sig_hi, b.sig_hi)) <= {ham_max}
                   AND {sim._sql_cosine('a.v', 'b.v')} >= {EMB_COSINE_THRESHOLD})
-            SELECT m.vec_id, m.cell_id,
+            SELECT p.vec_id, p.cell_id,
                    CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-            FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+            FROM (SELECT vec_id, cell_id FROM probes WHERE rn = 1) p
+            LEFT JOIN dup ON p.vec_id = dup.vec_id
         """,
-        doc=f"Semantic dedup, SemDeDup-shaped: vectors are bucketed by "
-        f"the {sim.IVF_CELLS}-cell deterministic k-means quantizer (the "
-        "SAME build-once IVF index store the ANN queries use — zero "
-        "extra clustering cost), then candidate pairs are enumerated "
-        "ONLY within a cell (cell-keyed equi-self-join, never a corpus "
-        f"cross join) and a vector is dropped when a lower-id cell-mate "
-        f"sits at cosine >= {EMB_COSINE_THRESHOLD}. At 100 TB the cell "
-        "count grows ~N/target_cell_size (the SemDeDup paper runs 50k "
-        "cells) so per-cell pair work stays constant; the pair join "
-        "shuffles on cell_id and the verdict is a left anti lookup. "
-        "Greedy lowest-id-wins keeps exactly one representative per "
-        "dense neighborhood without a transitive closure (that "
-        "stronger semantics is dedup_clusters').",
+        doc=f"Semantic dedup, SemDeDup-shaped, with {SEMANTIC_PROBES}-cell "
+        f"multi-probe BY DEFAULT: each vector searches under its top-"
+        f"{SEMANTIC_PROBES} quantizer cells (single-assign misses 78% "
+        "of exact above-threshold pairs on this corpus — the round-5 "
+        "measured footgun; P=2 recovers detection to ~0.5, the ladder "
+        "P=1 0.217 / P=2 0.478 / P=3 0.848 is in SCALE.md and the "
+        "recall floor is test-gated in test_similarity_recall.py). "
+        "Candidate pairs are enumerated ONLY within a shared probe "
+        "cell (cell-keyed equi-self-join, never a corpus cross join), "
+        "hamming-gated on 16-byte signatures before any vector math, "
+        f"and a vector is dropped when a lower-id cell-mate sits at "
+        f"cosine >= {EMB_COSINE_THRESHOLD}. Output keeps the PRIMARY "
+        "(rn=1) cell per vector. At 100 TB the cell count grows "
+        "~N/target_cell_size (the SemDeDup paper runs 50k cells) so "
+        "per-cell pair work stays constant (x P^2 for multi-probe); "
+        "the pair join shuffles on cell_id and the verdict is a left "
+        "anti lookup. Greedy lowest-id-wins keeps exactly one "
+        "representative per dense neighborhood without a transitive "
+        "closure (that stronger semantics is dedup_clusters).",
         tags=("dedup", "embeddings", "semantic", "training"),
     )
     def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_runtime_confs(spark)
-        _cent, assigned = sim.ivf_index_store(spark, sf_dir)
+        cent, assigned = sim.ivf_index_store(spark, sf_dir)
         e = sim._vecs(spark, sf_dir)
         sigs = sim.lsh_signature_store(spark, sf_dir)
+        # Top-P probe cells per vector: centroids broadcast (cells x
+        # dims doubles at any corpus size), rank by cosine. The probe
+        # rows carry ONLY (vec_id, cell_id) — vectors are dropped
+        # before the window shuffle.
+        csim = sim._cosine(F.col("v"), F.col("cv"))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("cell_id").asc()
+        )
+        probes = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cell_id", csim.alias("csim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= SEMANTIC_PROBES)
+            .select("vec_id", "cell_id")
+        )
         # Candidates stay BARE (cell, id, 16-byte sig) until the gate:
         # the pair join never shuffles 64-double vectors, only survivor
         # pairs fetch vectors back by id (the dedup_embedding_lsh
         # shape).
-        m = assigned.select("vec_id", "cell_id").join(sigs, "vec_id")
+        m = probes.join(sigs, "vec_id")
         a = m.select(
             F.col("cell_id"),
             F.col("vec_id").alias("id_a"),
@@ -1351,12 +1378,14 @@ def _register_dedup_semantic() -> None:
         # Two-long hamming gate BEFORE any vector math — the same
         # mean+1.9sigma bound (and the same oracle mirror) as
         # dedup_embedding_lsh; measured: zero exact co-located pairs
-        # gated at any test SF.
+        # gated at any test SF. A pair co-probing in BOTH cells would
+        # double-count — dedupe before the vector fetch.
         cand = (
             a.join(b, "cell_id")
             .filter(F.col("id_a") < F.col("id_b"))
             .filter(ham <= ham_max)
             .select("id_a", "id_b")
+            .distinct()
         )
         ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
         eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
@@ -1367,8 +1396,10 @@ def _register_dedup_semantic() -> None:
             .select(F.col("id_b").alias("vec_id"))
             .distinct()
         )
+        # Output one row per vector with its PRIMARY cell (the store's
+        # max-cosine assignment == the probe ranking's rn=1).
         return (
-            m.select("vec_id", "cell_id")
+            assigned.select("vec_id", "cell_id")
             .join(dup.withColumn("_d", F.lit(1)), "vec_id", "left")
             .select(
                 "vec_id",

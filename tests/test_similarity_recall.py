@@ -33,6 +33,33 @@ def test_pq_recall_floor(spark):
     assert _recall(spark, "sim_ann_pq") >= 0.8
 
 
+def test_semantic_dedup_detection_floor(spark):
+    """End-to-end SemDeDup detection recall under the DEFAULT query:
+    share of exact above-threshold duplicate pairs (bounded-subset
+    ground truth, dedup_embedding_cosine) whose higher-id endpoint
+    dedup_semantic actually drops. Round 5 shipped single-probe at
+    0.217 — a dedup stage silently missing 78% of known duplicates;
+    the P=2 multi-probe default measures 0.75 at sf0.01 / 0.5 at
+    sf0.1. Floor 0.5: a regression back to boundary-loss territory
+    trips here before it reaches a parity-green-but-useless release."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    from tests.conftest import SF_DIR_MID
+
+    qs = all_queries()
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in qs["dedup_embedding_cosine"].fn(spark, SF_DIR_MID).collect()
+    ]
+    assert pairs, "ground-truth pair set is empty at the test SF"
+    keep = {
+        r["vec_id"]: r["keep"]
+        for r in qs["dedup_semantic"].fn(spark, SF_DIR_MID).collect()
+    }
+    detection = sum(1 for a, b in pairs if keep.get(max(a, b)) == 0) / len(pairs)
+    assert detection >= 0.5, f"SemDeDup default detection recall {detection:.3f} < 0.5"
+
+
 def test_batch_ann_recall_floor(spark):
     """Mean recall@10 of the banded-bucket BATCH path across its whole
     query set, against a NumPy exact ranking (same rounding + tie-break).
