@@ -96,6 +96,8 @@ HEADLINE = [
     "agg_skyline_2d",
     "agg_gini_concentration",
     "text_zipf_fit",
+    "dedup_containment_prefix",
+    "anomaly_mad_sketch",
 ]
 
 

@@ -1697,3 +1697,86 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("contained_doc", "container_doc", cont.alias("containment"))
         .filter(F.col("containment") >= CONT_THRESHOLD)
     )
+
+
+# Prefix-filter candidate rule (PPJoin family, Xiao et al. 2008): if
+# C(A,B) = |A∩B|/|A| >= t then B misses at most |A| - ceil(t*|A|) of
+# A's shingles, so B must contain at least one of A's first
+# |A| - ceil(t*|A|) + 1 shingles under ANY fixed total order. With
+# t = 0.8: k = n - (4n+4) div 5 + 1 (integer ceil), order = ascending
+# hash value.
+_CONT_PREFIX_LEN_SQL = "len(sh) - (4 * len(sh) + 4) // 5 + 1"
+
+
+@query(
+    "dedup_containment_prefix",
+    oracle=f"""
+        WITH {_SQL_SHINGLE_CTE},
+        base AS (SELECT doc_id, sh FROM sh WHERE len(sh) >= 1),
+        pref AS (
+            SELECT doc_id AS contained_doc,
+                   unnest(list_sort(sh)[1 : {_CONT_PREFIX_LEN_SQL}]) AS s
+            FROM base
+        ),
+        idx AS (SELECT doc_id AS container_doc, unnest(sh) AS s FROM base),
+        cand AS (
+            SELECT DISTINCT p.contained_doc, i.container_doc
+            FROM pref p JOIN idx i USING (s)
+            WHERE p.contained_doc <> i.container_doc
+        )
+        SELECT c.contained_doc, c.container_doc,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(a.sh), 6) AS containment
+        FROM cand c
+        JOIN base a ON a.doc_id = c.contained_doc
+        JOIN base b ON b.doc_id = c.container_doc
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(a.sh), 6) >= {CONT_THRESHOLD}
+    """,
+    doc="Containment dedup AT SCALE — the banded candidate path the "
+    "bounded cross-join baseline (dedup_containment) exists to "
+    "ground-truth. Candidates come from a PREFIX-FILTERED posting-"
+    "list EQUI-join: each document indexes only its first "
+    "n - ceil(0.8n) + 1 smallest shingle hashes (if containment >= "
+    "0.8, the container must share at least one of them — zero false "
+    "negatives at the exact threshold), the full corpus indexes every "
+    "shingle on the container side, and the join key is the shingle "
+    "hash — never a cross join. Exact |A∩B|/|A| verify runs only on "
+    "candidate pairs via a hash-keyed array intersect. Whole-corpus "
+    "(no doc_id subset), same output contract as the baseline. At "
+    "100 TB the candidate join shuffles on shingle hash; hot 'stop "
+    "shingles' skew the index side — the production refinements are "
+    "the PPJoin global-frequency order (rarest-first prefixes shrink "
+    "candidate lists ~10x) and an AQE skew split, both documented in "
+    "SCALE.md; the prefix rule itself already cuts the indexed "
+    "contained-side volume 5x at t=0.8.",
+    tags=("dedup", "text", "containment", "training"),
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    sh = _shingle_hashes(spark, sf_dir).filter(F.size("sh") >= 1)
+    k = F.expr("size(sh) - (4 * size(sh) + 4) div 5 + 1")
+    pref = sh.select(
+        F.col("doc_id").alias("contained_doc"),
+        F.explode(F.slice(F.array_sort("sh"), F.lit(1), k)).alias("s"),
+    )
+    idx = sh.select(F.col("doc_id").alias("container_doc"), F.explode("sh").alias("s"))
+    cand = (
+        pref.join(idx, "s")
+        .filter(F.col("contained_doc") != F.col("container_doc"))
+        .select("contained_doc", "container_doc")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("contained_doc"), F.col("sh").alias("sha_"))
+    b = sh.select(F.col("doc_id").alias("container_doc"), F.col("sh").alias("shb_"))
+    cont = F.round(
+        F.size(F.array_intersect(F.col("sha_"), F.col("shb_"))).cast("double")
+        / F.size(F.col("sha_")),
+        6,
+    )
+    return (
+        cand.join(a, "contained_doc")
+        .join(b, "container_doc")
+        .select("contained_doc", "container_doc", cont.alias("containment"))
+        .filter(F.col("containment") >= CONT_THRESHOLD)
+    )

@@ -241,3 +241,135 @@ def anomaly_mad_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("mad_score")) >= MAD_THRESHOLD)
         .orderBy("o_orderkey")
     )
+
+
+# Sketch-MAD: fixed-width histogram bins, so both medians become
+# integer ceil-rank read-offs over <=MS_NBINS rows per segment instead
+# of exact in-segment sorts. Bin width $500 (50_000 cents) over the
+# 0..$600k o_totalprice domain -> estimate error <= half a bin ($250)
+# per median, documented in SCALE.md.
+MS_BIN_C = 50_000  # cents per bin
+MS_NBINS = 1200
+
+
+@query(
+    "anomaly_mad_sketch",
+    oracle=f"""
+        WITH j AS (
+            SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), h1 AS (
+            SELECT c_mktsegment,
+                   LEAST(cents // {MS_BIN_C}, {MS_NBINS - 1}) AS bin,
+                   count(*) AS cnt
+            FROM j GROUP BY 1, 2
+        ), c1 AS (
+            SELECT c_mktsegment, bin,
+                   sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY c_mktsegment) AS n
+            FROM h1
+        ), med AS (
+            SELECT c_mktsegment, min(bin) AS mbin
+            FROM c1 WHERE cum >= (n + 1) // 2 GROUP BY 1
+        ), d AS (
+            SELECT j.o_orderkey, j.o_totalprice, j.c_mktsegment,
+                   2 * j.cents - (2 * m.mbin * {MS_BIN_C} + {MS_BIN_C}) AS dev2
+            FROM j JOIN med m USING (c_mktsegment)
+        ), h2 AS (
+            SELECT c_mktsegment,
+                   LEAST(abs(dev2) // {2 * MS_BIN_C}, {MS_NBINS - 1}) AS bin,
+                   count(*) AS cnt
+            FROM d GROUP BY 1, 2
+        ), c2 AS (
+            SELECT c_mktsegment, bin,
+                   sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY c_mktsegment) AS n
+            FROM h2
+        ), mad AS (
+            SELECT c_mktsegment,
+                   min(bin) * {2 * MS_BIN_C} + {MS_BIN_C} AS mad2
+            FROM c2 WHERE cum >= (n + 1) // 2 GROUP BY 1
+        )
+        SELECT d.o_orderkey, d.c_mktsegment, d.o_totalprice,
+               round(CAST(d.dev2 AS DOUBLE) / m.mad2, 6) AS mad_score
+        FROM d JOIN mad m USING (c_mktsegment)
+        WHERE abs(round(CAST(d.dev2 AS DOUBLE) / m.mad2, 6)) >= {MAD_THRESHOLD}
+        ORDER BY d.o_orderkey
+    """,
+    doc="The 100 TB MAD path anomaly_mad_orders' doc promises: both "
+    f"medians read off {MS_NBINS}-bin fixed-width histograms "
+    "(sketch_histogram_quantiles' integer ceil-rank rule) instead of "
+    "exact per-segment sorts — at scale a segment's exact median is "
+    "one sorted window in effectively one task, while the histogram "
+    "is a map-side-combined groupBy whose cumulative window runs over "
+    "the SKETCH (<= bins rows per segment), never the data. Pass 1 "
+    "bins cents per segment and picks the first bin with cum >= "
+    "ceil(n/2); the median estimate is that bin's center (doubled to "
+    "stay integer: med2 = 2*bin*W + W). Pass 2 bins |2*cents - med2| "
+    "the same way for the MAD estimate mad2. score = dev2/mad2 — the "
+    "same (x - median)/MAD semantics, each estimate within half a bin "
+    "($250) of exact, pure-integer until the final division so both "
+    "engines agree bit-for-bit. Bin counts ADD across shards/days — "
+    "the sketches merge by summing, the exact sorts never could.",
+    tags=("linkage", "anomaly", "robust", "sketch"),
+)
+def anomaly_mad_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey",
+        "o_totalprice",
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bin1 = F.least(F.expr(f"cents div {MS_BIN_C}"), F.lit(MS_NBINS - 1))
+    h1 = j.groupBy("c_mktsegment", bin1.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    c1 = h1.select(
+        "c_mktsegment",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wseg).alias("n"),
+    )
+    med = (
+        c1.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("c_mktsegment")
+        .agg(F.min("bin").alias("mbin"))
+    )
+    d = j.join(F.broadcast(med), "c_mktsegment").select(
+        "o_orderkey",
+        "o_totalprice",
+        "c_mktsegment",
+        (F.lit(2) * F.col("cents") - (F.lit(2 * MS_BIN_C) * F.col("mbin") + F.lit(MS_BIN_C))).alias(
+            "dev2"
+        ),
+    )
+    bin2 = F.least(F.expr(f"abs(dev2) div {2 * MS_BIN_C}"), F.lit(MS_NBINS - 1))
+    h2 = d.groupBy("c_mktsegment", bin2.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+    c2 = h2.select(
+        "c_mktsegment",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wseg).alias("n"),
+    )
+    mad = (
+        c2.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("c_mktsegment")
+        .agg((F.min("bin") * F.lit(2 * MS_BIN_C) + F.lit(MS_BIN_C)).alias("mad2"))
+    )
+    score = F.round(F.col("dev2").cast("double") / F.col("mad2"), 6)
+    return (
+        d.join(F.broadcast(mad), "c_mktsegment")
+        .select("o_orderkey", "c_mktsegment", "o_totalprice", score.alias("mad_score"))
+        .filter(F.abs(F.col("mad_score")) >= MAD_THRESHOLD)
+        .orderBy("o_orderkey")
+    )

@@ -674,3 +674,54 @@ def test_skyline_two_phase_plan(spark):
     assert plan.count("Window") >= 2, plan
     assert "SPARK_PARTITION_ID" in plan.upper()
     assert "CartesianProduct" not in plan
+
+
+def test_containment_prefix_no_cross_join(spark):
+    """The scale-path containment query must generate candidates from
+    the prefix-filtered posting-list EQUI-join — the round-5 gap was
+    that only the bounded cross-join baseline existed. No cartesian,
+    no broadcast-nested-loop anywhere in the plan."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["dedup_containment_prefix"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_prefix_covers_baseline(spark):
+    """Prefix filtering is recall-lossless at the exact threshold: every
+    pair the bounded exact-all-pairs baseline flags must also be flagged
+    (with the identical containment value) by the whole-corpus prefix
+    query."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    qs = all_queries()
+    base = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in qs["dedup_containment"].fn(spark, SF_DIR).collect()
+    }
+    full = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in qs["dedup_containment_prefix"].fn(spark, SF_DIR).collect()
+    }
+    assert base, "baseline found no pairs at the test SF"
+    for pair, c in base.items():
+        assert full.get(pair) == c, f"prefix path missed/differed on {pair}"
+
+
+def test_mad_sketch_windows_over_sketch_only(spark):
+    """anomaly_mad_sketch's cumulative windows must run over the
+    histogram (<= MS_NBINS rows/segment), with the data passes as
+    map-side-combined hash aggregates — and no per-segment sort of the
+    raw data anywhere (that's the exact sibling's cost the sketch
+    exists to avoid)."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["anomaly_mad_sketch"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # Both medians read off windows; both histogram builds are partial
+    # (map-side) hash aggregates.
+    assert plan.count("Window") >= 2
+    assert "partial_count" in plan
