@@ -140,6 +140,37 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# One persisted copy per (application, key) for derived frames that
+# MANY queries re-derive identically (the hashed-token/shingle base,
+# parsed vector tables). Without the memo, every query call stacks a
+# fresh persist of the same data in the CacheManager — never
+# unpersisted, so a 79-query bench session accumulates dozens of
+# identical cached copies, and the eviction/GC churn shows up as a
+# session-wide slowdown (round 5: +31% on the common bench subset with
+# zero plan changes). The accessor re-persists after an external
+# clearCache, so callers may clear the session cache freely between
+# queries to bound memory at one query's working set.
+_MEMO_PERSIST: dict[tuple, DataFrame] = {}
+
+
+def memo_persist(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Return the session's single persisted instance of the frame
+    `build()` constructs, creating (and re-persisting, if a
+    clearCache dropped it) on demand. `key` must determine the frame's
+    content (e.g. ("shingle_base", sf_dir))."""
+    from pyspark.storagelevel import StorageLevel
+
+    full_key = (spark.sparkContext.applicationId, *key)
+    df = _MEMO_PERSIST.get(full_key)
+    if df is None:
+        df = build()
+        _MEMO_PERSIST[full_key] = df
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 # Wall-clock seconds spent *building* each derived store this process
 # actually materialized (cache hits don't appear). bench.py emits this
 # map so a bench regression caused by cold-store rebuild cost is

@@ -53,6 +53,10 @@ IVF_TOPK = 10
 # per-cell means use fixed-point BIGINT sums (floor(x*1e7+0.5)) so the
 # reduction is order-independent and bit-identical across engines.
 IVF_KMEANS_ITERS = 2
+# Top-P probe cells materialized per vector in the IVF index store
+# (multi-probe consumers filter rn <= P; P=4 covers the measured
+# recall ladder without re-ranking centroids at query time).
+IVF_PROBES_STORED = 4
 _FP = 1e7  # fixed-point scale for centroid means
 # Knuth multiplicative-hash constant: deterministic, engine-portable
 # pseudo-random ORDER BY key for picking the k-means seed sample.
@@ -379,7 +383,7 @@ def ivf_index_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
 
     store = deterministic_tmp_dir(
         f"ivfindex{IVF_CELLS}x{IVF_KMEANS_ITERS}"
-        f"v{params_digest(_SEED_MULT, _SEED_MOD, _FP)}",
+        f"v{params_digest(_SEED_MULT, _SEED_MOD, _FP, IVF_PROBES_STORED)}",
         table_path(sf_dir, "embeddings"),
     )
 
@@ -391,10 +395,11 @@ def ivf_index_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
             F.struct(F.col("cell_id"), F.col("cos")),
             F.struct(F.col("cos"), (-F.col("cell_id")).alias("neg")),
         )
+        ranked = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cell_id", csim.alias("cos")
+        )
         assigned = (
-            e.crossJoin(F.broadcast(cent))
-            .select("vec_id", "cell_id", csim.alias("cos"))
-            .groupBy("vec_id")
+            ranked.groupBy("vec_id")
             .agg(best.alias("best"))
             .select(
                 "vec_id",
@@ -402,8 +407,23 @@ def ivf_index_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
                 F.col("best.cos").alias("cos"),
             )
         )
+        # Top-P probe cells per vector, materialized AT BUILD TIME so
+        # multi-probe consumers (SemDeDup default, probe dials) read a
+        # 12-byte/row parquet instead of re-running the N x cells
+        # centroid scan + ranking window per query. Same (cos DESC,
+        # cell_id ASC) total order as `assigned` — probes rn=1 IS the
+        # stored assignment.
+        wp = Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("cell_id").asc()
+        )
+        probes = (
+            ranked.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") <= IVF_PROBES_STORED)
+            .select("vec_id", "cell_id", "rn")
+        )
         cent.write.parquet(os.path.join(staging, "centroids"))
         assigned.write.parquet(os.path.join(staging, "assignments"))
+        probes.write.parquet(os.path.join(staging, "probes"))
         open(os.path.join(staging, "_SUCCESS"), "w").close()
 
     publish_store(store, build)
@@ -411,6 +431,27 @@ def ivf_index_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
         spark.read.parquet(os.path.join(store, "centroids")),
         spark.read.parquet(os.path.join(store, "assignments")),
     )
+
+
+def ivf_probes_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell_id, rn<=IVF_PROBES_STORED) — each vector's top-P
+    quantizer cells from the build-once IVF index (see ivf_index_store).
+    """
+    import os
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        params_digest,
+        table_path,
+    )
+
+    ivf_index_store(spark, sf_dir)  # ensure published
+    store = deterministic_tmp_dir(
+        f"ivfindex{IVF_CELLS}x{IVF_KMEANS_ITERS}"
+        f"v{params_digest(_SEED_MULT, _SEED_MOD, _FP, IVF_PROBES_STORED)}",
+        table_path(sf_dir, "embeddings"),
+    )
+    return spark.read.parquet(os.path.join(store, "probes"))
 
 
 def _sql_kmeans_ctes() -> tuple[str, str]:
