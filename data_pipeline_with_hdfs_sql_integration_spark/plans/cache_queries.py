@@ -45,22 +45,29 @@ def build_cache(spark: SparkSession, sf_dir: str, cache_root: str | None = None)
     """
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    main_path = deterministic_tmp_dir("cachemain", table_path(sf_dir, "orders"))
+    # 'cachemainp': Hive-partitioned layout, v2 of the flat 'cachemain'
+    # store (new kind => new digest dir, so a stale flat store never
+    # serves this layout).
+    main_path = deterministic_tmp_dir("cachemainp", table_path(sf_dir, "orders"))
     publish_store(
         main_path,
         lambda staging: orders.join(
             F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
         )
         .write.mode("overwrite")
+        .partitionBy(KEY_COL)
         .parquet(staging),
     )
     root = cache_root or tempfile.mkdtemp(prefix="dps_cache_")
-    # Project the stored main to (key, value) BEFORE handing it to the
-    # cache: every create-path scan then reads 2 parquet columns instead
-    # of the full join width (pruned ReadSchema), and the per-key
-    # partition files shrink to the single value column the reuse-path
-    # average needs. The reference can't prune (PyArrow reads its whole
-    # 1 MiB-block file); a columnar engine should.
+    # Two layout levers on the stored main, both free for a columnar
+    # engine and impossible for the reference (PyArrow reads its whole
+    # 1 MiB-block file):
+    # - partitionBy(key): every create-path scan PRUNES to its key's
+    #   directory instead of scanning all rows (PartitionFilters);
+    # - (key, value) projection: the scan reads 1 data column instead
+    #   of the full join width (pruned ReadSchema), and per-key
+    #   partition files shrink to the single value column the
+    #   reuse-path average needs.
     main = spark.read.parquet(main_path).select(KEY_COL, VALUE_COL)
     return PartitionCache(spark, main, KEY_COL, VALUE_COL, root)
 
