@@ -84,6 +84,13 @@ def get_spark(app_name: str = "data_pipeline_with_hdfs_sql_integration_spark", s
         .config("spark.ui.enabled", "false")
         # 128 MB input splits: the right default for large parquet scans.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Whole-stage-codegen source cache (static conf, default 100
+        # entries): a session running this engine's full query surface
+        # compiles hundreds of distinct codegen stages, and at 100
+        # entries every re-run recompiles (janino, ~100-500 ms/stage)
+        # instead of hitting the cache — measured as a session-wide
+        # slowdown once the registry outgrew the default.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     jars = jdbc_driver_jars()
     if jars:
