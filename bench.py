@@ -131,13 +131,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cache = build_cache(spark, SF_DIR, tempfile.mkdtemp(prefix="dps_bench_cache_"))
-    # One unmeasured pass warms the whole create path (codegen for the
-    # pruned scan + parquet write) exactly like the headline warmups.
-    [cache.calc_avg(k) for k in CACHE_KEYS]
-    creates = []
-    for _ in range(3):
+    # Two unmeasured create+invalidate passes warm the whole create
+    # path (codegen for the pruned scan, the parquet write pipeline,
+    # JIT) exactly like the headline warmups — the cache bench runs
+    # FIRST in the session, so the first couple of passes still carry
+    # JVM warmup that is not the operator's cost.
+    for _ in range(2):
+        [cache.calc_avg(k) for k in CACHE_KEYS]
         cache.invalidate()
+    creates = []
+    for _ in range(4):
         creates.append(_time(lambda: [cache.calc_avg(k) for k in CACHE_KEYS]))
+        cache.invalidate()
+    # One more create so the reuse passes below have partitions to hit.
+    [cache.calc_avg(k) for k in CACHE_KEYS]
     t_create = min(creates)
     t_reuse = min(_time(lambda: [cache.calc_avg(k) for k in CACHE_KEYS]) for _ in range(3))
     timings["cache_create"] = t_create
