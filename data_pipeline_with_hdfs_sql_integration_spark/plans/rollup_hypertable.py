@@ -379,3 +379,74 @@ def rollup_downsample_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_events"),
         )
     )
+
+
+LATE_MOD = 17  # event_id % 17 == 0 simulates the late-arriving batch (~6%)
+
+
+@query(
+    "rollup_incremental_refresh",
+    oracle=f"""
+        WITH base AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type, value, event_id
+            FROM events
+        ),
+        late_days AS (
+            SELECT DISTINCT day FROM base WHERE event_id % {LATE_MOD} = 0
+        ),
+        full_r AS (
+            SELECT day, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM base GROUP BY 1, 2
+        )
+        SELECT f.day, f.event_type, f.n_events, f.sum_value,
+               CASE WHEN l.day IS NULL THEN 'kept' ELSE 'refreshed' END AS src
+        FROM full_r f LEFT JOIN late_days l USING (day)
+    """,
+    doc="Incremental refresh of a materialized daily rollup (continuous-"
+    "aggregate invalidation, the TimescaleDB/IVM pattern): a simulated "
+    f"late-arriving batch (event_id % {LATE_MOD} = 0) invalidates only "
+    "the days it touches. The engine really performs the incremental "
+    "plan — the stored rollup (built WITHOUT the late batch) serves "
+    "every untouched day as-is ('kept', a metadata-cheap anti-join), "
+    "and only invalidated days re-aggregate from the full data "
+    "('refreshed'). The oracle computes the FULL recompute with the "
+    "same day tags, so parity proves the merged incremental result is "
+    "bit-identical to recomputing everything — the invariant that lets "
+    "a 100 TB pipeline refresh a rollup in time proportional to the "
+    "late data's day spread, not the table size. Decimal sums make the "
+    "kept/refreshed halves combinable without float drift; the "
+    "affected-day set is broadcast (days are few at any scale).",
+    tags=("timeseries", "rollup", "incremental"),
+)
+def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    late = ev.filter(F.col("event_id") % LATE_MOD == 0)
+    # The pre-refresh materialized state: everything except the late
+    # batch (in production this is the stored aggregate table).
+    stored = rollup(ev.filter(F.col("event_id") % LATE_MOD != 0))
+    affected = late.select("day").distinct()
+    kept = stored.join(F.broadcast(affected), "day", "left_anti").withColumn(
+        "src", F.lit("kept")
+    )
+    refreshed = rollup(
+        ev.join(F.broadcast(affected), "day", "left_semi")
+    ).withColumn("src", F.lit("refreshed"))
+    return kept.unionByName(refreshed)

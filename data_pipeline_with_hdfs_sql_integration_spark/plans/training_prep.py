@@ -732,3 +732,96 @@ def mix_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_entropy_upm",
         )
     )
+
+
+@query(
+    "mix_temperature_sampling",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(len({tf.sql_tokens('text')}) AS BIGINT) AS n_tok,
+                   (CAST(doc_id AS BIGINT) * {_KNUTH}) % {_H_MOD} AS hkey
+            FROM documents
+        ),
+        tot AS (SELECT sum(n_tok) AS total FROM d),
+        bylang AS (SELECT lang, sum(n_tok) AS n_l FROM d GROUP BY lang),
+        wts AS (
+            SELECT lang,
+                   CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1000) AS BIGINT) AS w_milli
+            FROM bylang
+        ),
+        wsum AS (SELECT sum(w_milli) AS ws FROM wts),
+        probs AS (
+            SELECT lang, CAST((w_milli * 1000000) // ws AS BIGINT) AS p_ppm
+            FROM wts, wsum
+        ),
+        cum AS (
+            SELECT lang, n_tok,
+                   sum(n_tok) OVER (PARTITION BY lang ORDER BY hkey ASC, doc_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d
+        )
+        SELECT cum.lang, p.p_ppm,
+               CAST(((tot.total // {MIX_BUDGET_DIV}) * p.p_ppm) // 1000000 AS BIGINT)
+                   AS quota_tokens,
+               CAST(count(*) FILTER (cum.cum <= ((tot.total // {MIX_BUDGET_DIV}) * p.p_ppm) // 1000000) AS BIGINT)
+                   AS n_docs_kept,
+               CAST(coalesce(sum(cum.n_tok) FILTER (cum.cum <= ((tot.total // {MIX_BUDGET_DIV}) * p.p_ppm) // 1000000), 0) AS BIGINT)
+                   AS tokens_kept
+        FROM cum JOIN probs p USING (lang), tot
+        GROUP BY cum.lang, p.p_ppm, quota_tokens
+    """,
+    doc="Temperature-scaled language mixing (the XLM-R/mT5 alternative "
+    "to mix_weighted_budget's hand-set percentages): language l gets "
+    "probability ∝ n_l^alpha with alpha=1/2, so low-resource languages "
+    "are up-sampled relative to their natural share without drowning "
+    "high-resource ones. The exponent is computed as "
+    "floor(sqrt(n_l)*1000) — IEEE sqrt of a BIGINT is correctly "
+    "rounded, so both engines floor the identical double and every "
+    "later step (ppm share, quota, greedy Knuth-hash prefix per "
+    "language) is exact integer arithmetic with identical boundary "
+    "decisions. Scale shape is mix_weighted_budget's: the window input "
+    "is metadata only (~24 B/doc), partitioned by language; the "
+    "per-language weight table is |languages| rows. Generalizing to "
+    "other alpha = replacing sqrt with the matching fixed-point power.",
+    tags=("training", "mixing"),
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    apply_runtime_confs(spark)
+    docs = load_parallel(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tf.tokens(F.col("text"))).cast("long").alias("n_tok"),
+        ((F.col("doc_id").cast("long") * _KNUTH) % _H_MOD).alias("hkey"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tot = d.agg(F.sum("n_tok").alias("total"))
+    wts = d.groupBy("lang").agg(
+        F.floor(F.sqrt(F.sum("n_tok").cast("double")) * 1000).cast("long").alias("w_milli")
+    )
+    wsum = wts.agg(F.sum("w_milli").alias("ws"))
+    probs = wts.crossJoin(F.broadcast(wsum)).select(
+        "lang", F.expr("(w_milli * 1000000) DIV ws").alias("p_ppm")
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("hkey").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.select("lang", "n_tok", F.sum("n_tok").over(win).alias("cum"))
+    quota = F.expr(f"((total DIV {MIX_BUDGET_DIV}) * p_ppm) DIV 1000000")
+    kept = F.col("cum") <= F.col("quota_tokens")
+    return (
+        cum.join(F.broadcast(probs), "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("quota_tokens", quota)
+        .groupBy("lang", "p_ppm", "quota_tokens")
+        .agg(
+            F.count(F.when(kept, 1)).alias("n_docs_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
