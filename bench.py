@@ -98,6 +98,9 @@ HEADLINE = [
     "text_zipf_fit",
     "dedup_containment_prefix",
     "anomaly_mad_sketch",
+    "mix_temperature_sampling",
+    "rollup_incremental_refresh",
+    "events_dau_hll",
 ]
 
 

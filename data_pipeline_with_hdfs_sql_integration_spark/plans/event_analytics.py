@@ -665,6 +665,105 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_dau_hll",
+    oracle="""
+        WITH daily AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM daily),
+        dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY day),
+        contrib AS (
+            SELECT da.user_id, da.day + to_days(CAST(g.i AS INTEGER)) AS tday
+            FROM daily da
+            CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 6)) AS i) g
+        ),
+        wau AS (
+            SELECT c.tday AS day,
+                   count(DISTINCT c.user_id) AS wau_exact,
+                   approx_count_distinct(c.user_id) AS wau_est
+            FROM contrib c JOIN days d ON c.tday = d.day
+            GROUP BY c.tday
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(dau.dau AS BIGINT) AS dau,
+               CAST(w.wau_exact AS BIGINT) AS wau_exact,
+               abs(w.wau_est - w.wau_exact) <= 0.05 * w.wau_exact
+                   AS wau_within_5pct
+        FROM days d JOIN dau ON d.day = dau.day JOIN wau w ON d.day = w.day
+    """,
+    doc="The 100 TB form of events_dau_wau, implemented: per-day HLL "
+    "user sketches (hll_sketch_agg over the deduped (day, user) "
+    "relation) roll into trailing-7-day WAU by SKETCH-UNION arithmetic "
+    "— each day's sketch BYTES contribute to its 7 forward days "
+    "(bounded explode over |days| sketch rows, pure metadata) and "
+    "hll_union_agg + estimate per day replaces the 7x contribution "
+    "re-shuffle of raw (day, user) rows the exact query pays. The "
+    "exact DAU/WAU ride alongside for the cross-engine contract "
+    "(sketch bytes are engine-specific, so — as in "
+    "agg_hll_sketch_union — exact counts must match bit-for-bit and "
+    "each engine asserts its own estimate within ±5%: Spark the "
+    "DataSketches union estimate, DuckDB its approx_count_distinct "
+    "over the same trailing window).",
+    tags=("events", "rollup", "engagement", "sketch", "approx"),
+)
+def events_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    days = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    # Exact trailing WAU (the value the sketch estimate is judged
+    # against): bounded forward-contribution explode, as events_dau_wau.
+    contrib = daily.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda i: F.col("day") + F.make_interval(days=i),
+            )
+        ).alias("tday"),
+    )
+    wau_exact = (
+        contrib.join(days.withColumnRenamed("day", "tday"), "tday")
+        .groupBy("tday")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+        .withColumnRenamed("tday", "day")
+    )
+    # Sketch path: ONE sketch row per day; the rolling union explodes
+    # |days| x 7 sketch-byte rows, never the data.
+    sk = daily.groupBy("day").agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    sk_contrib = sk.select(
+        "sk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda i: F.col("day") + F.make_interval(days=i),
+            )
+        ).alias("tday"),
+    )
+    wau_est = (
+        sk_contrib.join(days.withColumnRenamed("day", "tday"), "tday")
+        .groupBy("tday")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("wau_est"))
+        .withColumnRenamed("tday", "day")
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau_exact, "day")
+        .join(wau_est, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau_exact").cast("long").alias("wau_exact"),
+            (
+                F.abs(F.col("wau_est") - F.col("wau_exact"))
+                <= 0.05 * F.col("wau_exact")
+            ).alias("wau_within_5pct"),
+        )
+    )
+
+
+@query(
     "events_markov_transitions",
     oracle="""
         WITH ordered AS (
