@@ -179,11 +179,17 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM g GROUP BY flag
         )
         SELECT flag,
-               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               round((CAST(n AS DOUBLE)
+                        * (CAST(sxy // 1099511627776 AS DOUBLE) * 1099511627776
+                           + CAST(sxy % 1099511627776 AS DOUBLE))
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     / sqrt((CAST(n AS DOUBLE)
+                               * (CAST(sxx // 1099511627776 AS DOUBLE) * 1099511627776
+                                  + CAST(sxx % 1099511627776 AS DOUBLE))
                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            * (CAST(n AS DOUBLE)
+                                 * (CAST(syy // 1099511627776 AS DOUBLE) * 1099511627776
+                                    + CAST(syy % 1099511627776 AS DOUBLE))
                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
                      6) AS corr_price_qty
         FROM s
@@ -212,14 +218,19 @@ def agg_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
         F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
     )
+    # split-cast: sxx/sxy exceed 2^53 at sf0.1 and the direct
+    # DECIMAL(38,0)->double cast rounds differently across engines
+    # (functions/numfns.py).
+    from data_pipeline_with_hdfs_sql_integration_spark.functions.numfns import split_cast_double
+
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
     corr = F.round(
-        (n * F.col("sxy").cast("double") - sx * sy)
+        (n * split_cast_double("sxy") - sx * sy)
         / F.sqrt(
-            (n * F.col("sxx").cast("double") - sx * sx)
-            * (n * F.col("syy").cast("double") - sy * sy)
+            (n * split_cast_double("sxx") - sx * sx)
+            * (n * split_cast_double("syy") - sy * sy)
         ),
         6,
     )
@@ -527,17 +538,29 @@ def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT x, y, round(cov, 6) AS cov FROM (
             SELECT 'quantity' AS x, 'quantity' AS y,
-                   (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*sq/n)/(n-1) AS cov FROM s
+                   ((CAST(sqq // 1099511627776 AS DOUBLE) * 1099511627776
+                     + CAST(sqq % 1099511627776 AS DOUBLE))
+                    - CAST(sq AS DOUBLE)*sq/n)/(n-1) AS cov FROM s
             UNION ALL SELECT 'quantity', 'price_cents',
-                   (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*sp/n)/(n-1) FROM s
+                   ((CAST(sqp // 1099511627776 AS DOUBLE) * 1099511627776
+                     + CAST(sqp % 1099511627776 AS DOUBLE))
+                    - CAST(sq AS DOUBLE)*sp/n)/(n-1) FROM s
             UNION ALL SELECT 'quantity', 'discount_pct',
-                   (CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE)*sd/n)/(n-1) FROM s
+                   ((CAST(sqd // 1099511627776 AS DOUBLE) * 1099511627776
+                     + CAST(sqd % 1099511627776 AS DOUBLE))
+                    - CAST(sq AS DOUBLE)*sd/n)/(n-1) FROM s
             UNION ALL SELECT 'price_cents', 'price_cents',
-                   (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*sp/n)/(n-1) FROM s
+                   ((CAST(spp // 1099511627776 AS DOUBLE) * 1099511627776
+                     + CAST(spp % 1099511627776 AS DOUBLE))
+                    - CAST(sp AS DOUBLE)*sp/n)/(n-1) FROM s
             UNION ALL SELECT 'price_cents', 'discount_pct',
-                   (CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE)*sd/n)/(n-1) FROM s
+                   ((CAST(spd // 1099511627776 AS DOUBLE) * 1099511627776
+                     + CAST(spd % 1099511627776 AS DOUBLE))
+                    - CAST(sp AS DOUBLE)*sd/n)/(n-1) FROM s
             UNION ALL SELECT 'discount_pct', 'discount_pct',
-                   (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*sd/n)/(n-1) FROM s
+                   ((CAST(sdd // 1099511627776 AS DOUBLE) * 1099511627776
+                     + CAST(sdd % 1099511627776 AS DOUBLE))
+                    - CAST(sd AS DOUBLE)*sd/n)/(n-1) FROM s
         )
     """,
     doc="Sample covariance matrix (upper triangle, long form) over "
@@ -545,10 +568,15 @@ def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "products (cents/pct fixed-point, HUGEINT/DECIMAL(38) "
     "accumulators) — covar_samp() reduces floats in partition order "
     "and drifts per topology, the same failure mode the z-score and "
-    "correlation queries pin. ONE aggregate pass computes all 9 "
-    "sufficient statistics (the feature-covariance job a PCA/whitening "
-    "step runs before training); the matrix assembly is driver-free "
-    "arithmetic on a 1-row relation.",
+    "correlation queries pin. The final float conversion of each "
+    "cross-product sum SPLIT-CASTS through (hi*2^40 + lo): past 2^53 "
+    "a direct DECIMAL38/HUGEINT->double cast is rounded differently "
+    "by the two engines (observed: one ulp apart on sum(p*p) at "
+    "sf0.1), while both halves are exactly representable and the "
+    "recombination is a single identical IEEE add. ONE aggregate pass "
+    "computes all 9 sufficient statistics (the feature-covariance job "
+    "a PCA/whitening step runs before training); the matrix assembly "
+    "is driver-free arithmetic on a 1-row relation.",
     tags=("agg", "stats"),
 )
 def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,10 +608,21 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("discount_pct", "discount_pct", "sdd", "sd", "sd"),
     ]
     rows = None
+    # Split-cast: DECIMAL(38,0) -> double above 2^53 is rounded
+    # differently by Spark (BigDecimal, half-even) and DuckDB (hugeint
+    # float path) — hi = sum div 2^40 and lo = sum % 2^40 are both
+    # exactly representable, hi*2^40 is an exact power-of-two scale,
+    # and the one recombining add rounds identically under IEEE in
+    # both engines. (Nonnegative sums, so div == floor division.)
+    two40 = 1099511627776
+    split_d = lambda c: (
+        F.expr(f"CAST({c} div {two40} AS DOUBLE)") * two40
+        + F.expr(f"CAST({c} % {two40} AS DOUBLE)")
+    )
     for x, y, sxy, sx, sy in pairs:
         cov = F.round(
             (
-                F.col(sxy).cast("double")
+                split_d(sxy)
                 - F.col(sx).cast("double") * F.col(sy) / F.col("n")
             )
             / (F.col("n") - 1),

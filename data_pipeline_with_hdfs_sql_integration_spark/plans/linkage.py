@@ -94,7 +94,8 @@ def fuzzy_match_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), z AS (
             SELECT j.o_orderkey, j.c_mktsegment, j.o_totalprice,
                    round((CAST(j.cents AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
-                         / sqrt((CAST(s.s2 AS DOUBLE)
+                         / sqrt(((CAST(s.s2 // 1099511627776 AS DOUBLE) * 1099511627776
+                                  + CAST(s.s2 % 1099511627776 AS DOUBLE))
                                  - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n) / s.n),
                          6) AS zscore
             FROM j JOIN stats s ON j.c_mktsegment = s.c_mktsegment
@@ -128,11 +129,16 @@ def anomaly_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("s1"),
         F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("s2"),
     )
+    # split-cast: s2 (DECIMAL(38,0) sum of squares) exceeds 2^53 at
+    # sf0.1 and the direct ->double cast rounds differently across
+    # engines (functions/numfns.py).
+    from data_pipeline_with_hdfs_sql_integration_spark.functions.numfns import split_cast_double
+
     zexpr = F.round(
         (F.col("cents").cast("double") - F.col("s1").cast("double") / F.col("n"))
         / F.sqrt(
             (
-                F.col("s2").cast("double")
+                split_cast_double("s2")
                 - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
             )
             / F.col("n")
