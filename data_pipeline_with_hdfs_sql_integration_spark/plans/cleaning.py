@@ -83,7 +83,13 @@ RE_DIGITS = "[0-9]+"
 )
 def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    ev = load(spark, sf_dir, "events")
+    # load_parallel: the regex chain is CPU-bound per row, and the
+    # fixture's single-row-group file otherwise decodes (and scrubs) in
+    # ONE task — repartition-to-cores halves the query locally and is a
+    # no-op at scale where the scan already yields enough splits.
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import load_parallel
+
+    ev = load_parallel(spark, sf_dir, "events")
     return _scrub_report(_scrub_chain(ev)).orderBy("event_type")
 
 
