@@ -28,6 +28,14 @@ SENSITIVE = [
     "agg_skew_kurtosis",
     "rollup_downsample_extrema",
     "agg_skyline_2d",
+    # round-6 additions with combine-order-exposed numerics: the
+    # covariance matrix (split-cast doubles of DECIMAL(38,0) sums),
+    # the fixed-point temperature-mix quotas, sketch-MAD's integer
+    # ceil-rank medians, and the incremental-refresh decimal merge.
+    "agg_covariance_matrix",
+    "mix_temperature_sampling",
+    "anomaly_mad_sketch",
+    "rollup_incremental_refresh",
 ]
 
 
