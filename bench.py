@@ -261,7 +261,9 @@ def main() -> None:
             "cache_reuse": round(t_reuse, 4),
             **slowest,
         },
-        "n_queries": len(timings),
+        # Headline queries only — the cache_create/cache_reuse bench
+        # pair is reported separately, not part of the query count.
+        "n_queries": sum(1 for k in timings if not k.startswith("cache_")),
         "sf": sf_val,
         "cache_speedup": speedup,
         "ann_recall_at_10": recalls,

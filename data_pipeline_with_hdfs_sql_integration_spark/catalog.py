@@ -151,20 +151,35 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # clearCache, so callers may clear the session cache freely between
 # queries to bound memory at one query's working set.
 _MEMO_PERSIST: dict[tuple, DataFrame] = {}
+_MEMO_LOCK = __import__("threading").Lock()
 
 
 def memo_persist(spark: SparkSession, key: tuple, build) -> DataFrame:
     """Return the session's single persisted instance of the frame
     `build()` constructs, creating (and re-persisting, if a
     clearCache dropped it) on demand. `key` must determine the frame's
-    content (e.g. ("shingle_base", sf_dir))."""
+    content (e.g. ("shingle_base", sf_dir)).
+
+    Entries are keyed by applicationId; on access, entries from OTHER
+    appIds (dead JVMs after a session restart) are evicted so the memo
+    can't grow for the life of the process or hand back DataFrames
+    bound to a gone SparkContext. The check-then-insert is guarded by
+    a lock for concurrent query builds (only the dict bookkeeping —
+    `build()` runs outside the lock; a racing duplicate build loses
+    the insert and its frame is simply never persisted)."""
     from pyspark.storagelevel import StorageLevel
 
-    full_key = (spark.sparkContext.applicationId, *key)
-    df = _MEMO_PERSIST.get(full_key)
+    app_id = spark.sparkContext.applicationId
+    full_key = (app_id, *key)
+    with _MEMO_LOCK:
+        stale = [k for k in _MEMO_PERSIST if k[0] != app_id]
+        for k in stale:
+            del _MEMO_PERSIST[k]
+        df = _MEMO_PERSIST.get(full_key)
     if df is None:
-        df = build()
-        _MEMO_PERSIST[full_key] = df
+        built = build()
+        with _MEMO_LOCK:
+            df = _MEMO_PERSIST.setdefault(full_key, built)
     lvl = df.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         df.persist(StorageLevel.MEMORY_AND_DISK)

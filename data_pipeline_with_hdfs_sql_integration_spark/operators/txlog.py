@@ -51,9 +51,18 @@ class TxTable:
         import re
 
         return sorted(
-            f
-            for f in os.listdir(self.log_dir)
-            if re.fullmatch(r"\d{8}\.json", f)
+            (
+                f
+                for f in os.listdir(self.log_dir)
+                # 8+ digits: the writer formats {version:08d}, which
+                # grows past 8 digits at version 10^8 — the filter must
+                # keep matching or replay would silently cap
+                # latest_version.
+                if re.fullmatch(r"\d{8,}\.json", f)
+            ),
+            # Numeric, not lexicographic: "100000000" < "99999999" as
+            # strings, which would replay out of order past 10^8.
+            key=lambda f: int(f.split(".")[0]),
         )
 
     def latest_version(self) -> int:

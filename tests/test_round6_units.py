@@ -99,11 +99,10 @@ def test_mad_sketch_median_within_half_bin(spark):
             if cum >= need:
                 est = b * MS_BIN_C + MS_BIN_C // 2
                 break
-        assert abs(est - exact) <= MS_BIN_C // 2 + MS_BIN_C, (
-            seg,
-            est,
-            exact,
-        )  # center-of-bin estimate: off by at most one bin
+        # The ceil-rank bin provably contains the exact lower median,
+        # so the center-of-bin estimate is within half a bin — the
+        # documented contract (SCALE.md: $250 at MS_BIN_C=50000 cents).
+        assert abs(est - exact) <= MS_BIN_C // 2, (seg, est, exact)
 
 
 # ----------------------------------------------------------- memo_persist

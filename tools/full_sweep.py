@@ -23,7 +23,10 @@ for name in sorted(qs):
         sdf = qs[name](spark, SF)
         rows = sdf.select(*sorted(sdf.columns)).collect()
         if name not in os_:
-            assert len(rows) >= 0
+            # Oracle-less queries must still return data: a regression
+            # to an empty frame is a failure, not an "ok".
+            assert len(rows) > 0, f"{name}: rows-only query returned 0 rows"
+            assert len(rows[0]) > 0, f"{name}: rows-only query returned 0 columns"
             ok += 1
             continue
         s = sorted(tuple(str(x) for x in r) for r in rows)
