@@ -203,8 +203,8 @@ def main() -> None:
         recalls["dedup_semantic_cell_recall"] = round(co / len(pairs), 3)
         # End-to-end detection: share of ground-truth pairs whose
         # higher-id endpoint the dedup actually drops — the number a
-        # user feels. Single-probe is bounded by cell recall; the
-        # 2-probe variant shows the multi-probe recovery.
+        # user feels. The default is P=3 multi-probe (floor 0.75); the
+        # explicit 2-probe variant shows the cheaper ladder rung.
         base_keep = {
             r["vec_id"]: r["keep"]
             for r in specs["dedup_semantic"].fn(spark, SF_DIR).collect()

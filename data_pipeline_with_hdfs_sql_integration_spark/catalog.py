@@ -78,6 +78,43 @@ def _estimated_scan_splits(spark: SparkSession, path: str) -> int:
     return max(1, -(-(total + n_files * open_cost) // max_bytes))
 
 
+def table_on_disk_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet size of a table from the driver's file listing —
+    no Spark job. Returns -1 for non-local paths (hdfs://, s3://...),
+    where the caller must NOT assume 'small'."""
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+    if os.path.exists(path):
+        return os.path.getsize(path)
+    return -1
+
+
+def broadcast_gate(sf_dir: str, name: str, limit_bytes: int = 64 << 20):
+    """Identity-or-`F.broadcast` wrapper for frames DERIVED from table
+    `name` (signatures, probe assignments, candidate sets — all a
+    constant factor of the source row count).
+
+    At test SFs the derived sides are kilobytes and every broadcast
+    collapses a shuffle exchange into a map-side join — in local mode
+    that's the difference between a 10-stage and a 3-stage plan. At
+    100 TB the gate reads the source size from the driver listing
+    (free) and returns identity, so the plan degrades to the
+    shuffle-on-key equi-join it was designed as. Unknown (non-local)
+    sizes count as LARGE — never assume broadcastable."""
+    from pyspark.sql import functions as F
+
+    size = table_on_disk_bytes(sf_dir, name)
+    if 0 <= size <= limit_bytes:
+        return F.broadcast
+    return lambda df: df
+
+
 def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan with enough splits to keep every core busy.
 

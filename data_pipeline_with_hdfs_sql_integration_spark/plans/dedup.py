@@ -50,9 +50,13 @@ EMB_SUBSET = 400  # bounded exact-pair subset (vec_id < EMB_SUBSET)
 EMB_COSINE_THRESHOLD = 0.40
 # SemDeDup multi-probe width: each vector searches under its top-P
 # quantizer cells. P=1 misses 78% of exact above-threshold pairs on
-# this corpus (quantization boundary loss, measured r05); P=2 is the
-# default recall/cost point, floor gated in test_similarity_recall.py.
-SEMANTIC_PROBES = 2
+# this corpus (quantization boundary loss, measured r05); the measured
+# ladder is P=1 0.217 / P=2 0.478 / P=3 0.848 / P=4 0.935 co-probed.
+# P=3 is the default recall/cost point (detection floor 0.75 gated in
+# test_similarity_recall.py); the extra pair work vs P=2 is ~(3/2)^2
+# on cell-pair enumeration, reclaimed by the hamming prefilter and the
+# size-gated broadcast plan (see dedup_semantic).
+SEMANTIC_PROBES = 3
 
 # ------------------------------------------------------------------ shared
 # Shingle hash = polynomial fold over the three TOKEN hashes (each token
@@ -1336,9 +1340,9 @@ def _register_dedup_semantic() -> None:
         f"multi-probe BY DEFAULT: each vector searches under its top-"
         f"{SEMANTIC_PROBES} quantizer cells (single-assign misses 78% "
         "of exact above-threshold pairs on this corpus — the round-5 "
-        "measured footgun; P=2 recovers detection to ~0.5, the ladder "
-        "P=1 0.217 / P=2 0.478 / P=3 0.848 is in SCALE.md and the "
-        "recall floor is test-gated in test_similarity_recall.py). "
+        "measured footgun; the ladder P=1 0.217 / P=2 0.478 / P=3 "
+        "0.848 / P=4 0.935 is in SCALE.md and the detection floor "
+        "0.75 is test-gated in test_similarity_recall.py). "
         "Candidate pairs are enumerated ONLY within a shared probe "
         "cell (cell-keyed equi-self-join, never a corpus cross join), "
         "hamming-gated on 16-byte signatures before any vector math, "
@@ -1348,16 +1352,34 @@ def _register_dedup_semantic() -> None:
         "~N/target_cell_size (the SemDeDup paper runs 50k cells) so "
         "per-cell pair work stays constant (x P^2 for multi-probe); "
         "the pair join shuffles on cell_id and the verdict is a left "
-        "anti lookup. Greedy lowest-id-wins keeps exactly one "
+        "anti lookup. Small corpora take the same plan with the "
+        "derived sides broadcast (size-gated from the driver file "
+        "listing, catalog.broadcast_gate) so the whole query is two "
+        "shuffles; past the gate it degrades to the shuffle equi-join "
+        "it was designed as. Greedy lowest-id-wins keeps exactly one "
         "representative per dense neighborhood without a transitive "
         "closure (that stronger semantics is dedup_clusters).",
         tags=("dedup", "embeddings", "semantic", "training"),
     )
     def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from data_pipeline_with_hdfs_sql_integration_spark.catalog import broadcast_gate
+
         apply_runtime_confs(spark)
         _cent, assigned = sim.ivf_index_store(spark, sf_dir)
-        e = sim._vecs(spark, sf_dir)
+        # Scan-native vector read (no repartition exchange): the only
+        # vector math here is one cosine per surviving candidate, so
+        # fragmenting the scan buys nothing.
+        e = sim._vecs_scan(spark, sf_dir)
         sigs = sim.lsh_signature_store(spark, sf_dir)
+        # Every broadcast below is gated on the SOURCE table's on-disk
+        # size (driver listing, no job): small corpora get a mostly
+        # map-side plan (measured A/B at sf0.1: 3.4 s all-shuffle vs
+        # 2.4 s with sigs/vector/dup sides broadcast, 1.4 s once the
+        # pair verify reuses per-vector norms; broadcasting the pair
+        # join's build side itself was SLOWER — each broadcast is a
+        # serialized driver job, so only the sides that erase a
+        # shuffle earn one). Large corpora keep the shuffle equi-joins.
+        bc = broadcast_gate(sf_dir, "embeddings")
         # Top-P probe cells come from the build-once IVF store (12
         # bytes/row parquet) — the query plan never touches centroids
         # or re-ranks them.
@@ -1370,7 +1392,7 @@ def _register_dedup_semantic() -> None:
         # the pair join never shuffles 64-double vectors, only survivor
         # pairs fetch vectors back by id (the dedup_embedding_lsh
         # shape).
-        m = probes.join(sigs, "vec_id")
+        m = probes.join(bc(sigs), "vec_id")
         a = m.select(
             F.col("cell_id"),
             F.col("vec_id").alias("id_a"),
@@ -1389,8 +1411,8 @@ def _register_dedup_semantic() -> None:
         # Two-long hamming gate BEFORE any vector math — the same
         # mean+1.9sigma bound (and the same oracle mirror) as
         # dedup_embedding_lsh; measured: zero exact co-located pairs
-        # gated at any test SF. A pair co-probing in BOTH cells would
-        # double-count — dedupe before the vector fetch.
+        # gated at any test SF. A pair co-probing in multiple shared
+        # cells would double-count — dedupe before the vector fetch.
         cand = (
             a.join(b, "cell_id")
             .filter(F.col("id_a") < F.col("id_b"))
@@ -1398,20 +1420,39 @@ def _register_dedup_semantic() -> None:
             .select("id_a", "id_b")
             .distinct()
         )
-        ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-        eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+        # Per-vector norms attach ONCE (N sqrt-dots) instead of twice
+        # per candidate pair: the verify filter then pays a single
+        # 64-dim fold per pair, not three — measured 2.9 s → ~1.2 s on
+        # the 270k-pair candidate set at sf0.1. sqrt(dot(v,v)) per
+        # vector is bit-identical to computing it inside the pair
+        # expression, so the oracle's per-pair formula still matches.
+        ea = e.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.sqrt(tf.dot(F.col("v"), F.col("v"))).alias("na"),
+        )
+        eb = e.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.sqrt(tf.dot(F.col("v"), F.col("v"))).alias("nb"),
+        )
+        cos = F.round(
+            tf.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        )
         dup = (
-            cand.join(ea, "id_a")
-            .join(eb, "id_b")
-            .filter(sim._cosine(F.col("va"), F.col("vb")) >= EMB_COSINE_THRESHOLD)
+            cand.join(bc(ea), "id_a")
+            .join(bc(eb), "id_b")
+            .filter(cos >= EMB_COSINE_THRESHOLD)
             .select(F.col("id_b").alias("vec_id"))
             .distinct()
         )
         # Output one row per vector with its PRIMARY cell (the store's
-        # max-cosine assignment == the probe ranking's rn=1).
+        # max-cosine assignment == the probe ranking's rn=1). The dup
+        # set only shrinks from the candidate set, so it inherits the
+        # same size gate.
         return (
             assigned.select("vec_id", "cell_id")
-            .join(dup.withColumn("_d", F.lit(1)), "vec_id", "left")
+            .join(bc(dup.withColumn("_d", F.lit(1))), "vec_id", "left")
             .select(
                 "vec_id",
                 "cell_id",
