@@ -527,10 +527,17 @@ def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "planning and the skew early-warning for key-salting decisions "
     "(a high Gini on a join key IS the skew the AQE/salting tooling "
     "exists for). Scale shape: the fact collapses to the per-"
-    "customer relation first (map-side combinable), and the rank "
-    "window runs over THAT — customers, not orders; at 100 TB "
-    "replace the exact rank with sketch_histogram_quantiles' binned "
-    "Lorenz curve, same formula over bins.",
+    "customer relation first (map-side combinable), and the global "
+    "rank over THAT is TWO-PHASE (the skyline treatment): "
+    "repartitionByRange on (cents, custkey) so partition order IS "
+    "sort order, per-partition row_number windows keyed on "
+    "spark_partition_id, and the global rank = local rank + a "
+    "per-partition offset cum-summed on the driver from the "
+    "constant-size (one row per partition) count vector — no "
+    "single-partition WindowExec anywhere, ~1e9 customers never "
+    "funnel through one task. The offset pull is a bounded driver "
+    "materialization, same legitimacy class as the k-means centroid "
+    "pulls (similarity.py).",
     tags=("agg", "stats", "skew"),
 )
 def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,12 +548,55 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_c = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    ranked = per_c.select(
+    # Two-phase global rank. Range partitioning on the full sort key
+    # makes partition id order == sort order, so rank(row) =
+    # local_rank within its partition + count of all rows in
+    # lower-id partitions. Phase 1 windows are partitioned (no
+    # single-partition sort); phase 2's offsets are one row per
+    # partition — pulled to the driver (bounded by the partition
+    # count, not the data) and re-attached as a broadcast map.
+    rp = per_c.repartitionByRange(
+        F.col("cents").asc(), F.col("o_custkey").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    loc = rp.select(
         "cents",
+        "pid",
         F.row_number()
-        .over(Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc()))
-        .alias("i"),
+        .over(
+            Window.partitionBy("pid").orderBy(
+                F.col("cents").asc(), F.col("o_custkey").asc()
+            )
+        )
+        .alias("r"),
     )
+    # Pin ONE materialization: range-partition boundaries come from a
+    # sampling pass whose seed varies per job, so the offsets job and
+    # the final aggregation MUST see the same physical partitioning —
+    # without the persist the two jobs could rank against different
+    # boundaries and silently mis-rank boundary rows.
+    from pyspark.storagelevel import StorageLevel
+
+    loc = loc.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {
+        row["pid"]: row["cnt"]
+        for row in loc.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            ),
+            F.col("pid"),
+        )
+        if offsets
+        else F.lit(0),
+        F.lit(0),
+    )
+    ranked = loc.select("cents", (F.col("r") + off_expr).alias("i"))
     agg = ranked.agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("total"),

@@ -725,3 +725,21 @@ def test_mad_sketch_windows_over_sketch_only(spark):
     # (map-side) hash aggregates.
     assert plan.count("Window") >= 2
     assert "partial_count" in plan
+
+
+def test_gini_rank_has_no_unpartitioned_window(spark):
+    """agg_gini_concentration's global rank is two-phase (range
+    repartition + per-pid local windows + driver-cum-summed offsets):
+    the plan must contain NO unpartitioned window (empty partition
+    spec renders as `], [], [` in the formatted Window arguments) and
+    no single-partition sort of the per-customer relation — the shape
+    that funnels ~1e9 customers through one task at 100 TB."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["agg_gini_concentration"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan  # the local rank is still a window
+    assert "], [], [" not in plan, "unpartitioned Window in Gini plan"
+    # The only SinglePartition exchange allowed is the final scalar
+    # aggregate (1 row); the rank path itself is range-partitioned.
+    assert "rangepartitioning(cents" in plan
