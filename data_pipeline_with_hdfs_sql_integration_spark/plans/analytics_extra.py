@@ -548,55 +548,18 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_c = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    # Two-phase global rank. Range partitioning on the full sort key
-    # makes partition id order == sort order, so rank(row) =
-    # local_rank within its partition + count of all rows in
-    # lower-id partitions. Phase 1 windows are partitioned (no
-    # single-partition sort); phase 2's offsets are one row per
-    # partition — pulled to the driver (bounded by the partition
-    # count, not the data) and re-attached as a broadcast map.
-    rp = per_c.repartitionByRange(
-        F.col("cents").asc(), F.col("o_custkey").asc()
-    ).withColumn("pid", F.spark_partition_id())
-    loc = rp.select(
-        "cents",
-        "pid",
-        F.row_number()
-        .over(
-            Window.partitionBy("pid").orderBy(
-                F.col("cents").asc(), F.col("o_custkey").asc()
-            )
-        )
-        .alias("r"),
+    # Two-phase global rank (operators/global_rank.py): range
+    # partitioning makes partition-id order == sort order, local
+    # row_number windows per partition, and the global rank is the
+    # local rank + driver-cum-summed per-partition offsets — no
+    # unpartitioned WindowExec anywhere.
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import (
+        global_row_number,
     )
-    # Pin ONE materialization: range-partition boundaries come from a
-    # sampling pass whose seed varies per job, so the offsets job and
-    # the final aggregation MUST see the same physical partitioning —
-    # without the persist the two jobs could rank against different
-    # boundaries and silently mis-rank boundary rows.
-    from pyspark.storagelevel import StorageLevel
 
-    loc = loc.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = {
-        row["pid"]: row["cnt"]
-        for row in loc.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_expr = F.coalesce(
-        F.element_at(
-            F.create_map(
-                *[F.lit(x) for kv in offsets.items() for x in kv]
-            ),
-            F.col("pid"),
-        )
-        if offsets
-        else F.lit(0),
-        F.lit(0),
-    )
-    ranked = loc.select("cents", (F.col("r") + off_expr).alias("i"))
+    ranked = global_row_number(
+        per_c, [("cents", "asc"), ("o_custkey", "asc")], alias="i"
+    ).select("cents", "i")
     agg = ranked.agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("total"),

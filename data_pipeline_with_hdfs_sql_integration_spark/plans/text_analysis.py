@@ -1195,12 +1195,17 @@ _register_text_langid_confusion()
     "regression sum is then exact integer arithmetic "
     "(128-bit intermediates for the cross terms — the Gini lesson); "
     "ranks tie-break lexicographically. Scale: the fact collapses "
-    "to the vocabulary relation first; the rank window runs over "
-    "vocab only, and the regression is one tiny aggregate.",
+    "to the vocabulary relation first; the global rank over vocab "
+    "is TWO-PHASE (operators/global_rank.py: range repartition + "
+    "pid-local windows + driver-summed offsets), so a web-scale "
+    "vocabulary (10^8+ types) never funnels through one task, and "
+    "the regression is one tiny aggregate.",
     tags=("text", "stats", "quality"),
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import (
+        global_row_number,
+    )
 
     apply_runtime_confs(spark)
     docs = load_parallel(spark, sf_dir, "documents")
@@ -1209,12 +1214,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("freq"))
     )
-    ranked = counts.select(
-        "freq",
-        F.row_number()
-        .over(Window.orderBy(F.col("freq").desc(), F.col("tok").asc()))
-        .alias("rnk"),
-    )
+    ranked = global_row_number(
+        counts, [("freq", "desc"), ("tok", "asc")], alias="rnk"
+    ).select("freq", "rnk")
     pts = ranked.select(
         F.round(1000000 * F.log10(F.col("rnk").cast("double"))).cast("long").alias("x"),
         F.round(1000000 * F.log10(F.col("freq").cast("double"))).cast("long").alias("y"),

@@ -743,3 +743,16 @@ def test_gini_rank_has_no_unpartitioned_window(spark):
     # The only SinglePartition exchange allowed is the final scalar
     # aggregate (1 row); the rank path itself is range-partitioned.
     assert "rangepartitioning(cents" in plan
+
+
+def test_zipf_rank_has_no_unpartitioned_window(spark):
+    """text_zipf_fit ranks the vocabulary with the two-phase global
+    rank — no empty-partition-spec window, no single-partition sort
+    of the vocab relation."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["text_zipf_fit"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan
+    assert "], [], [" not in plan, "unpartitioned Window in Zipf plan"
+    assert "rangepartitioning(freq" in plan
