@@ -98,6 +98,8 @@ HEADLINE = [
     "text_zipf_fit",
     "dedup_containment_prefix",
     "anomaly_mad_sketch",
+    "stats_ks_sketch",
+    "stats_mwu_sketch",
     "mix_temperature_sampling",
     "rollup_incremental_refresh",
     "events_dau_hll",

@@ -364,10 +364,10 @@ def stream_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boundary flips; d_at_cents pins WHERE the sup is attained "
     "(min value on ties). Scale shape: one grouped count per distinct "
     "value (map-side combinable), then one window over the DISTINCT "
-    "VALUE relation — orders of magnitude smaller than the data; at "
-    "100 TB swap the exact distinct-value scan for the histogram "
-    "sketch's bins and the same cross-multiplied rule gives "
-    "binned-KS with one-bin error.",
+    "VALUE relation — orders of magnitude smaller than the data but "
+    "still unbounded at web scale, so this is the exact BASELINE; "
+    "the 100 TB path is stats_ks_sketch (same cross-multiplied rule "
+    f"over a fixed {1200}-bin histogram, one-bin error).",
     tags=("profiling", "stats", "anomaly"),
 )
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,7 +530,9 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(u1_x2) so the half-tie term never touches floats; u1+u2 = "
     "n1*n2 is the built-in self-check. Same scale shape as KS: "
     "grouped counts per distinct value, one window over the distinct-"
-    "value relation only.",
+    "value relation only — the exact BASELINE; the 100 TB path is "
+    "stats_mwu_sketch (same doubled-midrank formula over the fixed "
+    "histogram, bounded window).",
     tags=("profiling", "stats", "anomaly"),
 )
 def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,6 +554,187 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("c1").over(wprev), F.lit(0)).alias("b1"),
     )
     tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    scored = cum.crossJoin(F.broadcast(tot))
+    return scored.groupBy("n1", "n2").agg(
+        F.sum(F.col("c2") * (2 * F.col("b1") + F.col("c1"))).alias("u1_x2"),
+        (
+            2 * F.first("n1") * F.first("n2")
+            - F.sum(F.col("c2") * (2 * F.col("b1") + F.col("c1")))
+        ).alias("u2_x2"),
+    )
+
+
+#: Fixed-width bins for the sketch-path KS/MWU siblings: events cents
+#: (round(value*100)) land in KS_NBINS bins of KS_BIN_C cents, top bin
+#: clamped. Same machinery as anomaly_mad_sketch (linkage.MS_*): the
+#: data passes are map-side-combinable grouped counts per bin, and the
+#: only windows run over the <= KS_NBINS-row histogram — provably
+#: bounded, never over the value domain.
+KS_BIN_C = 50
+KS_NBINS = 1200
+
+
+@query(
+    "stats_ks_sketch",
+    oracle=f"""
+        WITH s AS (
+            SELECT LEAST(CAST(round(value * 100) AS BIGINT) // {KS_BIN_C},
+                         {KS_NBINS - 1}) AS bin,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        per_b AS (
+            SELECT bin,
+                   CAST(sum(is_a) AS BIGINT) AS c1,
+                   CAST(sum(1 - is_a) AS BIGINT) AS c2
+            FROM s GROUP BY bin
+        ),
+        tot AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+            FROM per_b
+        ),
+        cum AS (
+            SELECT bin,
+                   sum(c1) OVER (ORDER BY bin) AS f1,
+                   sum(c2) OVER (ORDER BY bin) AS f2
+            FROM per_b
+        ),
+        scored AS (
+            SELECT bin, abs(f1 * t.n2 - f2 * t.n1) AS d, t.n1, t.n2
+            FROM cum, tot t
+        ),
+        top AS (SELECT max(d) AS d_num FROM scored)
+        SELECT s.n1, s.n2,
+               CAST(m.d_num AS BIGINT) AS d_num,
+               CAST(min(s.bin) * {KS_BIN_C} + {KS_BIN_C} - 1 AS BIGINT)
+                   AS d_at_cents_ub
+        FROM scored s, top m
+        WHERE s.d = m.d_num
+        GROUP BY s.n1, s.n2, m.d_num
+    """,
+    doc="SKETCH-PATH two-sample KS — the 100 TB sibling of "
+    f"stats_ks_two_sample: values land in {KS_NBINS} fixed-width "
+    f"{KS_BIN_C}-cent bins (map-side-combinable grouped counts), and "
+    "D = max|F1-F2| is evaluated at bin BOUNDARIES with the same "
+    "cross-multiplied BIGINT rule (|cum1*n2 - cum2*n1|). The CDF gap "
+    "at a boundary is exact; the true sup can exceed the binned sup "
+    "only by mass interior to one bin, so the error is bounded by "
+    "one bin — the anomaly_mad_sketch contract applied to KS. The "
+    "cumulative window runs over the <= "
+    f"{KS_NBINS}-row histogram, never the value domain (the exact "
+    "sibling's distinct-value relation is unbounded at web scale; "
+    "this one is constant). d_at_cents_ub pins the upper edge of the "
+    "first bin attaining the sup.",
+    tags=("profiling", "stats", "anomaly", "sketch"),
+)
+def stats_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.least(
+            F.expr(f"CAST(round(value * 100) AS BIGINT) div {KS_BIN_C}"),
+            F.lit(KS_NBINS - 1),
+        ).alias("bin"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
+    )
+    per_b = s.groupBy("bin").agg(
+        F.sum("is_a").alias("c1"), F.sum(1 - F.col("is_a")).alias("c2")
+    )
+    # Global window — over the bounded histogram only (<= KS_NBINS
+    # rows), the sketches.py precedent.
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_b.select(
+        "bin",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    tot = per_b.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "bin",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("d"),
+    )
+    return scored.groupBy("n1", "n2").agg(
+        F.max("d").alias("d_num"),
+        (
+            F.min_by(
+                "bin", F.struct((-F.col("d")).alias("nd"), F.col("bin").alias("b"))
+            )
+            * KS_BIN_C
+            + (KS_BIN_C - 1)
+        ).alias("d_at_cents_ub"),
+    )
+
+
+@query(
+    "stats_mwu_sketch",
+    oracle=f"""
+        WITH s AS (
+            SELECT LEAST(CAST(round(value * 100) AS BIGINT) // {KS_BIN_C},
+                         {KS_NBINS - 1}) AS bin,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        per_b AS (
+            SELECT bin,
+                   CAST(sum(is_a) AS BIGINT) AS c1,
+                   CAST(sum(1 - is_a) AS BIGINT) AS c2
+            FROM s GROUP BY bin
+        ),
+        cum AS (
+            SELECT bin, c1, c2,
+                   coalesce(sum(c1) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b1
+            FROM per_b
+        ),
+        tot AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+            FROM per_b
+        )
+        SELECT t.n1, t.n2,
+               CAST(sum(c2 * (2 * b1 + c1)) AS BIGINT) AS u1_x2,
+               CAST(2 * t.n1 * t.n2 - sum(c2 * (2 * b1 + c1)) AS BIGINT) AS u2_x2
+        FROM cum, tot t
+        GROUP BY t.n1, t.n2
+    """,
+    doc="SKETCH-PATH Mann-Whitney U — the 100 TB sibling of "
+    "stats_mann_whitney_u: identical doubled-midrank formula, but "
+    f"ranks are computed over the {KS_NBINS}-bin histogram (all "
+    "values in a bin treated as tied at the bin, i.e. the midrank "
+    "treatment applied at bin granularity). U shifts from the exact "
+    "statistic by at most the within-bin discordant mass — bounded "
+    "by one bin per distinct-value collision, the standard binned-"
+    "rank contract. Data passes are map-side-combinable grouped "
+    "counts; the prefix-sum window runs over <= "
+    f"{KS_NBINS} rows. u1_x2 + u2_x2 = 2*n1*n2 remains the built-in "
+    "self-check.",
+    tags=("profiling", "stats", "anomaly", "sketch"),
+)
+def stats_mwu_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.least(
+            F.expr(f"CAST(round(value * 100) AS BIGINT) div {KS_BIN_C}"),
+            F.lit(KS_NBINS - 1),
+        ).alias("bin"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
+    )
+    per_b = s.groupBy("bin").agg(
+        F.sum("is_a").alias("c1"), F.sum(1 - F.col("is_a")).alias("c2")
+    )
+    wprev = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_b.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum("c1").over(wprev), F.lit(0)).alias("b1"),
+    )
+    tot = per_b.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     scored = cum.crossJoin(F.broadcast(tot))
     return scored.groupBy("n1", "n2").agg(
         F.sum(F.col("c2") * (2 * F.col("b1") + F.col("c1"))).alias("u1_x2"),

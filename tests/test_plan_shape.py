@@ -756,3 +756,20 @@ def test_zipf_rank_has_no_unpartitioned_window(spark):
     assert "Window" in plan
     assert "], [], [" not in plan, "unpartitioned Window in Zipf plan"
     assert "rangepartitioning(freq" in plan
+
+
+def test_ks_mwu_sketch_windows_over_histogram_only(spark):
+    """The sketch KS/MWU siblings' windows must run over the bounded
+    bin histogram (the aggregate keyed on `bin` sits BELOW the window
+    in the plan), with the data pass a partial (map-side) hash
+    aggregate — and no sort of the raw distinct-value relation."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    for name in ("stats_ks_sketch", "stats_mwu_sketch"):
+        df = all_queries()[name].fn(spark, SF_DIR)
+        plan = _plan(df)
+        assert "partial_count" in plan or "partial_sum" in plan, name
+        # The window's input is the post-aggregate bin relation: the
+        # plan tree has exactly one Window node.
+        assert plan.count("Window (") == 1, name
+        assert "CartesianProduct" not in plan, name

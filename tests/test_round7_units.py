@@ -46,3 +46,80 @@ def test_memo_persist_evicts_stale_app_ids(spark):
     assert live in catalog._MEMO_PERSIST
     df.unpersist()
     catalog._MEMO_PERSIST.pop(live, None)
+
+
+# ------------------------------------------------- sketch KS / MWU bounds
+def test_ks_sketch_within_one_bin_of_exact(spark):
+    """Contract: the binned sup is a maximum over a SUBSET (bin
+    boundaries) of the exact sup's candidate points, so d_sketch <=
+    d_exact; and any interior point's CDF gap exceeds the nearest
+    boundary's by at most one bin's cross-multiplied mass, so the
+    deficit is bounded by max_bin(c1*n2 + c2*n1). Both sides come from
+    the REGISTERED queries, not a Python re-implementation."""
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.profiling import (
+        KS_BIN_C,
+        KS_NBINS,
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    from tests.conftest import SF_DIR
+
+    qs = all_queries()
+    ex = qs["stats_ks_two_sample"].fn(spark, SF_DIR).collect()[0]
+    sk = qs["stats_ks_sketch"].fn(spark, SF_DIR).collect()[0]
+    assert (sk["n1"], sk["n2"]) == (ex["n1"], ex["n2"])
+    assert sk["d_num"] <= ex["d_num"]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    per_b = (
+        ev.select(
+            F.least(
+                F.expr(f"CAST(round(value * 100) AS BIGINT) div {KS_BIN_C}"),
+                F.lit(KS_NBINS - 1),
+            ).alias("bin"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("is_a").alias("c1"), F.sum(1 - F.col("is_a")).alias("c2"))
+    )
+    bound = per_b.select(
+        F.max(F.col("c1") * ex["n2"] + F.col("c2") * ex["n1"]).alias("m")
+    ).collect()[0]["m"]
+    assert ex["d_num"] - sk["d_num"] <= bound
+
+
+def test_mwu_sketch_within_tie_mass_of_exact(spark):
+    """Contract: pairs in different bins contribute identically; a
+    same-bin cross-sample pair's doubled contribution moves by at most
+    1 when collapsed to a bin-tie, so |u1_x2 diff| <= sum_b c1_b*c2_b.
+    The self-check u1+u2 = 2*n1*n2 must hold exactly."""
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.profiling import (
+        KS_BIN_C,
+        KS_NBINS,
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    from tests.conftest import SF_DIR
+
+    qs = all_queries()
+    ex = qs["stats_mann_whitney_u"].fn(spark, SF_DIR).collect()[0]
+    sk = qs["stats_mwu_sketch"].fn(spark, SF_DIR).collect()[0]
+    assert sk["u1_x2"] + sk["u2_x2"] == 2 * sk["n1"] * sk["n2"]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    tie_mass = (
+        ev.select(
+            F.least(
+                F.expr(f"CAST(round(value * 100) AS BIGINT) div {KS_BIN_C}"),
+                F.lit(KS_NBINS - 1),
+            ).alias("bin"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("is_a").alias("c1"), F.sum(1 - F.col("is_a")).alias("c2"))
+        .select(F.sum(F.col("c1") * F.col("c2")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert abs(sk["u1_x2"] - ex["u1_x2"]) <= tie_mass
