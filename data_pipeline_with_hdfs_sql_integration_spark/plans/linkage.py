@@ -131,19 +131,28 @@ def anomaly_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # split-cast: s2 (DECIMAL(38,0) sum of squares) exceeds 2^53 at
     # sf0.1 and the direct ->double cast rounds differently across
-    # engines (functions/numfns.py).
+    # engines (functions/numfns.py). The mean and stddev depend only
+    # on the segment, so they are evaluated HERE on the 5-row stats
+    # relation — hoisting the decimal div/mod out of the per-order
+    # expression (the round-6 exactness fix evaluated it per row,
+    # the measured r5->r6 bench drift on this query). Same IEEE ops
+    # in the same order, so the oracle's inline formula still
+    # matches bit-for-bit.
     from data_pipeline_with_hdfs_sql_integration_spark.functions.numfns import split_cast_double
 
-    zexpr = F.round(
-        (F.col("cents").cast("double") - F.col("s1").cast("double") / F.col("n"))
-        / F.sqrt(
+    stats = stats.select(
+        "c_mktsegment",
+        (F.col("s1").cast("double") / F.col("n")).alias("seg_mean"),
+        F.sqrt(
             (
                 split_cast_double("s2")
                 - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
             )
             / F.col("n")
-        ),
-        6,
+        ).alias("seg_std"),
+    )
+    zexpr = F.round(
+        (F.col("cents").cast("double") - F.col("seg_mean")) / F.col("seg_std"), 6
     )
     z = j.join(F.broadcast(stats), "c_mktsegment").select(
         "o_orderkey", "c_mktsegment", "o_totalprice", zexpr.alias("zscore")
