@@ -133,3 +133,38 @@ def test_grpc_skin_gated_without_grpcio(service):
         pass
     with pytest.raises(NotImplementedError):
         serve_grpc(svc.pipeline)
+
+
+def test_cli_drives_all_verbs_over_socket(service):
+    """The reference-argv CLI (client_cli.py, same mode/-c/-f surface
+    as reference client.py:9-16) end-to-end against the live HTTP
+    service: DbToHdfs prints the status, CalcAvgLoan prints avg then
+    source (create→reuse across calls), BlockLocations prints the
+    host→count map, and the error paths print `error: ...` exactly
+    like client.py:26/33."""
+    import io
+    import json as _json
+
+    from data_pipeline_with_hdfs_sql_integration_spark import client_cli
+
+    svc, client = service
+    port = str(client.base.rsplit(":", 1)[1])
+
+    def run(*argv: str) -> str:
+        buf = io.StringIO()
+        assert client_cli.main([*argv, "--port", port], out=buf) == 0
+        return buf.getvalue()
+
+    out = run("DbToHdfs")
+    assert "rows" in out or "ERROR" not in out
+    first = run("CalcAvgLoan", "-c", "3").splitlines()
+    assert first[1] == "create"
+    avg = int(first[0])
+    again = run("CalcAvgLoan", "--code", "3").splitlines()
+    assert again == [str(avg), "reuse"]
+    missing = run("CalcAvgLoan", "-c", "99999")
+    assert missing.startswith("error: ")
+    blocks = run("BlockLocations", "-f", svc.pipeline.main_path)
+    assert _json.loads(blocks)  # non-empty host→count map
+    bad = run("BlockLocations", "-f", "/definitely/not/here.parquet")
+    assert bad.startswith("error: ")
