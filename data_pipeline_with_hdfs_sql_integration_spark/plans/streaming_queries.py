@@ -181,6 +181,33 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_user_totals_tws",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (value > 500.0) AS BIGINT) AS n_high_value,
+               arg_max(event_type, ts) AS last_event_type
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="The SAME per-user stateful totals on transformWithStateInPandas "
+    "(Spark 4's StatefulProcessor API — typed per-variable state "
+    "handles, RocksDB-backed column families), value-checked against "
+    "the identical batch oracle as the applyInPandasWithState variant. "
+    "Rounds 2-6 gated this on the container's broken google.protobuf; "
+    "round 7 unblocked it by aliasing the google-cloud-sdk's vendored "
+    "pure-Python protobuf runtime into the streaming worker "
+    "(_vendor/google, session.tws_ready). Falls back to "
+    "NotImplementedError only when no protobuf runtime exists on the "
+    "host at all.",
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return stateful.user_running_totals_tws(spark, sf_dir)
+
+
+@query(
     "stream_merge_snapshot",
     oracle="""
         SELECT user_id, ts AS last_ts, event_type AS last_event_type,

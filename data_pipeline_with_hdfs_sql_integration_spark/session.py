@@ -64,6 +64,44 @@ def jdbc_driver_jars() -> list[str]:
     return sorted(out)[:1]
 
 
+#: Parent dir of the vendored `google.protobuf` alias shim
+#: (_vendor/google/__init__.py) that satisfies the
+#: transformWithStateInPandas worker's protobuf import from the host's
+#: google-cloud-sdk copy. See the shim's docstring for the mechanism.
+TWS_VENDOR_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_vendor")
+
+
+def tws_ready(spark: SparkSession) -> bool:
+    """True when transformWithStateInPandas can run in this
+    environment; as a side effect, wires the vendored protobuf shim
+    into the streaming Python worker's path.
+
+    The worker is a fresh Python process needing `google.protobuf`
+    (absent as a wheel here — no network; probed rounds 2/5/6). Round
+    7 found a complete pure-Python protobuf runtime vendored inside
+    the host google-cloud-sdk and aliased it via _vendor/google.
+    Worker visibility: entries in `sc.environment` are forwarded into
+    the spawned worker's env (verified empirically — setting it AFTER
+    session build still reaches the worker), so no driver-env control
+    is required. Returns False (callers keep their gate) when the
+    cloud-sdk runtime is missing."""
+    try:
+        import sys
+
+        if TWS_VENDOR_DIR not in sys.path:
+            sys.path.insert(0, TWS_VENDOR_DIR)
+        import google.protobuf  # noqa: F401  (the alias shim)
+        from google.protobuf import descriptor  # noqa: F401
+    except Exception:
+        return False
+    current = os.environ.get("PYTHONPATH", "")
+    if TWS_VENDOR_DIR not in current.split(os.pathsep):
+        current = os.pathsep.join(p for p in (TWS_VENDOR_DIR, current) if p)
+        os.environ["PYTHONPATH"] = current
+    spark.sparkContext.environment["PYTHONPATH"] = current
+    return True
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Set session-mutable confs on an externally-built session."""
     for k, v in RUNTIME_CONFS.items():

@@ -123,3 +123,25 @@ def test_mwu_sketch_within_tie_mass_of_exact(spark):
         .collect()[0]["t"]
     )
     assert abs(sk["u1_x2"] - ex["u1_x2"]) <= tie_mass
+
+
+# ------------------------------------------------ transformWithState port
+def test_tws_and_apply_in_pandas_state_agree(spark):
+    """The two custom-stateful-operator APIs (applyInPandasWithState and
+    Spark 4's transformWithStateInPandas) must produce identical final
+    per-user totals on the bounded replay — same semantics, different
+    state plumbing (GroupState vs StatefulProcessor value handles on
+    RocksDB column families)."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    old = sorted(
+        tuple(r) for r in qs["stream_stateful_user_totals"].fn(spark, sf).collect()
+    )
+    new = sorted(
+        tuple(r)
+        for r in qs["stream_stateful_user_totals_tws"].fn(spark, sf).collect()
+    )
+    assert old == new
+    assert len(new) > 0
