@@ -41,3 +41,36 @@ def sql_split_cast_double(expr: str) -> str:
         f"(CAST(({expr}) // {TWO40} AS DOUBLE) * {TWO40} "
         f"+ CAST(({expr}) % {TWO40} AS DOUBLE))"
     )
+
+
+def scaled_split_cast_double(col_name: str, scale: int) -> Column:
+    """Engine-stable double of a nonnegative DECIMAL(p, scale) column.
+
+    The round-7 sf1 sweep caught the scaled twin of the 2^53 bug: a
+    DECIMAL(18,6) sum whose UNSCALED integer tops 2^53 (value > ~9e9)
+    casts to double differently in Spark vs DuckDB. Route: multiply to
+    the exact unscaled integer (DECIMAL arithmetic, exact), split-cast
+    that (identical in both engines), then ONE IEEE division by
+    10^scale — deterministic everywhere, unlike the engines' internal
+    decimal→double paths."""
+    unscaled = f"CAST({col_name} * {10 ** scale} AS DECIMAL(38,0))"
+    return (
+        F.expr(f"CAST({unscaled} div {TWO40} AS DOUBLE)") * TWO40
+        + F.expr(f"CAST({unscaled} % {TWO40} AS DOUBLE)")
+    ) / float(10 ** scale)
+
+
+def sql_scaled_split_cast_double(expr: str, scale: int) -> str:
+    """DuckDB spelling of scaled_split_cast_double.
+
+    The unscaled integer goes through HUGEINT, not DECIMAL(38,0):
+    DuckDB's `//` on DECIMAL operands is decimal division (it keeps
+    fractional scale, so hi would reconstruct the whole value and the
+    split would double-count — caught by the round-7 parity run);
+    HUGEINT `//` is true integer floor division, matching Spark's
+    `div`."""
+    unscaled = f"CAST(({expr}) * {10 ** scale} AS HUGEINT)"
+    return (
+        f"((CAST(({unscaled}) // {TWO40} AS DOUBLE) * {TWO40} "
+        f"+ CAST(({unscaled}) % {TWO40} AS DOUBLE)) / {float(10 ** scale)!r})"
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.functions import numfns as nf
 from data_pipeline_with_hdfs_sql_integration_spark.registry import query
 from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
 
@@ -26,23 +27,37 @@ def _sum_dec(col: F.Column, scale: int = 2) -> F.Column:
 
 @query(
     "agg_pricing_summary",
-    oracle="""
+    oracle=f"""
+        WITH a AS (
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sd,
+                   sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sc,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        )
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price,
-               CAST(count(*) AS BIGINT) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
+               CAST(sq AS DOUBLE) AS sum_qty,
+               CAST(sp AS DOUBLE) AS sum_base_price,
+               {nf.sql_scaled_split_cast_double('sd', 4)} AS sum_disc_price,
+               {nf.sql_scaled_split_cast_double('sc', 6)} AS sum_charge,
+               CAST(CAST(sq AS DOUBLE) / n AS DOUBLE) AS avg_qty,
+               CAST(CAST(sp AS DOUBLE) / n AS DOUBLE) AS avg_price,
+               CAST(n AS BIGINT) AS count_order
+        FROM a
     """,
     doc="TPC-H Q1-shaped pricing summary: scan-heavy 8-aggregate group-by "
     "on a low-cardinality key. Map-side partial aggregation means the "
     "shuffle carries one row per (flag,status) per task regardless of "
-    "fact size. Averages = exact decimal sum / count (order-independent).",
+    "fact size. Averages = exact decimal sum / count (order-independent). "
+    "The scale-4/6 sums convert to double via the scaled split-cast "
+    "(numfns): their UNSCALED integers pass 2^53 at sf1 where the "
+    "engines' native decimal→double rounding diverges — caught by the "
+    "round-7 sf1 sweep; the scale-2 sums stay below 2^53 through "
+    "sf~1000 and keep the direct cast.",
     tags=("analytics", "agg"),
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,16 +73,32 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            sum_qty.cast("double").alias("sum_qty"),
-            sum_price.cast("double").alias("sum_base_price"),
-            _sum_dec(disc_price, 4).cast("double").alias("sum_disc_price"),
+            sum_qty.alias("sq"),
+            sum_price.alias("sp"),
+            _sum_dec(disc_price, 4).alias("sd"),
             # charge = 2dp*2dp*2dp -> 6 decimal digits; scale 6 keeps the
-            # cast exact (scale 4 would hit half-way ties that Java rounds
-            # HALF_UP and DuckDB HALF_EVEN).
-            _sum_dec(charge, 6).cast("double").alias("sum_charge"),
-            (sum_qty.cast("double") / n).cast("double").alias("avg_qty"),
-            (sum_price.cast("double") / n).cast("double").alias("avg_price"),
+            # decimal sum exact (scale 4 would hit half-way ties that Java
+            # rounds HALF_UP and DuckDB HALF_EVEN).
+            _sum_dec(charge, 6).alias("sc"),
             n.alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sq").cast("double").alias("sum_qty"),
+            F.col("sp").cast("double").alias("sum_base_price"),
+            # Scaled split-cast: these sums' unscaled integers cross
+            # 2^53 at sf1, where native decimal→double rounds
+            # differently across engines (numfns docstring).
+            nf.scaled_split_cast_double("sd", 4).alias("sum_disc_price"),
+            nf.scaled_split_cast_double("sc", 6).alias("sum_charge"),
+            (F.col("sq").cast("double") / F.col("count_order"))
+            .cast("double")
+            .alias("avg_qty"),
+            (F.col("sp").cast("double") / F.col("count_order"))
+            .cast("double")
+            .alias("avg_price"),
+            F.col("count_order"),
         )
     )
 

@@ -7,6 +7,10 @@ import sys, time; sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[16]")
          .config("spark.sql.shuffle.partitions", "16")
+         # sf1 sweeps die at the 1g default driver memory (round 7:
+         # SparkContext shut down mid-sweep); local mode puts every
+         # executor thread in the driver JVM, so size it for the SF.
+         .config("spark.driver.memory", "24g")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
