@@ -1574,16 +1574,27 @@ def _register_dedup_incremental_semantic() -> None:
             .filter(ham <= ham_max)
             .select("new_vec", "match")
         )
-        en = e.select(F.col("vec_id").alias("new_vec"), F.col("v").alias("vn"))
-        em = e.select(F.col("vec_id").alias("match"), F.col("v").alias("vm"))
+        # Per-vector norms attach once (the dedup_semantic treatment):
+        # bit-identical to computing them inside the pair expression,
+        # one 64-dim fold per candidate instead of three.
+        nrm = F.sqrt(tf.dot(F.col("v"), F.col("v")))
+        en = e.select(
+            F.col("vec_id").alias("new_vec"),
+            F.col("v").alias("vn"),
+            nrm.alias("nn"),
+        )
+        em = e.select(
+            F.col("vec_id").alias("match"),
+            F.col("v").alias("vm"),
+            nrm.alias("nm"),
+        )
+        cos = F.round(
+            tf.dot(F.col("vn"), F.col("vm")) / (F.col("nn") * F.col("nm")), 6
+        )
         scored = (
             cand.join(en, "new_vec")
             .join(em, "match")
-            .select(
-                "new_vec",
-                "match",
-                sim._cosine(F.col("vn"), F.col("vm")).alias("cos"),
-            )
+            .select("new_vec", "match", cos.alias("cos"))
             .filter(F.col("cos") >= EMB_COSINE_THRESHOLD)
         )
         w = Window.partitionBy("new_vec").orderBy(
