@@ -29,4 +29,7 @@ def test_rows_only_queries_run(spark):
     for spec in all_queries().values():
         if spec.oracle is None:
             df = spec.fn(spark, SF_DIR)
-            assert df.count() >= 0, spec.name
+            # Non-empty, not merely runnable: a rows-only query that
+            # regresses to zero rows must fail here (the same guard the
+            # round-6 advice added to tools/full_sweep.py).
+            assert df.count() > 0, f"{spec.name}: rows-only query returned 0 rows"
