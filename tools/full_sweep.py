@@ -23,23 +23,32 @@ for t in ["region","nation","customer","supplier","part","orders",
 ok = bad = 0; fails = []
 t_start = time.monotonic()
 for name in sorted(qs):
+    t_q = time.monotonic()
     try:
         sdf = qs[name](spark, SF)
         rows = sdf.select(*sorted(sdf.columns)).collect()
+        t_spark = time.monotonic() - t_q
         if name not in os_:
             # Oracle-less queries must still return data: a regression
             # to an empty frame is a failure, not an "ok".
             assert len(rows) > 0, f"{name}: rows-only query returned 0 rows"
             assert len(rows[0]) > 0, f"{name}: rows-only query returned 0 columns"
             ok += 1
+            print(f"OK(rows-only) {name} spark={t_spark:.1f}s", flush=True)
             continue
         s = sorted(tuple(str(x) for x in r) for r in rows)
         rel = con.sql(os_[name])
         d = sorted(tuple(str(x) for x in r)
                    for r in con.sql(f"SELECT {', '.join(sorted(rel.columns))} FROM ({os_[name]})").fetchall())
-        if s == d: ok += 1
-        else: bad += 1; fails.append((name, "mismatch", len(s), len(d)))
+        t_oracle = time.monotonic() - t_q - t_spark
+        if s == d:
+            ok += 1
+            print(f"OK {name} spark={t_spark:.1f}s oracle={t_oracle:.1f}s", flush=True)
+        else:
+            bad += 1; fails.append((name, "mismatch", len(s), len(d)))
+            print(f"FAIL(mismatch) {name} rows {len(s)} vs {len(d)}", flush=True)
     except Exception as ex:
         bad += 1; fails.append((name, str(ex)[:160], None, None))
+        print(f"FAIL(error) {name}: {str(ex)[:160]}", flush=True)
 print(f"SWEEP {SF}: {ok} ok / {bad} bad of {len(qs)} in {time.monotonic()-t_start:.0f}s")
 for f in fails: print(" FAIL:", f)
