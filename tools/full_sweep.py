@@ -22,7 +22,14 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 ok = bad = 0; fails = []
 t_start = time.monotonic()
-for name in sorted(qs):
+# Cheap-oracle families first: at big SFs the pair-generating text/
+# embedding oracles (shingle joins, recursive CTEs, in-SQL cosine
+# verify) take minutes each in DuckDB, while the numeric families —
+# where scale-boundary exactness bugs actually live (2^53 class) —
+# check in seconds. Front-load the signal.
+_heavy = ("dedup_", "sim_", "text_", "overlap_", "cluster_", "graph_",
+          "linkage_", "pipeline_", "contamination_", "quality_")
+for name in sorted(qs, key=lambda n: (n.startswith(_heavy), n)):
     t_q = time.monotonic()
     try:
         sdf = qs[name](spark, SF)
