@@ -5,8 +5,10 @@ the sf0.1 run caught the wide-integer->double divergence the sf0.01
 driver gate could not see (sums below 2^53 there)."""
 import sys, time; sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
-spark = (SparkSession.builder.master("local[16]")
-         .config("spark.sql.shuffle.partitions", "16")
+import os as _os
+_cpus = _os.environ.get("SWEEP_CPUS", "16")
+spark = (SparkSession.builder.master(f"local[{_cpus}]")
+         .config("spark.sql.shuffle.partitions", _cpus)
          # sf1 sweeps die at the 1g default driver memory (round 7:
          # SparkContext shut down mid-sweep); local mode puts every
          # executor thread in the driver JVM, so size it for the SF.
@@ -29,7 +31,21 @@ t_start = time.monotonic()
 # check in seconds. Front-load the signal.
 _heavy = ("dedup_", "sim_", "text_", "overlap_", "cluster_", "graph_",
           "linkage_", "pipeline_", "contamination_", "quality_")
-for name in sorted(qs, key=lambda n: (n.startswith(_heavy), n)):
+# Optional sharding for big-SF runs where single oracles take minutes:
+# SWEEP_SHARD="i/n" processes every n-th query (offset i) so several
+# sweep processes can split the list; SWEEP_FAMILIES="heavy"/"cheap"
+# restricts to the heavy-prefix families or their complement.
+_names = sorted(qs, key=lambda n: (n.startswith(_heavy), n))
+_fam = __import__("os").environ.get("SWEEP_FAMILIES", "")
+if _fam == "heavy":
+    _names = [n for n in _names if n.startswith(_heavy)]
+elif _fam == "cheap":
+    _names = [n for n in _names if not n.startswith(_heavy)]
+_shard = __import__("os").environ.get("SWEEP_SHARD", "")
+if _shard:
+    _i, _n = (int(x) for x in _shard.split("/"))
+    _names = _names[_i::_n]
+for name in _names:
     t_q = time.monotonic()
     try:
         sdf = qs[name](spark, SF)
@@ -57,5 +73,5 @@ for name in sorted(qs, key=lambda n: (n.startswith(_heavy), n)):
     except Exception as ex:
         bad += 1; fails.append((name, str(ex)[:160], None, None))
         print(f"FAIL(error) {name}: {str(ex)[:160]}", flush=True)
-print(f"SWEEP {SF}: {ok} ok / {bad} bad of {len(qs)} in {time.monotonic()-t_start:.0f}s")
+print(f"SWEEP {SF}: {ok} ok / {bad} bad of {len(_names)} in {time.monotonic()-t_start:.0f}s")
 for f in fails: print(" FAIL:", f)
