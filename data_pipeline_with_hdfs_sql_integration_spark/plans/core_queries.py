@@ -307,11 +307,11 @@ def sql_interface_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TPCH_Q1_SQL = """
     SELECT l_returnflag,
            l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6))
                AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6))
                AS sum_charge,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -329,7 +329,13 @@ _TPCH_Q1_SQL = """
     "through spark.sql over registered views AND through DuckDB as "
     "its own oracle — zero per-engine edits, exact decimal sums. "
     "This is the strongest statement the SQL front door can make: a "
-    "user's ANSI query needs no translation layer.",
+    "user's ANSI query needs no translation layer. The sums stay "
+    "DECIMAL end-to-end (explicitly widened to the same DECIMAL(38,s) "
+    "on both engines): a final ->DOUBLE cast would round differently "
+    "per engine once the unscaled sum passes 2^53 — the sf1 sweep "
+    "caught exactly that in round 7 — and unlike engine-native plans "
+    "this query cannot use the split-cast spelling without breaking "
+    "the same-text property, so it returns the exact type instead.",
     tags=("sql", "api"),
 )
 def sql_interface_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
