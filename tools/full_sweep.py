@@ -45,6 +45,11 @@ _shard = __import__("os").environ.get("SWEEP_SHARD", "")
 if _shard:
     _i, _n = (int(x) for x in _shard.split("/"))
     _names = _names[_i::_n]
+# SWEEP_ONLY="a,b,c" restricts to an explicit list (in the given
+# order) — the tail-chasing knob when a few slow oracles remain.
+_only = __import__("os").environ.get("SWEEP_ONLY", "")
+if _only:
+    _names = [n for n in _only.split(",") if n in qs]
 for name in _names:
     t_q = time.monotonic()
     try:
