@@ -30,6 +30,10 @@ class Pipeline:
     value_col: str
     main_replication: int = 2
     cache_replication: int = 1
+    #: When set (e.g. ``http://namenode:9870``), ``block_report`` uses
+    #: the WebHDFS REST protocol — the reference's actual wire path
+    #: (server.py:72) — instead of the Hadoop FileSystem JVM API.
+    webhdfs_url: str | None = None
 
     def db_to_store(
         self,
@@ -61,6 +65,18 @@ class Pipeline:
         return with_retry(run, attempts=attempts, sleep_s=sleep_s)
 
     def block_report(self, path: str | None = None) -> dict[str, int]:
+        """Host → block-count map (BlockLocations, lender.proto:32-33).
+
+        Two interchangeable backends with identical flattening
+        semantics (one count per replica host per block): the WebHDFS
+        REST client when ``webhdfs_url`` is configured (wire parity
+        with reference server.py:70-87), else the Hadoop FileSystem
+        JVM API (works for file:// / s3a:// where no NameNode REST
+        endpoint exists)."""
+        if self.webhdfs_url:
+            from data_pipeline_with_hdfs_sql_integration_spark.sources.webhdfs import block_histogram
+
+            return block_histogram(self.webhdfs_url, path or self.main_path)
         return block_histogram_dict(self.spark, path or self.main_path)
 
     def _cache(self) -> PartitionCache:
