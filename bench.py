@@ -168,7 +168,14 @@ def main() -> None:
             # the timing); report warm throughput
             # (set SPARK_GRAFT_BENCH_WARMUP=0 for cold).
             run()
-        timings[name] = _time(run)
+        # Min of two timed passes: a single stop-the-world GC pause
+        # landing inside the one measured run shows up as a phantom
+        # 3-5x "regression" on a sub-second query (observed:
+        # graph_triangle_count 0.36 s vs 1.69 s across two sessions of
+        # identical code). Both passes run equally warm — the warmup
+        # already populated every persisted intermediate — so min is
+        # the operator's cost, not cherry-picking.
+        timings[name] = min(_time(run), _time(run))
         # Queries persist intermediates and (by design) never unpersist
         # — across 79 queries the leftovers accumulate into eviction/GC
         # churn that slowed the whole round-5 session ~31%. Clearing

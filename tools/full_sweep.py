@@ -13,11 +13,24 @@ spark = (SparkSession.builder.master(f"local[{_cpus}]")
          # SparkContext shut down mid-sweep); local mode puts every
          # executor thread in the driver JVM, so size it for the SF.
          .config("spark.driver.memory", "24g")
+         # The harness collect()s full results for the compare; at
+         # sf10 even aggregate outputs can pass the 1g default.
+         .config("spark.driver.maxResultSize", "8g")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
 qs, os_ = e.queries(), e.oracle_sql()
 import duckdb; con = duckdb.connect()
+# Big-SF oracles can exhaust RAM inside the in-process DuckDB (round 7:
+# dedup_substring_spans' oracle at sf1 hit 127 GB anon RSS and the OOM
+# killer took the whole sweep, silently when stderr was discarded).
+# Cap it and let it spill to disk instead of dying.
+con.execute("PRAGMA memory_limit='40GB'")
+con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
+# The limit does not track every operator's state, and peak memory
+# scales with per-thread partial hash tables (default = all cores).
+# Fewer threads is the lever that actually bounds the big-SF oracles.
+con.execute(f"PRAGMA threads={max(4, int(_cpus) // 2)}")
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
