@@ -740,12 +740,14 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------ product quantization
-PQ_M = 4  # subspaces
-PQ_SUBDIM = EMB_DIM // PQ_M  # 16 dims each
-PQ_CODES = 8  # codebook entries per subspace -> 4x3 bits per vector
-PQ_CAND = 200  # ADC candidates reranked exactly (recall knob: rerank cost is
-# ~PQ_CAND exact dots per query -- trivial next to the ADC scan -- while
-# recall@10 at sf0.1 measured 0.5 at 80 and 0.9 at 200)
+PQ_M = 8  # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M  # 8 dims each
+PQ_CODES = 16  # codebook entries per subspace -> 8x4 bits per vector
+PQ_CAND = 300  # ADC candidates reranked exactly (recall knob: rerank cost is
+# ~PQ_CAND exact dots per query -- trivial next to the ADC scan. The 4x8
+# codebook put the worst true top-10 neighbor at ADC rank 344 at sf0.1
+# (recall 0.7 at cand=200); the finer 8x16 codebook pulls it to rank 262
+# (recall 0.9 at cand=200, 1.0 at cand=300 -- both measured).
 
 
 def _l2(a, b):
@@ -892,7 +894,7 @@ def _pq_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 def pq_index_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(codebook, codes) read from the build-once parquet PQ index.
 
-    The codes table IS the index at scale (2 bytes/vector); the query
+    The codes table IS the index at scale (4 bytes/vector); the query
     job scans it with a broadcast LUT and never touches raw vectors
     until the exact rerank. Keyed to the fixture's identity+version.
     Parquet round-trips the codebook doubles exactly, so query results
@@ -938,16 +940,16 @@ def pq_index_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     doc=f"ANN via product quantization: {PQ_M} subspaces x {PQ_SUBDIM} "
     f"dims, {PQ_CODES}-entry codebook per subspace (seeded init + one "
     "Lloyd round, fixed-point integer means — bit-replicable), encode "
-    f"each vector as {PQ_M} codes ({PQ_M}x3 bits, a ~170x memory "
+    f"each vector as {PQ_M} codes ({PQ_M}x4 bits, a 64x memory "
     "reduction vs float32), search by asymmetric distance: the query "
     "precomputes a (subspace, code) -> distance lookup table, candidate "
     "distance is an exact BIGINT sum of table entries (no float "
     f"order-dependence), top-{PQ_CAND} candidates rerank exactly. "
     "Completes the ANN toolbox: LSH (signatures), IVF (partitions), "
     "int8 SQ (memory), PQ (extreme compression + table-driven scan). "
-    "At 100 TB the codes table is the index: 2 bytes/vector scanned "
-    "with a broadcast 32-row LUT — a map-only pass plus one "
-    "TakeOrderedAndProject.",
+    "At 100 TB the codes table is the index: 4 bytes/vector scanned "
+    f"with a broadcast {PQ_M * PQ_CODES}-row LUT — a map-only pass plus "
+    "one TakeOrderedAndProject.",
     tags=("similarity", "pq"),
 )
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
