@@ -1,4 +1,5 @@
-"""Distributed global row_number without a single-partition sort.
+"""Distributed global row_number / prefix sums without a
+single-partition sort.
 
 `Window.orderBy(...)` with no partitionBy moves the WHOLE relation
 through one task (`WindowExec: No Partition Defined`) — fine for a few
@@ -79,3 +80,71 @@ def global_row_number(
     return loc.withColumn(alias, (F.col("_gr_r") + off).cast("long")).drop(
         "_gr_pid", "_gr_r"
     )
+
+
+def global_prefix_sum(
+    df: DataFrame, order: list[tuple[str, str]], sums: dict[str, str]
+) -> DataFrame:
+    """Return `df` plus, for each `alias -> col` in `sums`, an INCLUSIVE
+    global running sum of `col` over the total order `order`
+    ([(col, 'asc'|'desc')]) — the distributed form of
+    `sum(col) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` — computed
+    without any unpartitioned window or single-partition sort.
+
+    Same two-phase shape as :func:`global_row_number`: range-partition
+    on the full sort key so partition-id order IS sort order, run the
+    cumulative window partition-locally keyed on spark_partition_id(),
+    then add each partition's offset = the SUM of every lower-id
+    partition's column total. The per-partition totals are ONE ROW PER
+    PARTITION — a bounded driver pull, never data-sized. Callers
+    needing the EXCLUSIVE form subtract the row's own value
+    (excl = incl - col).
+
+    Triggers one Spark job (the totals pull) and persists the locally
+    cumulated intermediate so the totals job and the caller's
+    downstream job observe the same range boundaries (sampled
+    per-job otherwise — same pin as global_row_number).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sort_cols = [
+        F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in order
+    ]
+    rp = df.repartitionByRange(*sort_cols).withColumn(
+        "_gp_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_gp_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = rp.select(
+        "*", *[F.sum(col).over(w).alias(alias) for alias, col in sums.items()]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    totals = {
+        row["_gp_pid"]: row
+        for row in loc.groupBy("_gp_pid")
+        .agg(*[F.sum(col).alias(alias) for alias, col in sums.items()])
+        .collect()
+    }
+    out = loc
+    for alias in sums:
+        acc = 0
+        offsets: dict[int, int] = {}
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid][alias] or 0
+        if any(offsets.values()):
+            off = F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[F.lit(x) for kv in offsets.items() for x in kv]
+                    ),
+                    F.col("_gp_pid"),
+                ),
+                F.lit(0),
+            )
+            out = out.withColumn(alias, (F.col(alias) + off).cast("long"))
+        else:
+            out = out.withColumn(alias, F.col(alias).cast("long"))
+    return out.drop("_gp_pid")

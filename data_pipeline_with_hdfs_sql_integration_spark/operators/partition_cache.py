@@ -21,11 +21,14 @@ write via the Hadoop FileSystem API when the storage supports it.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -101,7 +104,11 @@ class PartitionCache:
                 if st.isFile():
                     fs.setReplication(st.getPath(), self.replication)
         except Exception:
-            pass  # local fs: replication is a no-op
+            # Local fs treats replication as a no-op, but on a real
+            # cluster a failed setReplication is a durability signal —
+            # record it instead of swallowing silently.
+            _log.debug("setReplication(%s, %d) failed", path, self.replication,
+                       exc_info=True)
 
     def _delete(self, path: str) -> None:
         jvm = self.spark._jvm

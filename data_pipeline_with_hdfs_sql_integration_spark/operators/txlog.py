@@ -19,10 +19,12 @@ parquet + JSON:
   put-if-absent protocol Delta's LogStore uses (a racing writer
   loses the link and retries against the replayed log).
 
-At 100 TB the log is tiny metadata (file paths, not data); snapshot
-resolution is a driver-side replay of O(commits) small JSON files —
-checkpoint compaction (a rolled-up live-set file every N commits)
-is the standard extension and noted in SCALE.md.
+At 100 TB the log is tiny metadata (file paths, not data). Snapshot
+resolution replays from the latest CHECKPOINT — a rolled-up
+``NNNNNNNN.checkpoint.json`` carrying the full live-set + constraint
+state, written automatically every ``CHECKPOINT_INTERVAL`` commits
+(the Delta/Iceberg pattern) — so replay reads O(interval) commit
+files regardless of table age, not O(history).
 """
 
 from __future__ import annotations
@@ -33,6 +35,11 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Write a rolled-up state checkpoint every N commits. Replay then
+#: reads at most N-1 commit files past the checkpoint, whatever the
+#: table's total history (Delta checkpoints every 10 by default too).
+CHECKPOINT_INTERVAL = 10
+
 
 class TxTable:
     def __init__(self, root: str) -> None:
@@ -41,6 +48,9 @@ class TxTable:
         self.log_dir = os.path.join(root, "_log")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.log_dir, exist_ok=True)
+        #: Commit files opened by the most recent replay — operational
+        #: visibility (and the test hook proving compaction bounds it).
+        self.last_replay_reads = 0
 
     # ------------------------------------------------------------- log
     def _commits(self) -> list[str]:
@@ -68,6 +78,93 @@ class TxTable:
     def latest_version(self) -> int:
         commits = self._commits()
         return int(commits[-1].split(".")[0]) if commits else -1
+
+    # ----------------------------------------------------- checkpoints
+    def _checkpoints(self) -> list[str]:
+        import re
+
+        return sorted(
+            (
+                f
+                for f in os.listdir(self.log_dir)
+                if re.fullmatch(r"\d{8,}\.checkpoint\.json", f)
+            ),
+            key=lambda f: int(f.split(".")[0]),
+        )
+
+    def _latest_checkpoint(self, version: int | None = None):
+        """(version, state) of the newest checkpoint at or below
+        ``version`` (None = any), or None. Checkpoints publish via the
+        same write-temp + link-exclusive protocol as commits, so a
+        listed checkpoint is always complete JSON."""
+        for name in reversed(self._checkpoints()):
+            v = int(name.split(".")[0])
+            if version is None or v <= version:
+                with open(os.path.join(self.log_dir, name)) as f:
+                    return v, json.load(f)
+        return None
+
+    def _replay_state(
+        self, version: int | None = None
+    ) -> tuple[set[str], dict[str, str]]:
+        """(live file set, active constraints) at ``version``, replayed
+        from the newest checkpoint <= version — O(CHECKPOINT_INTERVAL)
+        commit reads, never O(history)."""
+        live: set[str] = set()
+        active: dict[str, str] = {}
+        start = -1
+        ckpt = self._latest_checkpoint(version)
+        if ckpt is not None:
+            start, state = ckpt
+            live = set(state["live"])
+            active = dict(state["constraints"])
+        reads = 0
+        for name in self._commits():
+            v = int(name.split(".")[0])
+            if v <= start:
+                continue
+            if version is not None and v > version:
+                break
+            with open(os.path.join(self.log_dir, name)) as f:
+                entry = json.load(f)
+            reads += 1
+            live -= set(entry.get("remove", []))
+            live |= set(entry.get("add", []))
+            active.update(entry.get("setConstraint", {}))
+            for dropped in entry.get("dropConstraint", []):
+                active.pop(dropped, None)
+        self.last_replay_reads = reads
+        return live, active
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """After every CHECKPOINT_INTERVAL-th commit, roll the replayed
+        state at that version into ``{version}.checkpoint.json``.
+        Link-exclusive publish: a racing writer checkpointing the same
+        version loses the link and the existing (identical — state at
+        a version is deterministic) checkpoint stands. Best-effort: a
+        failed checkpoint never fails the commit it trails."""
+        if version <= 0 or version % CHECKPOINT_INTERVAL != 0:
+            return
+        live, active = self._replay_state(version)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "live": sorted(live),
+                    "constraints": active,
+                },
+                f,
+            )
+        target = os.path.join(
+            self.log_dir, f"{version:08d}.checkpoint.json"
+        )
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
 
     def _commit(
         self,
@@ -103,6 +200,7 @@ class TxTable:
                 # "create exclusively" commit; rename() would clobber.
                 os.link(tmp, target)
                 os.unlink(tmp)
+                self._maybe_checkpoint(version)
                 return version
             except FileExistsError:
                 os.unlink(tmp)  # lost the race: replay and retry
@@ -134,19 +232,9 @@ class TxTable:
 
     # ------------------------------------------------------ constraints
     def constraints(self, version: int | None = None) -> dict[str, str]:
-        """Active CHECK constraints at a version (log metadata replay,
-        same mechanism as the live file set)."""
-        active: dict[str, str] = {}
-        for name in self._commits():
-            v = int(name.split(".")[0])
-            if version is not None and v > version:
-                break
-            with open(os.path.join(self.log_dir, name)) as f:
-                entry = json.load(f)
-            active.update(entry.get("setConstraint", {}))
-            for dropped in entry.get("dropConstraint", []):
-                active.pop(dropped, None)
-        return active
+        """Active CHECK constraints at a version (checkpointed log
+        replay, same mechanism as the live file set)."""
+        return self._replay_state(version)[1]
 
     def set_constraint(self, name: str, predicate: str) -> int:
         """Record a CHECK constraint as a metadata-only commit. Every
@@ -186,16 +274,7 @@ class TxTable:
 
     # ------------------------------------------------------------- read
     def live_files(self, version: int | None = None) -> list[str]:
-        live: set[str] = set()
-        for name in self._commits():
-            v = int(name.split(".")[0])
-            if version is not None and v > version:
-                break
-            with open(os.path.join(self.log_dir, name)) as f:
-                entry = json.load(f)
-            live -= set(entry.get("remove", []))
-            live |= set(entry.get("add", []))
-        return sorted(live)
+        return sorted(self._replay_state(version)[0])
 
     def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         files = self.live_files(version)

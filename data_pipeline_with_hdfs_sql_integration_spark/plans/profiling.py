@@ -363,15 +363,19 @@ def stream_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "denominator n1*n2 carried via n1, n2) — no float CDFs, no "
     "boundary flips; d_at_cents pins WHERE the sup is attained "
     "(min value on ties). Scale shape: one grouped count per distinct "
-    "value (map-side combinable), then one window over the DISTINCT "
-    "VALUE relation — orders of magnitude smaller than the data but "
-    "still unbounded at web scale, so this is the exact BASELINE; "
-    "the 100 TB path is stats_ks_sketch (same cross-multiplied rule "
+    "value (map-side combinable), then the cumulative counts via the "
+    "TWO-PHASE global prefix sum (operators/global_rank.py: range-"
+    "partitioned local windows + broadcast per-partition offsets) — "
+    "no unpartitioned WindowExec anywhere, so the exact form itself "
+    "survives an unbounded distinct-value relation; stats_ks_sketch "
+    "remains the constant-state sibling (same cross-multiplied rule "
     f"over a fixed {1200}-bin histogram, one-bin error).",
     tags=("profiling", "stats", "anomaly"),
 )
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import (
+        global_prefix_sum,
+    )
 
     apply_runtime_confs(spark)
     ev = load(spark, sf_dir, "events")
@@ -382,12 +386,12 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = s.groupBy("cents").agg(
         F.sum("is_a").alias("c1"), F.sum(1 - F.col("is_a")).alias("c2")
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        "cents",
-        F.sum("c1").over(w).alias("f1"),
-        F.sum("c2").over(w).alias("f2"),
-    )
+    # Two-phase global running sums (range-partitioned local windows +
+    # broadcast partition offsets) — no unpartitioned WindowExec even
+    # though the distinct-value relation is unbounded at web scale.
+    cum = global_prefix_sum(
+        per_v, [("cents", "asc")], {"f1": "c1", "f2": "c2"}
+    ).select("cents", "f1", "f2")
     tot = s.agg(F.sum("is_a").alias("n1"), F.sum(1 - F.col("is_a")).alias("n2"))
     scored = cum.crossJoin(F.broadcast(tot)).select(
         "n1",
@@ -529,14 +533,17 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "values of c2*(smaller-sample-1-count + ties/2), carried DOUBLED "
     "(u1_x2) so the half-tie term never touches floats; u1+u2 = "
     "n1*n2 is the built-in self-check. Same scale shape as KS: "
-    "grouped counts per distinct value, one window over the distinct-"
-    "value relation only — the exact BASELINE; the 100 TB path is "
-    "stats_mwu_sketch (same doubled-midrank formula over the fixed "
-    "histogram, bounded window).",
+    "grouped counts per distinct value, below-count b1 via the "
+    "TWO-PHASE global prefix sum (exclusive = inclusive - own count; "
+    "operators/global_rank.py) — no unpartitioned window; "
+    "stats_mwu_sketch remains the constant-state sibling (same "
+    "doubled-midrank formula over the fixed histogram).",
     tags=("profiling", "stats", "anomaly"),
 )
 def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import (
+        global_prefix_sum,
+    )
 
     apply_runtime_confs(spark)
     ev = load(spark, sf_dir, "events")
@@ -547,11 +554,13 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = s.groupBy("cents").agg(
         F.sum("is_a").alias("c1"), F.sum(1 - F.col("is_a")).alias("c2")
     )
-    wprev = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per_v.select(
+    # Exclusive running sum of c1 ("how many sample-1 values sit
+    # strictly below this one") = two-phase inclusive prefix sum
+    # minus the row's own count — no unpartitioned window.
+    cum = global_prefix_sum(per_v, [("cents", "asc")], {"_i1": "c1"}).select(
         "c1",
         "c2",
-        F.coalesce(F.sum("c1").over(wprev), F.lit(0)).alias("b1"),
+        (F.col("_i1") - F.col("c1")).alias("b1"),
     )
     tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     scored = cum.crossJoin(F.broadcast(tot))
@@ -620,16 +629,14 @@ KS_NBINS = 1200
     "at a boundary is exact; the true sup can exceed the binned sup "
     "only by mass interior to one bin, so the error is bounded by "
     "one bin — the anomaly_mad_sketch contract applied to KS. The "
-    "cumulative window runs over the <= "
-    f"{KS_NBINS}-row histogram, never the value domain (the exact "
-    "sibling's distinct-value relation is unbounded at web scale; "
-    "this one is constant). d_at_cents_ub pins the upper edge of the "
-    "first bin attaining the sup.",
+    "read-off is one HOF fold over the <= "
+    f"{KS_NBINS}-bin histogram, never the value domain (no Window "
+    "operator at all; the exact sibling's distinct-value relation is "
+    "unbounded at web scale, this one is constant). d_at_cents_ub "
+    "pins the upper edge of the first bin attaining the sup.",
     tags=("profiling", "stats", "anomaly", "sketch"),
 )
 def stats_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     apply_runtime_confs(spark)
     ev = load(spark, sf_dir, "events")
     s = ev.filter(F.col("event_type").isin("view", "click")).select(
@@ -642,30 +649,58 @@ def stats_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_b = s.groupBy("bin").agg(
         F.sum("is_a").alias("c1"), F.sum(1 - F.col("is_a")).alias("c2")
     )
-    # Global window — over the bounded histogram only (<= KS_NBINS
-    # rows), the sketches.py precedent.
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_b.select(
-        "bin",
-        F.sum("c1").over(w).alias("f1"),
-        F.sum("c2").over(w).alias("f2"),
+    # The sketch read-off is ONE HOF fold over the collected
+    # <= KS_NBINS-bin histogram (an aggregate merging constant-size
+    # sketch state) — no Window operator, no single-partition sort.
+    # The strict '>' keeps the FIRST (smallest) bin attaining the sup,
+    # matching the oracle's min-on-ties rule.
+    arr = per_b.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bin", "c1", "c2"))
+        ).alias("h")
     )
-    tot = per_b.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    scored = cum.crossJoin(F.broadcast(tot)).select(
+    tot = arr.select(
+        "h",
+        F.expr(
+            "aggregate(h, cast(0 as bigint), (a, x) -> a + x.c1)"
+        ).alias("n1"),
+        F.expr(
+            "aggregate(h, cast(0 as bigint), (a, x) -> a + x.c2)"
+        ).alias("n2"),
+    )
+    fold = tot.select(
         "n1",
         "n2",
-        "bin",
-        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("d"),
+        F.expr(
+            """
+            aggregate(
+                h,
+                named_struct(
+                    'f1', cast(0 as bigint), 'f2', cast(0 as bigint),
+                    'best_d', cast(-1 as bigint),
+                    'best_bin', cast(0 as bigint)),
+                (acc, x) -> named_struct(
+                    'f1', acc.f1 + x.c1,
+                    'f2', acc.f2 + x.c2,
+                    'best_d', CASE
+                        WHEN abs((acc.f1 + x.c1) * n2 - (acc.f2 + x.c2) * n1)
+                             > acc.best_d
+                        THEN abs((acc.f1 + x.c1) * n2 - (acc.f2 + x.c2) * n1)
+                        ELSE acc.best_d END,
+                    'best_bin', CASE
+                        WHEN abs((acc.f1 + x.c1) * n2 - (acc.f2 + x.c2) * n1)
+                             > acc.best_d
+                        THEN x.bin ELSE acc.best_bin END))
+            """
+        ).alias("st"),
     )
-    return scored.groupBy("n1", "n2").agg(
-        F.max("d").alias("d_num"),
-        (
-            F.min_by(
-                "bin", F.struct((-F.col("d")).alias("nd"), F.col("bin").alias("b"))
-            )
-            * KS_BIN_C
-            + (KS_BIN_C - 1)
-        ).alias("d_at_cents_ub"),
+    return fold.select(
+        "n1",
+        "n2",
+        F.col("st.best_d").alias("d_num"),
+        (F.col("st.best_bin") * KS_BIN_C + (KS_BIN_C - 1))
+        .cast("long")
+        .alias("d_at_cents_ub"),
     )
 
 
@@ -708,14 +743,12 @@ def stats_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "statistic by at most the within-bin discordant mass — bounded "
     "by one bin per distinct-value collision, the standard binned-"
     "rank contract. Data passes are map-side-combinable grouped "
-    "counts; the prefix-sum window runs over <= "
-    f"{KS_NBINS} rows. u1_x2 + u2_x2 = 2*n1*n2 remains the built-in "
-    "self-check.",
+    "counts; the read-off is one HOF fold over the <= "
+    f"{KS_NBINS}-bin histogram (no Window operator at all). "
+    "u1_x2 + u2_x2 = 2*n1*n2 remains the built-in self-check.",
     tags=("profiling", "stats", "anomaly", "sketch"),
 )
 def stats_mwu_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     apply_runtime_confs(spark)
     ev = load(spark, sf_dir, "events")
     s = ev.filter(F.col("event_type").isin("view", "click")).select(
@@ -728,20 +761,43 @@ def stats_mwu_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_b = s.groupBy("bin").agg(
         F.sum("is_a").alias("c1"), F.sum(1 - F.col("is_a")).alias("c2")
     )
-    wprev = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per_b.select(
-        "c1",
-        "c2",
-        F.coalesce(F.sum("c1").over(wprev), F.lit(0)).alias("b1"),
+    # ONE HOF fold over the collected <= KS_NBINS-bin histogram: the
+    # accumulator carries (below-count b1, running doubled-U) — no
+    # Window operator, no single-partition sort (sketches.py pattern).
+    arr = per_b.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bin", "c1", "c2"))
+        ).alias("h")
     )
-    tot = per_b.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    scored = cum.crossJoin(F.broadcast(tot))
-    return scored.groupBy("n1", "n2").agg(
-        F.sum(F.col("c2") * (2 * F.col("b1") + F.col("c1"))).alias("u1_x2"),
-        (
-            2 * F.first("n1") * F.first("n2")
-            - F.sum(F.col("c2") * (2 * F.col("b1") + F.col("c1")))
-        ).alias("u2_x2"),
+    tot = arr.select(
+        "h",
+        F.expr(
+            "aggregate(h, cast(0 as bigint), (a, x) -> a + x.c1)"
+        ).alias("n1"),
+        F.expr(
+            "aggregate(h, cast(0 as bigint), (a, x) -> a + x.c2)"
+        ).alias("n2"),
+    )
+    fold = tot.select(
+        "n1",
+        "n2",
+        F.expr(
+            """
+            aggregate(
+                h,
+                named_struct('b1', cast(0 as bigint),
+                             'u', cast(0 as bigint)),
+                (acc, x) -> named_struct(
+                    'b1', acc.b1 + x.c1,
+                    'u', acc.u + x.c2 * (2 * acc.b1 + x.c1)))
+            """
+        ).alias("st"),
+    )
+    return fold.select(
+        "n1",
+        "n2",
+        F.col("st.u").alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - F.col("st.u")).alias("u2_x2"),
     )
 
 

@@ -847,7 +847,8 @@ def _pq_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
     # Seed codebooks from the PQ_CODES Knuth-hash-smallest vectors —
     # constant-size driver materialization (codebooks are the PQ analog
-    # of k-means centers; 4x8x16 doubles at ANY corpus scale).
+    # of k-means centers; PQ_M x PQ_CODES x PQ_SUBDIM = 8x16x8 doubles
+    # at ANY corpus scale).
     seed_rows = (
         e.orderBy(
             ((F.col("vec_id").cast("long") * _SEED_MULT) % _SEED_MOD).asc(),

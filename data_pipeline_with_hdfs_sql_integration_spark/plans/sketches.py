@@ -230,8 +230,8 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(HQ_NBINS - 1),
     )
     hist = o.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
-    # Cumulative sum + probe run over <= HQ_NBINS rows: the
-    # unpartitioned window is bounded by the sketch width, not the data.
+    # Cumulative sum + probe read off <= HQ_NBINS rows via one HOF
+    # fold — state bounded by the sketch width, no Window operator.
     return _quantile_readoff(hist, HQ_QS_PM, HQ_BIN_W)
 
 
@@ -241,20 +241,48 @@ HQE_NBINS = 1024
 
 def _quantile_readoff(hist: DataFrame, qs_pm: tuple[int, ...], bin_w: float) -> DataFrame:
     """(q_pm, est_bin, est_upper, n) from a (bin, cnt) histogram — the
-    shared integer ceil-rank rule; windows run over the sketch only."""
-    from pyspark.sql import Window
-
+    shared integer ceil-rank rule. The cumulative counts come from ONE
+    HOF fold over the collected histogram (an aggregate merging
+    constant-size sketch state — the canonical sketch read-off), so no
+    Window operator and no single-partition sort exist anywhere in the
+    plan; state is bounded by the sketch width, never the data."""
     spark = hist.sparkSession
-    cum = hist.select(
-        "bin",
-        F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("cum"),
-        F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
+    arr = hist.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("bin").cast("long").alias("bin"),
+                    F.col("cnt").cast("long").alias("cnt"),
+                )
             )
-        ).alias("total"),
+        ).alias("h")
+    )
+    # Running-sum scan: fold the sorted bins into (bin, cum) pairs.
+    scan = arr.select(
+        F.expr(
+            """
+            aggregate(
+                h,
+                named_struct(
+                    'out', cast(array() as array<struct<bin:bigint,cum:bigint>>),
+                    'run', cast(0 as bigint)),
+                (acc, x) -> named_struct(
+                    'out', concat(acc.out,
+                                  array(named_struct('bin', x.bin,
+                                                     'cum', acc.run + x.cnt))),
+                    'run', acc.run + x.cnt),
+                acc -> acc.out)
+            """
+        ).alias("cums")
+    )
+    cum = (
+        scan.select(
+            "cums", F.element_at("cums", -1)["cum"].alias("total")
+        )
+        .select(F.explode("cums").alias("s"), "total")
+        .select(
+            F.col("s.bin").alias("bin"), F.col("s.cum").alias("cum"), "total"
+        )
     )
     qdf = spark.createDataFrame([(q,) for q in qs_pm], "q_pm bigint")
     return (
@@ -629,12 +657,23 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp_exact = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
         F.countDistinct("l_orderkey").alias("exact_distinct")
     )
-    merged = (
+    # Union sketch = Kth-smallest of the merged (<= groups x K row)
+    # hash sets — element_at over ONE sorted collect_list instead of a
+    # row_number window (no unpartitioned WindowExec; the aggregate's
+    # state is bounded by the sketch sizes). NULL when the merged set
+    # holds fewer than K hashes, filtered to match the old empty result.
+    union_kth = (
         kmin.select("h")
         .distinct()
-        .select("h", F.row_number().over(Window.orderBy(F.col("h").asc())).alias("rn"))
+        .agg(
+            F.try_element_at(
+                F.sort_array(F.collect_list("h")), F.lit(KMV_K)
+            ).alias("h")
+        )
     )
-    union_est = merged.filter(F.col("rn") == KMV_K).select(est_expr.alias("kmv_estimate"))
+    union_est = union_kth.filter(F.col("h").isNotNull()).select(
+        est_expr.alias("kmv_estimate")
+    )
     union_exact = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
     return grp_est.join(grp_exact, "grp").unionAll(
         union_est.crossJoin(union_exact).select(
@@ -749,12 +788,18 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sk.groupBy("side").agg(
         F.coalesce(est_of_kth, F.count("*")).alias("e")
     )
-    merged = (
-        sk.select("h")
-        .distinct()
-        .select("h", F.row_number().over(Window.orderBy(F.col("h").asc())).alias("rn"))
+    # Union estimate off the merged (<= 2K row) sketch: Kth-smallest
+    # via element_at over one sorted collect_list — no unpartitioned
+    # row_number window; n < K falls back to the exact merged count.
+    uest = sk.select("h").distinct().agg(
+        F.coalesce(
+            F.expr(
+                f"CAST(({KMV_K} - 1) * CAST({tf.MOD} AS BIGINT) div "
+                f"try_element_at(sort_array(collect_list(h)), {KMV_K}) AS BIGINT)"
+            ),
+            F.count("*"),
+        ).alias("e")
     )
-    uest = merged.agg(F.coalesce(est_of_kth, F.count("*")).alias("e"))
     views = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
     purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     exact = (

@@ -758,18 +758,31 @@ def test_zipf_rank_has_no_unpartitioned_window(spark):
     assert "rangepartitioning(freq" in plan
 
 
-def test_ks_mwu_sketch_windows_over_histogram_only(spark):
-    """The sketch KS/MWU siblings' windows must run over the bounded
-    bin histogram (the aggregate keyed on `bin` sits BELOW the window
-    in the plan), with the data pass a partial (map-side) hash
-    aggregate — and no sort of the raw distinct-value relation."""
+def test_ks_mwu_exact_have_no_unpartitioned_window(spark):
+    """The EXACT KS/MWU baselines now compute their cumulative counts
+    with the two-phase global prefix sum — range-partitioned local
+    windows plus broadcast offsets — so even the exact forms carry no
+    single-partition sort over the distinct-value relation."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    for name in ("stats_ks_two_sample", "stats_mann_whitney_u"):
+        df = all_queries()[name].fn(spark, SF_DIR)
+        plan = _plan(df)
+        assert "Window" in plan, name  # the local cumsum is still a window
+        assert "], [], [" not in plan, f"unpartitioned Window in {name}"
+        assert "rangepartitioning(cents" in plan, name
+
+
+def test_ks_mwu_sketch_have_no_window_at_all(spark):
+    """The sketch KS/MWU siblings read off the bounded bin histogram
+    with ONE HOF fold over a collected array (constant sketch state) —
+    the data pass stays a partial (map-side) hash aggregate and the
+    plan carries NO Window operator and no single-partition sort."""
     from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
 
     for name in ("stats_ks_sketch", "stats_mwu_sketch"):
         df = all_queries()[name].fn(spark, SF_DIR)
         plan = _plan(df)
         assert "partial_count" in plan or "partial_sum" in plan, name
-        # The window's input is the post-aggregate bin relation: the
-        # plan tree has exactly one Window node.
-        assert plan.count("Window (") == 1, name
+        assert "Window" not in plan, name
         assert "CartesianProduct" not in plan, name

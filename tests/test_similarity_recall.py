@@ -17,8 +17,8 @@ def _recall(spark, ann_name: str, k: int = 10) -> float:
     return len(set(got) & set(exact)) / k
 
 
-# Floors sit one matched-vector below the values measured at the test
-# SF (lsh 0.9, ivf 0.9, pq 0.9 after PQ_CAND 80->200) so a silent
+# Floors sit below the values measured at the test SF (lsh 0.9,
+# ivf 0.9, pq 1.0 with the 8x16 codebook at PQ_CAND=300) so a silent
 # quality regression trips before it reaches parity-passing-but-wrong
 # territory, while one borderline tie stays survivable.
 def test_lsh_recall_floor(spark):

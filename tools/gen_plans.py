@@ -30,7 +30,7 @@ PICKS = [
     ("scd2_order_priority", "both window passes share ONE sort/exchange on (custkey, time)"),
     ("graph_pagerank", "per-round InMemoryRelation barrier; edges><ranks BHJ + one groupBy(dst) shuffle per round"),
     ("fuzzy_match_partnames", "blocked fuzzy join: equi-join on the blocking key, NO cartesian; edit-distance verify post-join"),
-    ("sim_ann_pq", "PQ ADC search: broadcast 32-row LUT joined to the codes scan, exact BIGINT sums, TakeOrderedAndProject candidates"),
+    ("sim_ann_pq", "PQ ADC search: broadcast 128-row LUT (8 subspaces x 16 codes) joined to the codes scan, exact BIGINT sums, TakeOrderedAndProject candidates"),
     ("layout_dynamic_partition_pruning", "dynamicpruningexpression subquery in the fact scan's PartitionFilters, fed by the broadcast tier='hot' dim"),
     ("layout_bucketed_join", "both sides read pre-bucketed+sorted (SelectedBucketsCount); the only Exchange is the final aggregate's"),
     ("dedup_embedding_lsh", "signature persist barrier; band bucket equi-join candidates; exact cosine verify joins fetch only candidate vectors"),
