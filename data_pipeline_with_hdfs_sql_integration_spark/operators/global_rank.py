@@ -82,6 +82,65 @@ def global_row_number(
     )
 
 
+def global_prefix_max(
+    df: DataFrame,
+    order: list[tuple[str, str]],
+    col: str,
+    alias: str,
+    exclusive: bool = True,
+) -> DataFrame:
+    """Return `df` plus `alias` = the running MAX of `col` over the
+    total order `order` — `max(col) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING [AND 1 PRECEDING])` — without an unpartitioned window.
+
+    Max is associative, so the same two-phase scan applies: range-
+    partition on the sort key, run the (exclusive or inclusive) running
+    max partition-locally, then fold in each partition's offset = the
+    MAX of every lower-id partition's column maximum via `greatest`
+    (which skips NULLs, preserving the "no preceding row" NULL of the
+    exclusive form's first global row).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sort_cols = [
+        F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in order
+    ]
+    rp = df.repartitionByRange(*sort_cols).withColumn(
+        "_gm_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_gm_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    loc = rp.withColumn(alias, F.max(col).over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    maxima = {
+        row["_gm_pid"]: row["m"]
+        for row in loc.groupBy("_gm_pid")
+        .agg(F.max(col).alias("m"))
+        .collect()
+    }
+    offsets: dict[int, object] = {}
+    acc = None
+    for pid in sorted(maxima):
+        offsets[pid] = acc
+        m = maxima[pid]
+        acc = m if acc is None or (m is not None and m > acc) else acc
+    known = {p: v for p, v in offsets.items() if v is not None}
+    if known:
+        # try_element_at: partitions with no lower-id maximum are
+        # absent from the map and must yield NULL (ANSI element_at
+        # would throw on the missing key).
+        off = F.try_element_at(
+            F.create_map(*[F.lit(x) for kv in known.items() for x in kv]),
+            F.col("_gm_pid"),
+        )
+        loc = loc.withColumn(alias, F.greatest(F.col(alias), off))
+    return loc.drop("_gm_pid")
+
+
 def global_prefix_sum(
     df: DataFrame, order: list[tuple[str, str]], sums: dict[str, str]
 ) -> DataFrame:

@@ -614,10 +614,12 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distributed two-phase: a local skyline keyed on "
     "spark_partition_id() kills dominated points map-side (locally "
     "dominated => globally dominated, so no answer is lost), and the "
-    "global single-partition window runs only over the union of "
-    "local survivors — the structure that keeps the final sort "
-    "trivial at 100 TB. The partition-id intermediate never affects "
-    "the result (partition-invariance suite covers the family).",
+    "global dominance check over the survivor union runs as a "
+    "two-phase exclusive prefix max (operators/global_rank.py) — "
+    "no single-partition window anywhere, even the survivor "
+    "relation stays range-partitioned at 100 TB. The partition-id "
+    "intermediate never affects the result (partition-invariance "
+    "suite covers the family).",
     tags=("agg", "window", "analytics"),
 )
 def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,9 +647,27 @@ def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Phase 1: LOCAL skylines keyed on the physical partition id —
     # dominated points die map-side before anything moves (a point
     # dominated within its partition is dominated globally, so this
-    # only ever removes non-answers). Phase 2: the global window runs
-    # over the tiny union of local survivors, not the table.
+    # only ever removes non-answers). Phase 2: the global dominance
+    # check is an exclusive running MAX over the survivor union —
+    # computed with the two-phase global_prefix_max scan
+    # (range-partitioned local windows + greatest over broadcast
+    # per-partition maxima), so even the survivor relation never
+    # funnels through one task.
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import (
+        global_prefix_max,
+    )
+
     local = skyline_pass(
         pts.withColumn("pid", F.spark_partition_id()), "pid"
     )
-    return skyline_pass(local)
+    scanned = global_prefix_max(
+        local,
+        [("price_cents", "asc"), ("p_partkey", "asc")],
+        "size",
+        "b",
+        exclusive=True,
+    )
+    return (
+        scanned.filter(F.col("b").isNull() | (F.col("size") > F.col("b")))
+        .select("p_partkey", "price_cents", "size")
+    )

@@ -674,6 +674,10 @@ def test_skyline_two_phase_plan(spark):
     assert plan.count("Window") >= 2, plan
     assert "SPARK_PARTITION_ID" in plan.upper()
     assert "CartesianProduct" not in plan
+    # Phase 2 is the two-phase prefix max: every window in the plan is
+    # partitioned (no empty partition spec = no single-task funnel).
+    assert "], [], [" not in plan, "unpartitioned Window in skyline plan"
+    assert "rangepartitioning(price_cents" in plan
 
 
 def test_containment_prefix_no_cross_join(spark):

@@ -143,6 +143,34 @@ class TestGlobalPrefixSum:
         assert out.count() == 0
         assert "s" in out.columns
 
+    def test_prefix_max_matches_unpartitioned_window(self, spark):
+        """Exclusive global running max must equal the textbook
+        max() OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND
+        1 PRECEDING), including the NULL on the first global row."""
+        from pyspark.sql import Window
+
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import (
+            global_prefix_max,
+        )
+
+        df = spark.range(0, 500).select(
+            (F.col("id") * 7919 % 499).alias("k"),
+            ((F.col("id") * 31) % 97).alias("v"),
+        ).groupBy("k").agg(F.max("v").alias("v"))
+        got = {
+            r["k"]: r["m"]
+            for r in global_prefix_max(
+                df, [("k", "asc")], "v", "m", exclusive=True
+            ).collect()
+        }
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+        want = {
+            r["k"]: r["m"]
+            for r in df.select("k", F.max("v").over(w).alias("m")).collect()
+        }
+        assert got == want
+        assert any(v is None for v in want.values())  # first row NULL
+
     def test_set_replication_failure_is_logged_not_swallowed(
         self, spark, tmp_path, caplog
     ):
