@@ -11,6 +11,12 @@ the network skin:
   routes, request fields, and response fields mirror lender.proto
   message-for-message (status / block_entries+error / avg_loan+source+
   error), so a reference client porting to HTTP changes transport only.
+  Since round 8 the same routes also negotiate
+  ``application/x-protobuf``: bodies are REAL lender.proto wire bytes
+  built by the runtime-generated message classes (lender_pb.py via the
+  _vendor protobuf shim) — the reference's own `FromString` parses the
+  responses unchanged. Message-layer wire parity is closed; only
+  grpcio's HTTP/2 frame transport remains absent (see serve_grpc).
 - ``serve_grpc``: the wire-identical gRPC variant, gated behind an
   import-try because grpcio is not installed in this container.
 
@@ -31,6 +37,15 @@ from typing import Callable
 from data_pipeline_with_hdfs_sql_integration_spark.api import Pipeline
 
 _VERBS = ("DbToHdfs", "BlockLocations", "CalcAvgLoan")
+
+#: verb -> (request message, response message) names in lender.proto.
+_VERB_MESSAGES = {
+    "DbToHdfs": ("Empty", "StatusString"),
+    "BlockLocations": ("BlockLocationsReq", "BlockLocationsResp"),
+    "CalcAvgLoan": ("CalcAvgLoanReq", "CalcAvgLoanResp"),
+}
+
+_PROTO_CT = "application/x-protobuf"
 
 
 class LenderHttpService:
@@ -107,15 +122,48 @@ class LenderHttpService:
                     self.send_error(404, f"unknown rpc {verb!r}; known: {_VERBS}")
                     return
                 length = int(self.headers.get("Content-Length", 0) or 0)
-                raw = self.rfile.read(length) if length else b"{}"
-                try:
-                    body = json.loads(raw or b"{}")
-                except ValueError:
-                    self.send_error(400, "request body must be JSON")
-                    return
-                payload = json.dumps(service._handle(verb, body)).encode()
+                raw = self.rfile.read(length) if length else b""
+                is_proto = self.headers.get("Content-Type", "").startswith(
+                    _PROTO_CT
+                )
+                if is_proto:
+                    # lender.proto wire bytes in, wire bytes out — the
+                    # reference's message layer verbatim.
+                    try:
+                        from data_pipeline_with_hdfs_sql_integration_spark.lender_pb import (
+                            messages,
+                        )
+
+                        classes = messages()
+                        from google.protobuf import json_format
+
+                        req_name, resp_name = _VERB_MESSAGES[verb]
+                        req = classes[req_name].FromString(raw)
+                        body = json_format.MessageToDict(
+                            req, preserving_proto_field_name=True
+                        )
+                    except NotImplementedError:
+                        self.send_error(
+                            415, "no protobuf runtime on this host"
+                        )
+                        return
+                    except Exception:
+                        self.send_error(400, "malformed protobuf body")
+                        return
+                    resp = json_format.ParseDict(
+                        service._handle(verb, body), classes[resp_name]()
+                    )
+                    payload, ctype = resp.SerializeToString(), _PROTO_CT
+                else:
+                    try:
+                        body = json.loads(raw or b"{}")
+                    except ValueError:
+                        self.send_error(400, "request body must be JSON")
+                        return
+                    payload = json.dumps(service._handle(verb, body)).encode()
+                    ctype = "application/json"
                 self.send_response(200)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)
@@ -140,21 +188,64 @@ class LenderHttpService:
 
 class LenderHttpClient:
     """Client for LenderHttpService — the HTTP analog of client.py:9-35,
-    one method per proto verb, returning the response dicts verbatim."""
+    one method per proto verb, returning the response dicts verbatim.
 
-    def __init__(self, port: int, host: str = "127.0.0.1", timeout_s: float = 60.0) -> None:
+    ``wire="proto"`` sends/receives REAL lender.proto wire bytes via
+    the runtime message classes (lender_pb.messages) instead of JSON —
+    what a reference client's serialization layer produces/parses.
+    """
+
+    def __init__(
+        self,
+        port: int,
+        host: str = "127.0.0.1",
+        timeout_s: float = 60.0,
+        wire: str = "json",
+    ) -> None:
         self.base = f"http://{host}:{port}"
         self.timeout_s = timeout_s
+        assert wire in ("json", "proto")
+        self.wire = wire
 
     def _call(self, verb: str, body: dict) -> dict:
+        if self.wire == "proto":
+            from google.protobuf import json_format
+
+            from data_pipeline_with_hdfs_sql_integration_spark.lender_pb import (
+                messages,
+            )
+
+            classes = messages()
+            req_name, resp_name = _VERB_MESSAGES[verb]
+            data = json_format.ParseDict(
+                body, classes[req_name]()
+            ).SerializeToString()
+            ctype = _PROTO_CT
+        else:
+            data, ctype = json.dumps(body).encode(), "application/json"
         req = urllib.request.Request(
             f"{self.base}/{verb}",
-            data=json.dumps(body).encode(),
-            headers={"Content-Type": "application/json"},
+            data=data,
+            headers={"Content-Type": ctype},
             method="POST",
         )
         with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-            return json.loads(resp.read())
+            raw = resp.read()
+        if self.wire == "proto":
+            msg = classes[resp_name].FromString(raw)
+            out = json_format.MessageToDict(
+                msg, preserving_proto_field_name=True
+            )
+            # proto3 JSON mapping omits default-valued fields; the JSON
+            # transport always carries them — normalize to that shape.
+            for f in msg.DESCRIPTOR.fields:
+                out.setdefault(
+                    f.name, dict(getattr(msg, f.name)) if f.message_type
+                    and f.message_type.GetOptions().map_entry
+                    else getattr(msg, f.name)
+                )
+            return out
+        return json.loads(raw)
 
     def db_to_hdfs(self) -> dict:
         return self._call("DbToHdfs", {})
@@ -167,19 +258,79 @@ class LenderHttpClient:
 
 
 def serve_grpc(pipeline: Pipeline, port: int = 5000, max_workers: int = 10):
-    """The wire-identical gRPC skin (server.py:149-160). Requires the
-    grpcio + generated lender_pb2* stubs, which this container does not
-    ship — the HTTP skin above is the runnable transport here."""
+    """The wire-identical gRPC skin (server.py:149-160).
+
+    Round-8 probe: the MESSAGE layer is now fully available — the
+    _vendor protobuf shim resolves the runtime and lender_pb.messages()
+    builds the lender.proto classes without protoc, so proto wire
+    bytes round-trip end-to-end over the HTTP skin (content type
+    application/x-protobuf). The remaining blocker is grpcio itself:
+    `import grpc` fails (ModuleNotFoundError: No module named 'grpc');
+    grpcio is a compiled C extension with no wheel on this host and no
+    network to fetch one, and no copy ships inside google-cloud-sdk
+    (checked /usr/lib/google-cloud-sdk/lib/third_party — protobuf only).
+    When grpcio exists, this binds the three verbs to a grpc.Server
+    using the same runtime message classes."""
     try:
-        import grpc  # noqa: F401
+        import grpc
     except ImportError as exc:  # pragma: no cover — env-dependent
         raise NotImplementedError(
-            "grpcio is not installed in this environment; use "
-            "LenderHttpService for a dependency-free transport with the "
-            "same three-verb surface (lender.proto:28-37)."
+            "grpcio is not installed in this environment (compiled "
+            "extension, not vendorable); use LenderHttpService — same "
+            "three-verb surface (lender.proto:28-37), and with "
+            "wire='proto' the same lender.proto message bytes."
         ) from exc
-    raise NotImplementedError(
-        "wire-level gRPC serving requires the generated lender_pb2 stubs; "
-        "bind LenderServicer methods to LenderHttpService.db_to_hdfs/"
-        "block_locations/calc_avg_loan."
-    )  # pragma: no cover
+
+    from data_pipeline_with_hdfs_sql_integration_spark.lender_pb import messages
+
+    classes = messages()
+    http = LenderHttpService(pipeline)
+
+    class LenderServicer:
+        def DbToHdfs(self, request, context):  # noqa: N802 — proto verb
+            return _dict_to_msg(http.db_to_hdfs(), classes["StatusString"])
+
+        def BlockLocations(self, request, context):  # noqa: N802
+            return _dict_to_msg(
+                http.block_locations(request.path),
+                classes["BlockLocationsResp"],
+            )
+
+        def CalcAvgLoan(self, request, context):  # noqa: N802
+            return _dict_to_msg(
+                http.calc_avg_loan(request.county_code),
+                classes["CalcAvgLoanResp"],
+            )
+
+    def _dict_to_msg(d: dict, cls):
+        from google.protobuf import json_format
+
+        return json_format.ParseDict(d, cls())
+
+    server = grpc.server(
+        __import__("concurrent.futures", fromlist=["futures"]).ThreadPoolExecutor(
+            max_workers=max_workers
+        )
+    )
+    # Generic handler: method name -> unary-unary servicer call with the
+    # runtime message classes (what generated _pb2_grpc stubs automate).
+    rpcs = {
+        "DbToHdfs": ("Empty", "StatusString"),
+        "BlockLocations": ("BlockLocationsReq", "BlockLocationsResp"),
+        "CalcAvgLoan": ("CalcAvgLoanReq", "CalcAvgLoanResp"),
+    }
+    servicer = LenderServicer()
+    handlers = {
+        name: grpc.unary_unary_rpc_method_handler(
+            getattr(servicer, name),
+            request_deserializer=classes[req].FromString,
+            response_serializer=classes[resp].SerializeToString,
+        )
+        for name, (req, resp) in rpcs.items()
+    }
+    server.add_generic_rpc_handlers(
+        (grpc.method_handlers_generic_handler("Lender", handlers),)
+    )
+    server.add_insecure_port(f"[::]:{port}")
+    server.start()
+    return server

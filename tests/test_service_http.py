@@ -168,3 +168,62 @@ def test_cli_drives_all_verbs_over_socket(service):
     assert _json.loads(blocks)  # non-empty host→count map
     bad = run("BlockLocations", "-f", "/definitely/not/here.parquet")
     assert bad.startswith("error: ")
+
+
+def test_lender_pb_wire_bytes_pinned():
+    """The runtime-built message classes must emit EXACTLY the
+    reference's lender.proto wire format — pinned against hand-computed
+    proto3 encodings (field<<3|type tags, varints, length-delimited
+    strings), so a descriptor drift (wrong field number/type) trips."""
+    from data_pipeline_with_hdfs_sql_integration_spark.lender_pb import (
+        messages,
+        protobuf_available,
+    )
+
+    if not protobuf_available():
+        pytest.skip("no protobuf runtime on this host")
+    classes = messages()
+    # CalcAvgLoanResp{avg_loan=240000, source="create"}:
+    # tag 0x08 (field 1, varint) + varint(240000=0x3a980 -> 80 d3 0e)
+    # + tag 0x12 (field 2, len) + len 6 + b"create".
+    msg = classes["CalcAvgLoanResp"](avg_loan=240000, source="create")
+    assert msg.SerializeToString() == bytes.fromhex("0880d30e1206637265617465")
+    # CalcAvgLoanReq{county_code=5}: tag 0x08 + varint 5.
+    assert classes["CalcAvgLoanReq"](county_code=5).SerializeToString() == b"\x08\x05"
+    # StatusString{status="ok"}: tag 0x0a + len 2 + "ok".
+    assert classes["StatusString"](status="ok").SerializeToString() == b"\x0a\x02ok"
+    # Map field round-trip (proto3 map = repeated MapEntry messages).
+    b = classes["BlockLocationsResp"]()
+    b.block_entries["h1"] = 3
+    assert dict(classes["BlockLocationsResp"].FromString(
+        b.SerializeToString()
+    ).block_entries) == {"h1": 3}
+
+
+def test_three_verbs_over_proto_wire(service):
+    """Full end-to-end over application/x-protobuf: the same socket
+    service, but request/response bodies are genuine lender.proto wire
+    bytes (what a reference client's serializer produces). Values must
+    match the JSON transport exactly."""
+    from data_pipeline_with_hdfs_sql_integration_spark.lender_pb import (
+        protobuf_available,
+    )
+
+    if not protobuf_available():
+        pytest.skip("no protobuf runtime on this host")
+    svc, json_client = service
+    proto_client = LenderHttpClient(
+        port=int(json_client.base.rsplit(":", 1)[1]), wire="proto"
+    )
+    status = proto_client.db_to_hdfs()["status"]
+    assert status.startswith("Imported ")
+    first = proto_client.calc_avg_loan(5)
+    assert first["source"] == "create" and first["avg_loan"] > 0
+    again_json = json_client.calc_avg_loan(5)
+    assert again_json["source"] == "reuse"
+    assert again_json["avg_loan"] == first["avg_loan"]
+    blocks = proto_client.block_locations()
+    assert blocks["error"] == "" and sum(blocks["block_entries"].values()) >= 1
+    # In-band error shape survives the proto transport (defaults filled).
+    missing = proto_client.calc_avg_loan(9999)
+    assert missing["avg_loan"] == 0 and missing["source"] == "" and missing["error"]
