@@ -359,15 +359,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def box_resample(
+    px: list[int], sw: int, sh: int, w: int, h: int
+) -> list[int]:
+    """Deterministic grayscale resample. When the source dimensions
+    are integer multiples of the target's, this is an EXACT integer
+    area average (round-half-up: (sum + n//2) // n) — the thumbnail
+    case, closed-form checkable. Any other ratio falls back to
+    nearest-neighbor (top-left rule), still fully deterministic."""
+    if sw % w == 0 and sh % h == 0:
+        fx, fy = sw // w, sh // h
+        n = fx * fy
+        out = []
+        for y in range(h):
+            for x in range(w):
+                s = sum(
+                    px[(y * fy + dy) * sw + (x * fx + dx)]
+                    for dy in range(fy)
+                    for dx in range(fx)
+                )
+                out.append((s + n // 2) // n)
+        return out
+    return [
+        px[((y * sh) // h) * sw + ((x * sw) // w)]
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
 def resize_image(payload: bytes, w: int, h: int, fake: bool = False) -> bytes:
-    """Resize codec boundary (needs PIL; not in this container). The
-    deterministic fake emits a w*h byte grid sampled from the payload —
-    wrong pixels, right SHAPE, so batch plumbing and size accounting
-    are testable."""
+    """Image resize — REAL (since round 8) for PNG and baseline-JPEG
+    payloads: decode with the repo codecs, area-average/nearest
+    resample (`box_resample`), re-encode as PNG (lossless, so the
+    result stays value-checkable). Other formats keep the
+    deterministic fake behind `fake=True` (wrong pixels, right SHAPE,
+    so batch plumbing and size accounting are testable)."""
+    if payload:
+        blob = bytes(payload)
+        decoded = None
+        if blob[:8] == PNG_SIG:
+            decoded = png_codec()[1](blob)
+        elif blob[:2] == b"\xff\xd8":
+            decoded = jpeg_codec()[1](blob)
+        if decoded is not None:
+            sw, sh, px = decoded
+            return png_codec()[0](box_resample(px, sw, sh, w, h), w, h)
     if not fake:
         raise NotImplementedError(
-            "image resize requires PIL (not installed); pass fake=True for the "
-            "deterministic stand-in"
+            "resize beyond PNG/baseline-JPEG payloads requires PIL (not "
+            "installed); pass fake=True for the deterministic stand-in"
         )
     if not payload:
         return bytes(w * h)
@@ -375,13 +415,31 @@ def resize_image(payload: bytes, w: int, h: int, fake: bool = False) -> bytes:
 
 
 def audio_frame_energy(payload: bytes, frame_len: int = 256, fake: bool = False) -> list[float]:
-    """Audio feature boundary (needs librosa/soundfile). The fake
-    treats bytes as unsigned samples and emits per-frame mean absolute
-    amplitude — deterministic, shape-correct."""
+    """Audio frame energy — REAL (since round 8) for RIFF/PCM WAV
+    payloads: the stdlib `wave` reader decodes 16-bit samples and each
+    frame reports its mean absolute amplitude (the envelope feature a
+    VAD/segmentation stage runs). Non-WAV formats keep the
+    deterministic byte-domain fake behind `fake=True`."""
+    if payload and bytes(payload[:4]) == b"RIFF":
+        import io
+        import struct
+        import wave
+
+        with wave.open(io.BytesIO(bytes(payload))) as wf:
+            assert wf.getsampwidth() == 2, "16-bit PCM expected"
+            raw = wf.readframes(wf.getnframes())
+        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+        return [
+            round(sum(abs(s) for s in fr) / len(fr), 6)
+            for fr in (
+                samples[i : i + frame_len]
+                for i in range(0, len(samples), frame_len)
+            )
+        ]
     if not fake:
         raise NotImplementedError(
-            "audio decode requires librosa/soundfile (not installed); pass "
-            "fake=True for the deterministic stand-in"
+            "audio decode beyond RIFF/PCM WAV requires librosa/soundfile "
+            "(not installed); pass fake=True for the deterministic stand-in"
         )
     if not payload:
         return []
@@ -595,6 +653,105 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pngs = docs.mapInPandas(_synthesize, schema="media_id long, png binary")
     return pngs.mapInPandas(
+        _decode,
+        schema="media_id long, width int, height int, pixel_sum long, energy long",
+    )
+
+
+_RS = "((d.doc_id * 7 + ({y}) * 13 + ({x}) * 5) % " + str(251) + ")"
+
+
+@query(
+    "multimodal_resize_stats",
+    oracle=f"""
+        WITH px AS (
+            SELECT y.v AS y, x.v AS x
+            FROM (SELECT unnest(generate_series(0, 5)) AS v) y,
+                 (SELECT unnest(generate_series(0, 7)) AS v) x
+        ),
+        o AS (
+            SELECT d.doc_id,
+                   ({_RS.format(y='2*px.y', x='2*px.x')}
+                    + {_RS.format(y='2*px.y', x='2*px.x+1')}
+                    + {_RS.format(y='2*px.y+1', x='2*px.x')}
+                    + {_RS.format(y='2*px.y+1', x='2*px.x+1')} + 2) // 4 AS p
+            FROM documents d, px
+        )
+        SELECT doc_id AS media_id,
+               CAST(8 AS INT) AS width,
+               CAST(6 AS INT) AS height,
+               CAST(sum(p) AS BIGINT) AS pixel_sum,
+               CAST(sum(p * p) AS BIGINT) AS energy
+        FROM o GROUP BY doc_id
+    """,
+    doc="REAL image-resize path: the 16x12 deterministic PNG from "
+    "multimodal_png_stats is resized to 8x6 by EXACT integer 2x2 area "
+    "averaging (round-half-up, the box_resample/resize_image rule), "
+    "re-encoded as PNG, and independently decoded back for stats — "
+    "decode -> resample -> encode -> decode, all inside Arrow-batched "
+    "mapInPandas stages. The oracle recomputes every pooled pixel in "
+    "closed form ((4 neighbors + 2) // 4 of the pattern), so a hash "
+    "match proves the whole thumbnail pipeline pixel-exact. Resize is "
+    "the canonical preprocessing step for vision training data; the "
+    "stage shape (zero shuffle, batch-bounded memory) is what a PIL/"
+    "libjpeg-backed variant inherits unchanged.",
+    tags=("multimodal", "image"),
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    enc, dec = png_codec()
+    sw, sh, mod = PNG_W, PNG_H, PNG_MOD
+    w, h = sw // 2, sh // 2
+
+    def _synth_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for mid in b["doc_id"]:
+                m = int(mid)
+                px = [
+                    (m * 7 + y * 13 + x * 5) % mod
+                    for y in range(sh)
+                    for x in range(sw)
+                ]
+                blob = enc(px, sw, sh)
+                _, _, full = dec(blob)  # decode the real container back
+                pooled = [
+                    (
+                        full[(2 * y) * sw + 2 * x]
+                        + full[(2 * y) * sw + 2 * x + 1]
+                        + full[(2 * y + 1) * sw + 2 * x]
+                        + full[(2 * y + 1) * sw + 2 * x + 1]
+                        + 2
+                    )
+                    // 4
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(enc(pooled, w, h))
+            yield pd.DataFrame({"media_id": b["doc_id"], "png": payloads})
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            widths, heights, sums, energies = [], [], [], []
+            for payload in b["png"]:
+                dw, dh, px = dec(bytes(payload))
+                widths.append(dw)
+                heights.append(dh)
+                sums.append(sum(px))
+                energies.append(sum(v * v for v in px))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "width": widths,
+                    "height": heights,
+                    "pixel_sum": sums,
+                    "energy": energies,
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    small = docs.mapInPandas(_synth_resize, schema="media_id long, png binary")
+    return small.mapInPandas(
         _decode,
         schema="media_id long, width int, height int, pixel_sum long, energy long",
     )

@@ -44,6 +44,8 @@ def test_payload_binary_type(spark):
 
 
 def test_resize_and_audio_stubs_gate_and_fake():
+    """Formats the repo codecs can't parse still gate / fake; the
+    PNG/JPEG/WAV paths are real (tested below)."""
     import pytest
 
     from data_pipeline_with_hdfs_sql_integration_spark.plans.multimodal import (
@@ -59,6 +61,57 @@ def test_resize_and_audio_stubs_gate_and_fake():
     assert len(thumb) == 16 and thumb == resize_image(bytes(range(100)), 4, 4, fake=True)
     e = audio_frame_energy(bytes([10] * 300), frame_len=256, fake=True)
     assert e == [10.0, 10.0]
+
+
+def test_resize_image_real_png_and_jpeg():
+    """resize_image decodes PNG and baseline-JPEG payloads for real,
+    box-averages exactly on integer factors, and returns a valid PNG."""
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.multimodal import (
+        jpeg_codec,
+        png_codec,
+        resize_image,
+    )
+
+    penc, pdec = png_codec()
+    # 4x4 gradient -> 2x2 exact area average.
+    px = list(range(16))
+    out = resize_image(penc(px, 4, 4), 2, 2)
+    w, h, got = pdec(out)
+    assert (w, h) == (2, 2)
+    # (0+1+4+5+2)//4=3, (2+3+6+7+2)//4=5, (8+9+12+13+2)//4=11, ...=13
+    assert got == [3, 5, 11, 13]
+    # JPEG source: a flat 8x8 block decodes exactly, then pools exactly.
+    jenc, _ = jpeg_codec()
+    out2 = resize_image(jenc([100] * 64, 8, 8), 4, 4)
+    _, _, got2 = pdec(out2)
+    assert got2 == [100] * 16
+    # Non-integer ratio: deterministic nearest-neighbor fallback.
+    out3 = resize_image(penc(px, 4, 4), 3, 3)
+    w3, h3, got3 = pdec(out3)
+    assert (w3, h3) == (3, 3)
+    assert got3 == [px[(y * 4) // 3 * 4 + (x * 4) // 3] for y in range(3) for x in range(3)]
+
+
+def test_audio_frame_energy_real_wav():
+    """audio_frame_energy decodes genuine RIFF/PCM WAV via the stdlib
+    reader and reports per-frame mean |amplitude| over int16 samples."""
+    import io
+    import struct
+    import wave
+
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.multimodal import (
+        audio_frame_energy,
+    )
+
+    samples = [1000, -1000, 500, -500] * 128  # 512 samples
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    e = audio_frame_energy(buf.getvalue(), frame_len=256)
+    assert e == [750.0, 750.0]
 
 
 # ------------------------------------------------------------- PNG codec

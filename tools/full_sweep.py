@@ -2,7 +2,17 @@
 oracle at a given SF dir (usage: python tools/full_sweep.py [sf_dir]).
 The definitive cross-query-interference + cross-SF exactness check:
 the sf0.1 run caught the wide-integer->double divergence the sf0.01
-driver gate could not see (sums below 2^53 there)."""
+driver gate could not see (sums below 2^53 there).
+
+SWEEP_MODE=digest streams rows from BOTH engines through the same
+Python str() canonicalization into an order-independent hash
+(count + sum of per-row sha256 mod 2^127) instead of collecting and
+sorting them — O(1) memory on the driver, no maxResultSize cap, so
+full-dump row-identity queries (o01–o08 projections/filters, pii
+scrub) compare even at sf10 where their multi-million-row results
+made exact collection a harness limitation, never an engine one.
+Value semantics are IDENTICAL to the exact mode (same per-value str()
+forms, multiset equality via the hash sum)."""
 import sys, time; sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import os as _os
@@ -63,11 +73,60 @@ if _shard:
 _only = __import__("os").environ.get("SWEEP_ONLY", "")
 if _only:
     _names = [n for n in _only.split(",") if n in qs]
+_digest_mode = __import__("os").environ.get("SWEEP_MODE", "exact") == "digest"
+
+
+def _digest(row_iter):
+    """Order-independent multiset digest: (count, sum of per-row
+    sha256[:16] mod 2^127) over the same str() row canonicalization
+    the exact compare uses."""
+    import hashlib
+
+    cnt = acc = 0
+    for r in row_iter:
+        h = hashlib.sha256(
+            "\x1f".join(str(x) for x in r).encode("utf-8", "surrogatepass")
+        ).digest()
+        acc = (acc + int.from_bytes(h[:16], "big")) % (1 << 127)
+        cnt += 1
+    return cnt, acc
+
+
 for name in _names:
     t_q = time.monotonic()
     try:
         sdf = qs[name](spark, SF)
-        rows = sdf.select(*sorted(sdf.columns)).collect()
+        proj = sdf.select(*sorted(sdf.columns))
+        if _digest_mode:
+            s_cnt, s_acc = _digest(tuple(r) for r in proj.toLocalIterator())
+            t_spark = time.monotonic() - t_q
+            if name not in os_:
+                assert s_cnt > 0, f"{name}: rows-only query returned 0 rows"
+                ok += 1
+                print(f"OK(rows-only) {name} spark={t_spark:.1f}s rows={s_cnt}", flush=True)
+                continue
+            rel = con.sql(os_[name])
+            cur = con.execute(
+                f"SELECT {', '.join(sorted(rel.columns))} FROM ({os_[name]})"
+            )
+
+            def _duck_rows():
+                while True:
+                    batch = cur.fetchmany(100_000)
+                    if not batch:
+                        return
+                    yield from batch
+
+            d_cnt, d_acc = _digest(_duck_rows())
+            t_oracle = time.monotonic() - t_q - t_spark
+            if (s_cnt, s_acc) == (d_cnt, d_acc):
+                ok += 1
+                print(f"OK(digest) {name} spark={t_spark:.1f}s oracle={t_oracle:.1f}s rows={s_cnt}", flush=True)
+            else:
+                bad += 1; fails.append((name, "digest-mismatch", s_cnt, d_cnt))
+                print(f"FAIL(digest) {name} rows {s_cnt} vs {d_cnt} acc_eq={s_acc == d_acc}", flush=True)
+            continue
+        rows = proj.collect()
         t_spark = time.monotonic() - t_q
         if name not in os_:
             # Oracle-less queries must still return data: a regression
