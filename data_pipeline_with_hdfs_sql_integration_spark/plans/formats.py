@@ -461,3 +461,63 @@ def format_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return good.unionAll(corrupt).unionAll(dropped)
+
+
+@query(
+    "format_txlog_checkpoint",
+    oracle="""
+        SELECT 9 AS version, event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE day(ts) <= 20
+        GROUP BY event_type
+        UNION ALL
+        SELECT 11 AS version, event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="CHECKPOINTED log replay (operators/txlog.py round-8 "
+    "compaction): the events table is loaded as TWELVE two-day "
+    "commits, crossing the CHECKPOINT_INTERVAL=10 boundary so a "
+    "rolled-up state checkpoint exists at version 10. The query reads "
+    "version 9 (below the checkpoint — full prefix replay) and "
+    "version 11 (above it — replay = checkpoint + 1 commit file) and "
+    "both snapshots must match the raw-data oracle byte-for-byte, "
+    "proving compaction changes replay COST, never replay RESULT. "
+    "The bounded-read contract itself is asserted in-query (replay "
+    "past the checkpoint must touch <= CHECKPOINT_INTERVAL commit "
+    "files) and unit-pinned in tests/test_round8_units.py. This is "
+    "the Delta/Iceberg pattern that keeps snapshot resolution O(1) "
+    "in table age at 100 TB.",
+    tags=("format", "txlog", "time-travel", "checkpoint"),
+)
+def format_txlog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        CHECKPOINT_INTERVAL,
+        scratch_table,
+    )
+
+    apply_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    t = scratch_table("events_12commit", table_path(sf_dir, "events"))
+    if t.latest_version() < 11:
+        day = F.dayofmonth("ts")
+        for i in range(t.latest_version() + 1, 12):
+            if i < 11:
+                sl = ev.filter((day >= 2 * i + 1) & (day <= 2 * i + 2))
+            else:
+                sl = ev.filter(day >= 23)
+            t.append(sl)
+    assert t._checkpoints(), "no checkpoint after 12 commits"
+    # Replay above the checkpoint must be bounded by the interval.
+    t.live_files(11)
+    assert t.last_replay_reads <= CHECKPOINT_INTERVAL, t.last_replay_reads
+    out = None
+    for v in (9, 11):
+        snap = (
+            t.snapshot(spark, version=v)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.lit(v).alias("version"), "event_type", "n_events")
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out
