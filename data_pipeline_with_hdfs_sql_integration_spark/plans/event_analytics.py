@@ -1001,91 +1001,3 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(1000000 * n div total AS BIGINT)").alias("share_ppm"),
         )
     )
-
-
-#: Sessionization gap: a new session starts after 30 idle minutes.
-SESSION_GAP_US = 30 * 60 * 1_000_000
-
-
-@query(
-    "events_sessionize_gap",
-    oracle=f"""
-        WITH o AS (
-            SELECT user_id, event_id, epoch_us(ts) AS us,
-                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                                > {SESSION_GAP_US}
-                        THEN 1 ELSE 0 END AS is_new
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ),
-        s AS (
-            SELECT user_id, us,
-                   sum(is_new) OVER (PARTITION BY user_id
-                       ORDER BY us, event_id
-                       ROWS UNBOUNDED PRECEDING) AS sess
-            FROM o
-        ),
-        per_sess AS (
-            SELECT user_id, sess,
-                   CAST(count(*) AS BIGINT) AS n_events,
-                   max(us) - min(us) AS duration_us
-            FROM s GROUP BY user_id, sess
-        )
-        SELECT n_events AS session_len,
-               CAST(count(*) AS BIGINT) AS n_sessions,
-               CAST(sum(duration_us) AS BIGINT) AS sum_duration_us
-        FROM per_sess GROUP BY n_events
-    """,
-    doc="Batch SESSIONIZATION — the gap-based session assignment every "
-    "product-analytics and training-data pipeline runs (the batch twin "
-    "of stream_session_windows' event-time sessions): a user's events "
-    f"sorted by time start a new session after {SESSION_GAP_US // 60_000_000} "
-    "idle minutes; session ids emerge as the running count of "
-    "session-start flags (lag + cumulative sum — the classic two-window "
-    "formulation, both windows PARTITIONED BY user so no operator "
-    "funnels the stream through one task and the two windows share one "
-    "(user_id, time) sort/exchange). Microsecond-exact integer gaps and "
-    "durations; ties broken by event_id so both engines assign "
-    "identically. Output is the session-length distribution "
-    "(len, count, summed duration) — bounded by the longest session, "
-    "not the event count.",
-    tags=("events", "timeseries", "window", "sessionize"),
-)
-def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    apply_runtime_confs(spark)
-    ev = load(spark, sf_dir, "events")
-    us = F.unix_micros("ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_us = F.lag(us).over(w)
-    flagged = ev.select(
-        "user_id",
-        "event_id",
-        us.alias("us"),
-        F.when(
-            lag_us.isNull() | ((us - lag_us) > SESSION_GAP_US), 1
-        )
-        .otherwise(0)
-        .alias("is_new"),
-    )
-    # Same (time, event_id) total order as the lag window: tied
-    # timestamps must accumulate session-start flags identically in
-    # both engines or a tied row could land in the wrong session.
-    wcum = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    sess = flagged.select(
-        "user_id", "us", F.sum("is_new").over(wcum).alias("sess")
-    )
-    per_sess = sess.groupBy("user_id", "sess").agg(
-        F.count("*").alias("n_events"),
-        (F.max("us") - F.min("us")).alias("duration_us"),
-    )
-    return per_sess.groupBy(
-        F.col("n_events").cast("long").alias("session_len")
-    ).agg(
-        F.count("*").cast("long").alias("n_sessions"),
-        F.sum("duration_us").cast("long").alias("sum_duration_us"),
-    )
