@@ -32,6 +32,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Persisted intermediates pinned by the operators below. The returned
+#: plans NEED the pin (range boundaries are sampled per job — an
+#: unpersisted intermediate could re-rank against different
+#: boundaries), so the operator cannot unpersist eagerly; instead every
+#: pin is registered here and a long-lived session (bench loop, the
+#: 256-query sweep) calls :func:`release_pins` between queries, once
+#: the previous query's plan is fully consumed.
+_PINS: list[DataFrame] = []
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINS.append(df)
+    return df
+
+
+def release_pins() -> int:
+    """Unpersist every intermediate pinned since the last call; returns
+    how many were released. Call ONLY between queries — a plan returned
+    by these operators must be fully consumed first."""
+    n = len(_PINS)
+    for df in _PINS:
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _PINS.clear()
+    return n
+
 
 def global_row_number(
     df: DataFrame, order: list[tuple[str, str]], alias: str = "i"
@@ -41,13 +72,11 @@ def global_row_number(
     later columns break ties), computed without any unpartitioned
     window or single-partition sort.
 
-    Triggers one Spark job (the per-partition count pull) and persists
-    the ranked intermediate for the caller's downstream job — callers
-    following the repo convention never unpersist; the bench's
-    between-query clearCache bounds the residue.
+    Triggers one Spark job (the per-partition count pull) and pins the
+    ranked intermediate for the caller's downstream job — the pin is
+    registered in :data:`_PINS`; long-lived sessions release it via
+    :func:`release_pins` between queries.
     """
-    from pyspark.storagelevel import StorageLevel
-
     sort_cols = [
         F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in order
     ]
@@ -55,9 +84,7 @@ def global_row_number(
         "_gr_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_gr_pid").orderBy(*sort_cols)
-    loc = rp.withColumn("_gr_r", F.row_number().over(w)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    loc = _pin(rp.withColumn("_gr_r", F.row_number().over(w)))
     counts = {
         row["_gr_pid"]: row["cnt"]
         for row in loc.groupBy("_gr_pid").agg(F.count("*").alias("cnt")).collect()
@@ -100,8 +127,6 @@ def global_prefix_max(
     (which skips NULLs, preserving the "no preceding row" NULL of the
     exclusive form's first global row).
     """
-    from pyspark.storagelevel import StorageLevel
-
     sort_cols = [
         F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in order
     ]
@@ -113,9 +138,7 @@ def global_prefix_max(
         .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
     )
-    loc = rp.withColumn(alias, F.max(col).over(w)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    loc = _pin(rp.withColumn(alias, F.max(col).over(w)))
     maxima = {
         row["_gm_pid"]: row["m"]
         for row in loc.groupBy("_gm_pid")
@@ -159,13 +182,12 @@ def global_prefix_sum(
     needing the EXCLUSIVE form subtract the row's own value
     (excl = incl - col).
 
-    Triggers one Spark job (the totals pull) and persists the locally
+    Triggers one Spark job (the totals pull) and pins the locally
     cumulated intermediate so the totals job and the caller's
     downstream job observe the same range boundaries (sampled
-    per-job otherwise — same pin as global_row_number).
+    per-job otherwise — same pin as global_row_number; released
+    between queries via :func:`release_pins`).
     """
-    from pyspark.storagelevel import StorageLevel
-
     sort_cols = [
         F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in order
     ]
@@ -177,9 +199,12 @@ def global_prefix_sum(
         .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    loc = rp.select(
-        "*", *[F.sum(col).over(w).alias(alias) for alias, col in sums.items()]
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    loc = _pin(
+        rp.select(
+            "*",
+            *[F.sum(col).over(w).alias(alias) for alias, col in sums.items()],
+        )
+    )
     totals = {
         row["_gp_pid"]: row
         for row in loc.groupBy("_gp_pid")

@@ -200,7 +200,23 @@ class TxTable:
                 # "create exclusively" commit; rename() would clobber.
                 os.link(tmp, target)
                 os.unlink(tmp)
-                self._maybe_checkpoint(version)
+                try:
+                    # Best-effort by contract (_maybe_checkpoint
+                    # docstring): the commit link has already landed
+                    # durably, so a trailing checkpoint failure (disk
+                    # full, permissions) must not surface as a failed
+                    # append — the next multiple-of-interval commit
+                    # will retry the roll-up.
+                    self._maybe_checkpoint(version)
+                except Exception:  # pragma: no cover - env-dependent
+                    import logging
+                    import traceback
+
+                    logging.getLogger(__name__).warning(
+                        "checkpoint at v%d failed (commit stands):\n%s",
+                        version,
+                        traceback.format_exc(),
+                    )
                 return version
             except FileExistsError:
                 os.unlink(tmp)  # lost the race: replay and retry
@@ -209,11 +225,20 @@ class TxTable:
     def _write_files(self, df: DataFrame) -> list[str]:
         group = os.path.join(self.data_dir, f"g-{uuid.uuid4().hex}")
         df.write.parquet(group)
+        # Log entries are ROOT-RELATIVE so the whole table directory is
+        # relocatable (build-under-temp + atomic rename publish, future
+        # moves between stores). Pre-round-9 tables logged absolute
+        # paths; _resolve() keeps reading those.
         return [
-            os.path.join(group, f)
+            os.path.relpath(os.path.join(group, f), self.root)
             for f in os.listdir(group)
             if f.endswith(".parquet")
         ]
+
+    def _resolve(self, logged: str) -> str:
+        """A logged file entry -> absolute path (relative entries are
+        root-relative; absolute ones are legacy and pass through)."""
+        return logged if os.path.isabs(logged) else os.path.join(self.root, logged)
 
     def append(self, df: DataFrame) -> int:
         active = self.constraints()
@@ -225,7 +250,10 @@ class TxTable:
         active = self.constraints()
         self._validate_against(df, active)
         files = self._write_files(df)
-        live = self.live_files()
+        # Remove entries must match the RAW logged strings (replay
+        # subtracts them verbatim), not the resolved absolute paths
+        # live_files() hands to readers.
+        live = sorted(self._replay_state(None)[0])
         return self._commit(
             {"add": files, "remove": live}, df=df, validated=active
         )
@@ -274,7 +302,9 @@ class TxTable:
 
     # ------------------------------------------------------------- read
     def live_files(self, version: int | None = None) -> list[str]:
-        return sorted(self._replay_state(version)[0])
+        return sorted(
+            self._resolve(f) for f in self._replay_state(version)[0]
+        )
 
     def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         files = self.live_files(version)
@@ -293,12 +323,82 @@ def scratch_table(kind: str, source_path: str) -> TxTable:
     return TxTable(deterministic_tmp_dir(f"txtable_{kind}", source_path))
 
 
+def _probe_latest(root: str) -> int:
+    """latest_version of the table at ``root`` WITHOUT instantiating
+    TxTable (whose __init__ mkdirs — which would block the atomic
+    rename publish below by pre-creating a non-empty target)."""
+    import re
+
+    try:
+        names = os.listdir(os.path.join(root, "_log"))
+    except OSError:
+        return -1
+    return max(
+        (
+            int(f.split(".")[0])
+            for f in names
+            if re.fullmatch(r"\d{8,}\.json", f)
+        ),
+        default=-1,
+    )
+
+
+def build_once(kind: str, source_path: str, target_version: int, builder) -> TxTable:
+    """Materialize a derived scratch table EXACTLY ONCE under
+    concurrency: if the deterministic root already holds a table at
+    >= ``target_version``, reuse it; otherwise run ``builder(TxTable)``
+    against a private temp sibling and atomically ``rename()`` the
+    finished directory into place. Racing builders each construct a
+    complete table; exactly one rename wins, losers discard their
+    build and read the winner's — so no reader can ever observe a
+    half-built table or a duplicated commit sequence (the
+    read-modify-write race a shared incremental build has).
+
+    Relies on log entries being root-relative (round 9) so the rename
+    relocates data and log together."""
+    import shutil
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+    )
+
+    root = deterministic_tmp_dir(f"txtable_{kind}", source_path)
+    if _probe_latest(root) >= target_version:
+        return TxTable(root)
+    if os.path.isdir(root):
+        # Partial dir from a pre-atomic (round <9) crashed build: move
+        # it aside so the rename target is free. A racer may beat us to
+        # the move — losing that race is fine, the final rename
+        # arbitrates.
+        try:
+            os.rename(root, f"{root}.stale-{uuid.uuid4().hex}")
+        except OSError:
+            pass
+    build_root = f"{root}.build-{uuid.uuid4().hex}"
+    bt = TxTable(build_root)
+    builder(bt)
+    built = bt.latest_version()
+    if built < target_version:
+        shutil.rmtree(build_root, ignore_errors=True)
+        raise ValueError(
+            f"builder for {kind} stopped at version {built}"
+            f" < target {target_version}"
+        )
+    try:
+        os.rename(build_root, root)
+    except OSError:
+        # A racing builder published first; its table is complete by
+        # construction. Ours is redundant — drop it.
+        shutil.rmtree(build_root, ignore_errors=True)
+    return TxTable(root)
+
+
 class ConstraintViolation(ValueError):
     """An append/overwrite batch violated an active CHECK constraint;
     nothing was committed."""
 
 
-__all__ = ["ConstraintViolation", "TxTable", "scratch_table"]
+__all__ = ["ConstraintViolation", "TxTable", "build_once", "scratch_table"]
 
 
 def vacuum(table: TxTable, keep_versions: int = 1) -> list[str]:

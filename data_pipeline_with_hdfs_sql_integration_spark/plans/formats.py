@@ -167,6 +167,20 @@ def format_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_2commit(ev: DataFrame):
+    """Builder for the shared two-commit events table (pre-/post-
+    Jan 15 slices) — run under txlog.build_once so concurrent queries
+    construct it atomically instead of racing a shared incremental
+    build."""
+
+    def build(t):
+        cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+        t.append(ev.filter(F.col("ts") < cut))
+        t.append(ev.filter(F.col("ts") >= cut))
+
+    return build
+
+
 @query(
     "format_time_travel",
     oracle="""
@@ -192,21 +206,16 @@ def format_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("format", "txlog", "time-travel"),
 )
 def format_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
     from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
-        scratch_table,
+        build_once,
     )
 
     apply_runtime_confs(spark)
     ev = load(spark, sf_dir, "events")
-    t = scratch_table("events_2commit", table_path(sf_dir, "events"))
-    if t.latest_version() < 1:
-        cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
-        if t.latest_version() < 0:
-            t.append(ev.filter(F.col("ts") < cut))
-        t.append(ev.filter(F.col("ts") >= cut))
+    t = build_once(
+        "events_2commit", table_path(sf_dir, "events"), 1, _build_2commit(ev)
+    )
     out = None
     for v, tag in ((0, 1), (1, 2)):
         snap = (
@@ -242,17 +251,14 @@ def format_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def format_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
     from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
-        scratch_table,
+        build_once,
     )
 
     apply_runtime_confs(spark)
     ev = load(spark, sf_dir, "events")
-    t = scratch_table("events_2commit", table_path(sf_dir, "events"))
-    if t.latest_version() < 1:
-        cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
-        if t.latest_version() < 0:
-            t.append(ev.filter(F.col("ts") < cut))
-        t.append(ev.filter(F.col("ts") >= cut))
+    t = build_once(
+        "events_2commit", table_path(sf_dir, "events"), 1, _build_2commit(ev)
+    )
     # Files added strictly AFTER version 0, up to version 1 = the delta.
     before = set(t.live_files(0))
     delta = [f for f in t.live_files(1) if f not in before]
@@ -287,20 +293,20 @@ def format_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 def format_txlog_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
     from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
-        scratch_table,
+        build_once,
     )
 
     apply_runtime_confs(spark)
     ev = load(spark, sf_dir, "events")
-    t = scratch_table("events_optimize", table_path(sf_dir, "events"))
-    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    if t.latest_version() < 0:
+
+    def build(t):
+        cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
         t.append(ev.filter(F.col("ts") < cut).repartition(8))
-    if t.latest_version() < 1:
         t.append(ev.filter(F.col("ts") >= cut).repartition(8))
-    if t.latest_version() < 2:
         # OPTIMIZE: same rows, one file group, committed like any write.
         t.overwrite(t.snapshot(spark).coalesce(1))
+
+    t = build_once("events_optimize", table_path(sf_dir, "events"), 2, build)
     out = None
     for v, tag in ((1, 1), (2, 2)):
         snap = (
@@ -346,18 +352,18 @@ def format_txlog_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
     from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
         ConstraintViolation,
-        scratch_table,
+        build_once,
     )
 
     apply_runtime_confs(spark)
     orders = load(spark, sf_dir, "orders")
-    t = scratch_table("orders_checked", table_path(sf_dir, "orders"))
-    if t.latest_version() < 2:
-        if t.latest_version() < 0:
-            t.set_constraint("non_negative_price", "o_totalprice >= 0")
-        if t.latest_version() < 1:
-            t.append(orders.filter(F.col("o_orderpriority") == "1-URGENT"))
+
+    def build(t):
+        t.set_constraint("non_negative_price", "o_totalprice >= 0")
+        t.append(orders.filter(F.col("o_orderpriority") == "1-URGENT"))
         t.append(orders.filter(F.col("o_orderpriority") == "2-HIGH"))
+
+    t = build_once("orders_checked", table_path(sf_dir, "orders"), 2, build)
     # The poisoned batch runs EVERY call — enforcement is proven per
     # run, and a refused append changes no state (idempotent probe).
     poisoned = orders.filter(F.col("o_orderpriority") == "3-MEDIUM").withColumn(
@@ -493,20 +499,22 @@ def format_txlog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
     from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
         CHECKPOINT_INTERVAL,
-        scratch_table,
+        build_once,
     )
 
     apply_runtime_confs(spark)
     ev = load(spark, sf_dir, "events")
-    t = scratch_table("events_12commit", table_path(sf_dir, "events"))
-    if t.latest_version() < 11:
+
+    def build(t):
         day = F.dayofmonth("ts")
-        for i in range(t.latest_version() + 1, 12):
+        for i in range(12):
             if i < 11:
                 sl = ev.filter((day >= 2 * i + 1) & (day <= 2 * i + 2))
             else:
                 sl = ev.filter(day >= 23)
             t.append(sl)
+
+    t = build_once("events_12commit", table_path(sf_dir, "events"), 11, build)
     assert t._checkpoints(), "no checkpoint after 12 commits"
     # Replay above the checkpoint must be bounded by the interval.
     t.live_files(11)

@@ -694,7 +694,10 @@ def stats_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("st"),
     )
-    return fold.select(
+    # Empty-relation edge: the ungrouped fold emits ONE (0, 0, -1) row
+    # where the exact windowed sibling emits ZERO rows — filter it so
+    # both paths agree (and no caller ever reads the d_num=-1 sentinel).
+    return fold.filter(F.col("n1") + F.col("n2") > 0).select(
         "n1",
         "n2",
         F.col("st.best_d").alias("d_num"),
@@ -793,7 +796,9 @@ def stats_mwu_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("st"),
     )
-    return fold.select(
+    # Same empty-relation edge as stats_ks_sketch: zero rows, not one
+    # all-zero row, when the filtered source is empty.
+    return fold.filter(F.col("n1") + F.col("n2") > 0).select(
         "n1",
         "n2",
         F.col("st.u").alias("u1_x2"),

@@ -277,7 +277,10 @@ def _quantile_readoff(hist: DataFrame, qs_pm: tuple[int, ...], bin_w: float) -> 
     )
     cum = (
         scan.select(
-            "cums", F.element_at("cums", -1)["cum"].alias("total")
+            # try_element_at: an EMPTY histogram (empty source
+            # relation) must yield zero output rows via the explode
+            # below, not an ANSI INVALID_ARRAY_INDEX error here.
+            "cums", F.try_element_at("cums", F.lit(-1))["cum"].alias("total")
         )
         .select(F.explode("cums").alias("s"), "total")
         .select(

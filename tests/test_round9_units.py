@@ -1,0 +1,260 @@
+"""Round-9 unit pins: atomic build-once publication for derived txlog
+tables, root-relative (relocatable) log entries, the global-rank pin
+registry, sketch empty-relation edges, and the sweep digest's
+length-prefixed value hashing — the round-8 VERDICT/ADVICE items."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+class TestTxlogRelocatable:
+    def test_log_entries_are_root_relative(self, spark, tmp_path):
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            TxTable,
+        )
+
+        t = TxTable(str(tmp_path / "tx"))
+        t.append(spark.range(5).selectExpr("id"))
+        import json
+
+        entry = json.load(
+            open(os.path.join(t.log_dir, t._commits()[0]))
+        )
+        assert entry["add"], "commit must add files"
+        assert all(not os.path.isabs(p) for p in entry["add"])
+        # Readers still get absolute, existing paths.
+        assert all(os.path.isabs(p) and os.path.exists(p) for p in t.live_files())
+
+    def test_whole_table_rename_keeps_snapshots(self, spark, tmp_path):
+        """The property build_once relies on: moving the table dir moves
+        data + log together and every snapshot still resolves."""
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            TxTable,
+        )
+
+        src = str(tmp_path / "tx_src")
+        t = TxTable(src)
+        t.append(spark.range(0, 4).selectExpr("id"))
+        t.append(spark.range(4, 9).selectExpr("id"))
+        dst = str(tmp_path / "tx_dst")
+        os.rename(src, dst)
+        t2 = TxTable(dst)
+        assert sorted(r["id"] for r in t2.snapshot(spark, 0).collect()) == [0, 1, 2, 3]
+        assert t2.snapshot(spark, 1).count() == 9
+
+    def test_legacy_absolute_entries_still_resolve(self, spark, tmp_path):
+        """Pre-round-9 tables logged absolute paths; _resolve must pass
+        them through unchanged."""
+        import json
+
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            TxTable,
+        )
+
+        t = TxTable(str(tmp_path / "tx"))
+        t.append(spark.range(3).selectExpr("id"))
+        # Rewrite the commit to the legacy absolute form.
+        name = t._commits()[0]
+        p = os.path.join(t.log_dir, name)
+        entry = json.load(open(p))
+        entry["add"] = [os.path.join(t.root, f) for f in entry["add"]]
+        with open(p, "w") as f:
+            json.dump(entry, f)
+        assert t.snapshot(spark).count() == 3
+
+    def test_overwrite_removes_relative_entries(self, spark, tmp_path):
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            TxTable,
+        )
+
+        t = TxTable(str(tmp_path / "tx"))
+        t.append(spark.range(5).selectExpr("id"))
+        t.overwrite(spark.range(100, 102).selectExpr("id"))
+        assert sorted(r["id"] for r in t.snapshot(spark).collect()) == [100, 101]
+        # v0 history still time-travels.
+        assert t.snapshot(spark, 0).count() == 5
+
+
+class TestBuildOnce:
+    def _builder(self, spark, rows):
+        def build(t):
+            t.append(spark.range(rows).selectExpr("id"))
+            t.append(spark.range(rows, rows * 2).selectExpr("id"))
+
+        return build
+
+    def test_builds_then_reuses(self, spark, tmp_path):
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            build_once,
+        )
+
+        src = str(tmp_path / "fixture.parquet")
+        spark.range(1).write.parquet(src)
+        t1 = build_once("t9_reuse", src, 1, self._builder(spark, 4))
+        files1 = t1.live_files()
+        calls = []
+
+        def failing_builder(t):  # must NOT run on reuse
+            calls.append(1)
+            raise AssertionError("rebuilt despite complete table")
+
+        t2 = build_once("t9_reuse", src, 1, failing_builder)
+        assert calls == []
+        assert t2.live_files() == files1
+        assert t2.snapshot(spark).count() == 8
+
+    def test_loser_discards_and_reads_winner(self, spark, tmp_path, monkeypatch):
+        """Simulate losing the publish race: rename raises, the losing
+        build is discarded, and the winner's table is returned."""
+        from data_pipeline_with_hdfs_sql_integration_spark.operators import txlog
+
+        src = str(tmp_path / "fixture2.parquet")
+        spark.range(1).write.parquet(src)
+        winner = txlog.build_once("t9_race", src, 1, self._builder(spark, 3))
+        winner_files = winner.live_files()
+
+        # Force a rebuild attempt by probing below target, then make the
+        # loser's rename fail as if the winner republished first.
+        real_rename = os.rename
+        renames = []
+
+        def deny_publish(a, b):
+            if ".stale-" in b:
+                # In a real race the root does not exist when the loser
+                # probes, so nothing is moved aside; model that by
+                # failing the stale-move (build_once tolerates losing
+                # it to a racer the same way).
+                raise OSError(39, "directory not empty")
+            if ".build-" in a:
+                renames.append((a, b))
+                raise OSError(39, "directory not empty")
+            return real_rename(a, b)
+
+        monkeypatch.setattr(txlog.os, "rename", deny_publish)
+        monkeypatch.setattr(txlog, "_probe_latest", lambda root: -1)
+        t = txlog.build_once("t9_race", src, 1, self._builder(spark, 3))
+        assert renames, "loser must have attempted to publish"
+        assert not os.path.exists(renames[0][0]), "losing build must be discarded"
+        assert t.live_files() == winner_files
+
+    def test_short_build_raises(self, spark, tmp_path):
+        import pytest
+
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            build_once,
+        )
+
+        src = str(tmp_path / "fixture3.parquet")
+        spark.range(1).write.parquet(src)
+        with pytest.raises(ValueError, match="stopped at version"):
+            build_once(
+                "t9_short", src, 5, lambda t: t.append(spark.range(2).selectExpr("id"))
+            )
+
+
+class TestCheckpointBestEffort:
+    def test_checkpoint_failure_never_fails_the_commit(self, spark, tmp_path, monkeypatch):
+        """ADVICE round 9: a crashing _maybe_checkpoint must not raise
+        out of append() — the commit link already landed."""
+        from data_pipeline_with_hdfs_sql_integration_spark.operators import txlog
+
+        t = txlog.TxTable(str(tmp_path / "tx"))
+
+        def boom(version):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(t, "_maybe_checkpoint", boom)
+        for i in range(12):  # crosses the interval boundary at v10
+            v = t.append(spark.range(i, i + 2).selectExpr("id"))
+        assert v == 11
+        assert t.snapshot(spark).count() == 24
+        assert t._checkpoints() == []  # checkpoint lost, data intact
+
+
+class TestGlobalRankPins:
+    def test_release_pins_unpersists(self, spark):
+        from data_pipeline_with_hdfs_sql_integration_spark.operators import (
+            global_rank as gr,
+        )
+
+        gr.release_pins()  # drain anything left by other tests
+        df = spark.range(100).selectExpr("id", "id % 7 as v")
+        ranked = gr.global_row_number(df, [("v", "asc"), ("id", "asc")])
+        assert ranked.count() == 100
+        assert len(gr._PINS) == 1
+        assert gr._PINS[0].storageLevel.useMemory
+        pinned = gr._PINS[0]
+        assert gr.release_pins() == 1
+        assert gr._PINS == []
+        assert not pinned.storageLevel.useMemory  # StorageLevel.NONE
+        # Pins from the other two operators register too.
+        gr.global_prefix_sum(df, [("id", "asc")], {"cum_v": "v"}).count()
+        gr.global_prefix_max(df, [("id", "asc")], "v", "run_max").count()
+        assert gr.release_pins() == 2
+
+    def test_rank_correct_after_release(self, spark):
+        """release_pins between queries must not change results."""
+        from data_pipeline_with_hdfs_sql_integration_spark.operators import (
+            global_rank as gr,
+        )
+
+        df = spark.range(50).selectExpr("id", "(id * 37) % 50 as v")
+        got = {
+            r["v"]: r["i"]
+            for r in gr.global_row_number(df, [("v", "asc")]).collect()
+        }
+        gr.release_pins()
+        assert got == {v: v + 1 for v in range(50)}
+
+
+class TestSketchEmptyEdges:
+    def test_ks_mwu_sketch_empty_relation_emits_zero_rows(self, spark, tmp_path):
+        """ADVICE round 9: the ungrouped HOF fold must not emit a
+        (0, 0, -1) row where the windowed exact siblings emit none."""
+        from data_pipeline_with_hdfs_sql_integration_spark.plans.profiling import (
+            stats_ks_sketch,
+            stats_mwu_sketch,
+        )
+
+        sf = str(tmp_path / "sf_empty")
+        os.makedirs(sf)
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        # No view/click rows at all -> both sketches see an empty input.
+        ev.filter(~F.col("event_type").isin("view", "click")).write.parquet(
+            os.path.join(sf, "events.parquet")
+        )
+        assert stats_ks_sketch(spark, sf).count() == 0
+        assert stats_mwu_sketch(spark, sf).count() == 0
+
+    def test_quantile_readoff_empty_histogram(self, spark):
+        from data_pipeline_with_hdfs_sql_integration_spark.plans.sketches import (
+            HQ_QS_PM,
+            _quantile_readoff,
+        )
+
+        empty = spark.createDataFrame([], "bin long, cnt long")
+        # ANSI element_at(-1) on the empty cums array used to throw.
+        assert _quantile_readoff(empty, HQ_QS_PM, 10.0).count() == 0
+
+
+class TestSweepDigest:
+    def test_length_prefix_blocks_separator_collision(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "full_sweep_digest_probe", "/root/repo/tools/full_sweep.py"
+        )
+        # Importing the module would launch a sweep; read just _digest.
+        src = open("/root/repo/tools/full_sweep.py").read()
+        ns = {}
+        start = src.index("def _digest")
+        end = src.index("\nfor name in _names:")
+        exec(src[start:end], ns)  # noqa: S102 - own test fixture
+        d = ns["_digest"]
+        assert d([("a\x1fb",)]) != d([("a", "b")])
+        assert d([("a", "b")]) == d([("a", "b")])
+        # Order independence across rows is preserved.
+        assert d([("a",), ("b",)]) == d([("b",), ("a",)])

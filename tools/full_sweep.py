@@ -78,16 +78,22 @@ _digest_mode = __import__("os").environ.get("SWEEP_MODE", "exact") == "digest"
 
 def _digest(row_iter):
     """Order-independent multiset digest: (count, sum of per-row
-    sha256[:16] mod 2^127) over the same str() row canonicalization
-    the exact compare uses."""
+    sha256[:16] mod 2^127) over the same str() per-value
+    canonicalization the exact compare uses. Each value is
+    LENGTH-PREFIXED before hashing so a value containing any
+    separator byte can never collide across column boundaries
+    (('a\\x1fb',) vs ('a','b') hashed differently) — the false-equal
+    the exact mode's tuple compare cannot produce."""
     import hashlib
 
     cnt = acc = 0
     for r in row_iter:
-        h = hashlib.sha256(
-            "\x1f".join(str(x) for x in r).encode("utf-8", "surrogatepass")
-        ).digest()
-        acc = (acc + int.from_bytes(h[:16], "big")) % (1 << 127)
+        h = hashlib.sha256()
+        for x in r:
+            b = str(x).encode("utf-8", "surrogatepass")
+            h.update(len(b).to_bytes(8, "big"))
+            h.update(b)
+        acc = (acc + int.from_bytes(h.digest()[:16], "big")) % (1 << 127)
         cnt += 1
     return cnt, acc
 
@@ -150,5 +156,12 @@ for name in _names:
     except Exception as ex:
         bad += 1; fails.append((name, str(ex)[:160], None, None))
         print(f"FAIL(error) {name}: {str(ex)[:160]}", flush=True)
+    finally:
+        # Bound session memory like bench.py: drop the persist handles
+        # the global-rank operators pin and clear cached relations so
+        # 256 queries in one session don't accumulate eviction churn.
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import release_pins
+        release_pins()
+        spark.catalog.clearCache()
 print(f"SWEEP {SF}: {ok} ok / {bad} bad of {len(_names)} in {time.monotonic()-t_start:.0f}s")
 for f in fails: print(" FAIL:", f)
