@@ -249,12 +249,11 @@ def main() -> None:
             sum(1 for a, b in pairs if base_keep.get(max(a, b)) == 0) / len(pairs), 3
         )
         # CEILING, not a gated metric (same class as
-        # single_probe_ceiling): the best a P=2 probe could detect,
+        # single_probe_ceiling): what the cheaper P=2 probe detects,
         # shown as the cost/recall ladder rung below the shipped P=3.
         # Expected to sit WELL below the 0.75 detection gate — see
-        # SCALE.md "SemDeDup recall anatomy" for why boundary pairs
-        # need the third probe. Floor asserted >= single-probe ceiling
-        # in tests/test_round9_units.py.
+        # SCALE.md "SemDeDup recall anatomy" for the expected range
+        # and why boundary pairs need the third probe.
         recalls["dedup_semantic_probe2_ceiling"] = round(
             sum(1 for a, b in pairs if p2_keep.get(max(a, b)) == 0) / len(pairs), 3
         )

@@ -527,6 +527,212 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def versioned_minhash_store(spark: SparkSession, sf_dir: str):
+    """The MinHash signature store as a VERSIONED txlog table: commit 0
+    holds the base corpus's signatures (ingest generation 0), each
+    later increment APPENDS its own signatures as a new commit — the
+    real mechanism the incremental-dedup docstring promises ("the
+    index side's signatures come from the persisted store built by
+    previous increments").
+
+    Ingest generations model successive crawls over the documents
+    table: gen0 = doc_id % {MOD} in (1,2,3), gen1 = 4, gen2 = 0 (gen2
+    is the INCR_NEW_MOD "arriving batch" every incremental query
+    uses). MinHash signatures are strictly per-document, so each
+    generation's signature rows are identical whether computed in its
+    own ingest job or sliced from a monolithic build — which is what
+    makes store@v(N-1) + batch(N) equal the monolithic rebuild.
+
+    Because txlog commits never rewrite files, increment N reuses
+    every file of version N-1 byte-identically (unit-pinned by content
+    hash in tests/test_round9_units.py); built atomically via
+    txlog.build_once so racing sessions can't duplicate generations.
+    """.format(MOD=INCR_NEW_MOD)
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        params_digest,
+        table_path,
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        build_once,
+    )
+
+    sigs = minhash_signature_store(spark, sf_dir)
+    gen = F.col("doc_id") % INCR_NEW_MOD
+
+    def build(t):
+        t.append(sigs.filter(gen.isin(1, 2, 3)))  # gen0: base corpus
+        t.append(sigs.filter(gen == 4))  # gen1: first increment
+        t.append(sigs.filter(gen == 0))  # gen2: second increment
+
+    return build_once(
+        f"minhashsigs_versioned{tf.MINHASH_K}"
+        f"v{params_digest(tf.MINHASH_PARAMS, tf.BASE, tf.MOD)}",
+        table_path(sf_dir, "documents"),
+        2,
+        build,
+    )
+
+
+@query(
+    "dedup_incremental_store_versions",
+    oracle=f"""
+        WITH {_SQL_SHINGLE_CTE},
+        sigs AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM sh),
+        bands AS ({_sql_bands_union()}),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_doc, m.doc_id AS match,
+                            n.sig AS sig_n, m.sig AS sig_m
+            FROM bands n JOIN bands m
+              ON n.band_idx = m.band_idx AND n.band_hash = m.band_hash
+            WHERE n.doc_id % {INCR_NEW_MOD} = 0
+              AND m.doc_id <> n.doc_id
+              AND (m.doc_id % {INCR_NEW_MOD} <> 0 OR m.doc_id < n.doc_id)
+        ),
+        scored AS (
+            SELECT new_doc, match,
+                   round(CAST({_SQL_SIG_MATCHES_NM} AS DOUBLE) / {tf.MINHASH_K}, 6) AS est
+            FROM cand
+            WHERE round(CAST({_SQL_SIG_MATCHES_NM} AS DOUBLE) / {tf.MINHASH_K}, 6)
+                  >= {MINHASH_EST_THRESHOLD}
+        ),
+        best AS (
+            SELECT new_doc, match,
+                   row_number() OVER (PARTITION BY new_doc
+                                      ORDER BY est DESC, match ASC) AS rn
+            FROM scored
+        ),
+        verdicts AS (
+            SELECT s.doc_id AS new_doc,
+                   CASE WHEN b.match IS NULL THEN 'unique'
+                        WHEN b.match % {INCR_NEW_MOD} <> 0 THEN 'dup_of_index'
+                        ELSE 'dup_in_batch' END AS verdict
+            FROM sigs s
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_doc = s.doc_id
+            WHERE s.doc_id % {INCR_NEW_MOD} = 0
+        )
+        SELECT 'n_new_docs' AS metric,
+               CAST(count(*) AS BIGINT) AS value FROM verdicts
+        UNION ALL
+        SELECT 'n_dup_of_index', CAST(count(*) AS BIGINT)
+        FROM verdicts WHERE verdict = 'dup_of_index'
+        UNION ALL
+        SELECT 'n_dup_in_batch', CAST(count(*) AS BIGINT)
+        FROM verdicts WHERE verdict = 'dup_in_batch'
+        UNION ALL
+        SELECT 'n_unique', CAST(count(*) AS BIGINT)
+        FROM verdicts WHERE verdict = 'unique'
+        UNION ALL SELECT 'store_latest_version', CAST(2 AS BIGINT)
+        UNION ALL SELECT 'v0_files_reused_in_v1', CAST(1 AS BIGINT)
+        UNION ALL SELECT 'v1_files_reused_in_v2', CAST(1 AS BIGINT)
+    """,
+    doc="VERSIONED-STORE incremental dedup (round-8 verdict item 5): "
+    "the MinHash signature index is a txlog table whose commits are "
+    "ingest generations — v0 the base corpus, v1/v2 successive "
+    "increments that APPEND signatures instead of rebuilding. The "
+    "arriving batch (gen2) is deduped against store@v1 (the index as "
+    "the previous increment left it) plus earlier docs of its own "
+    "batch, and the verdict COUNTS must equal the monolithic "
+    "recompute-from-raw-text oracle — proving append-only index "
+    "maintenance loses nothing. The structural rows assert the "
+    "append-only reuse in-query: every v0 file is live in v1 and "
+    "every v1 file in v2 (txlog never rewrites, so reuse is "
+    "byte-identical; content-hash-pinned in tests/test_round9_units). "
+    "At 100 TB this is the difference between an O(increment) ingest "
+    "job and an O(corpus) nightly rebuild.",
+    tags=("dedup", "lsh", "training", "txlog", "incremental"),
+)
+def dedup_incremental_store_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    t = versioned_minhash_store(spark, sf_dir)
+    v0, v1, v2 = (set(t.live_files(v)) for v in (0, 1, 2))
+    reused_01 = int(v0 <= v1)
+    reused_12 = int(v1 <= v2)
+    # Index side: the store AS THE PREVIOUS INCREMENT LEFT IT (v1 =
+    # gen0+gen1). Batch side: gen2's own signatures — per-doc MinHash,
+    # so "computed by the ingest job" and "sliced from the monolithic
+    # store" are the same rows; the store's v2 commit is that slice.
+    index_sigs = t.snapshot(spark, 1)
+    batch_sigs = minhash_signature_store(spark, sf_dir).filter(
+        F.col("doc_id") % INCR_NEW_MOD == 0
+    )
+    new_b = _minhash_bands(batch_sigs).select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("sig").alias("sig_n"),
+        "band_idx",
+        "band_hash",
+    )
+    # Candidate pool = persisted index ∪ earlier docs of the batch.
+    pool = index_sigs.unionByName(batch_sigs)
+    all_b = _minhash_bands(pool).select(
+        F.col("doc_id").alias("match"),
+        F.col("sig").alias("sig_m"),
+        "band_idx",
+        "band_hash",
+    )
+    cand = (
+        new_b.join(all_b, ["band_idx", "band_hash"])
+        .filter(
+            (F.col("match") != F.col("new_doc"))
+            & (
+                (F.col("match") % INCR_NEW_MOD != 0)
+                | (F.col("match") < F.col("new_doc"))
+            )
+        )
+        .select("new_doc", "match", "sig_n", "sig_m")
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_n"), F.col("sig_m"), lambda x, y: (x == y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "new_doc",
+        "match",
+        F.round(agree.cast("double") / tf.MINHASH_K, 6).alias("est"),
+    ).filter(F.col("est") >= MINHASH_EST_THRESHOLD)
+    w = Window.partitionBy("new_doc").orderBy(
+        F.col("est").desc(), F.col("match").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    verdicts = (
+        batch_sigs.select(F.col("doc_id").alias("new_doc"))
+        .join(best.select("new_doc", "match"), "new_doc", "left")
+        .select(
+            F.when(F.col("match").isNull(), F.lit("unique"))
+            .when(F.col("match") % INCR_NEW_MOD != 0, F.lit("dup_of_index"))
+            .otherwise(F.lit("dup_in_batch"))
+            .alias("verdict")
+        )
+    )
+    counts = verdicts.groupBy().agg(
+        F.count(F.lit(1)).alias("n_new_docs"),
+        F.sum((F.col("verdict") == "dup_of_index").cast("long")).alias(
+            "n_dup_of_index"
+        ),
+        F.sum((F.col("verdict") == "dup_in_batch").cast("long")).alias(
+            "n_dup_in_batch"
+        ),
+        F.sum((F.col("verdict") == "unique").cast("long")).alias("n_unique"),
+    )
+    rows = counts.selectExpr(
+        "stack(4, 'n_new_docs', n_new_docs, 'n_dup_of_index', n_dup_of_index,"
+        " 'n_dup_in_batch', n_dup_in_batch, 'n_unique', n_unique)"
+        " AS (metric, value)"
+    )
+    structural = spark.createDataFrame(
+        [
+            ("store_latest_version", t.latest_version()),
+            ("v0_files_reused_in_v1", reused_01),
+            ("v1_files_reused_in_v2", reused_12),
+        ],
+        "metric string, value bigint",
+    )
+    return rows.unionByName(structural)
+
+
 @query(
     "stream_incremental_dedup",
     oracle=f"""

@@ -9,7 +9,7 @@ Five tiers, all oracle-checked:
 - IVF ANN                   : seeded-k-means coarse quantizer, probe
   the nprobe nearest cells, exact rerank
 - int8 scalar quantization  : 4x memory, exact integer dot folds
-- product quantization      : 4x3-bit codes + ADC lookup-table scan,
+- product quantization      : 8x4-bit codes + ADC lookup-table scan,
   exact BIGINT candidate distances, exact rerank
 
 FP determinism: every dot product is a sequential left fold
