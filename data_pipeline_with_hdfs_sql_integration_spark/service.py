@@ -269,8 +269,15 @@ def serve_grpc(pipeline: Pipeline, port: int = 5000, max_workers: int = 10):
     grpcio is a compiled C extension with no wheel on this host and no
     network to fetch one, and no copy ships inside google-cloud-sdk
     (checked /usr/lib/google-cloud-sdk/lib/third_party — protobuf only).
-    When grpcio exists, this binds the three verbs to a grpc.Server
-    using the same runtime message classes."""
+    Re-probed round 9 (2026-08-15): import still fails and `pip
+    download grpcio` cannot reach any index (NewConnectionError, name
+    resolution fails for the configured mirror) — the blocker is
+    environmental and stable. Accordingly the SUPPORTED wire surface
+    of this engine is the HTTP skin with application/x-protobuf
+    message bytes (LenderHttpService, wire='proto'): byte-compatible
+    lender.proto messages over HTTP/1.1. HTTP/2 gRPC framing remains
+    this import gate. When grpcio exists, this binds the three verbs
+    to a grpc.Server using the same runtime message classes."""
     try:
         import grpc
     except ImportError as exc:  # pragma: no cover — env-dependent

@@ -130,6 +130,104 @@ def test_jpeg_deterministic_bytes_pinned():
     )
 
 
+def test_jpeg_single_coefficient_blocks_exact():
+    """Second exactly-pinned fixture class beyond flat blocks (round-8
+    verdict item 7): blocks synthesized from ONE nonzero quantized AC
+    coefficient (plus a DC term). The pixels are the rounded IDCT of a
+    quantization-lattice point, so the encoder's forward DCT re-lands
+    on the same lattice point (rounding perturbs each coefficient by
+    < half a quant step) and the decode is predicted EXACTLY by an
+    independent pure-Python (math.cos loops, no numpy) IDCT — an exact
+    equality pin on genuinely non-flat blocks, not a bounded-error
+    property. Why this is a unit pin and not a SQL oracle: every
+    non-DC DCT basis has irrational entries, so a closed-form oracle
+    would race libm cos() ulps across engines (see SCALE.md).
+    """
+    import hashlib
+    import math
+
+    QD, QA = 8, 16  # DC / AC quant steps (multimodal.JPG_QTAB)
+
+    def _basis(u, x):
+        return math.cos((2 * x + 1) * u * math.pi / 16) * (
+            math.sqrt(0.125) if u == 0 else 0.5
+        )
+
+    def _idct(coef):  # 64 explicit double sums — no matrix library
+        return [
+            [
+                sum(
+                    coef[u][v] * _basis(u, y) * _basis(v, x)
+                    for u in range(8)
+                    for v in range(8)
+                )
+                for x in range(8)
+            ]
+            for y in range(8)
+        ]
+
+    def _fdct(block):
+        return [
+            [
+                sum(
+                    block[y][x] * _basis(u, y) * _basis(v, x)
+                    for y in range(8)
+                    for x in range(8)
+                )
+                for v in range(8)
+            ]
+            for u in range(8)
+        ]
+
+    all_decoded = []
+    cases = [
+        (dc, ac, pos)
+        for dc in (-7, 0, 9)
+        for ac, pos in (( -5, (0, 1)), (3, (2, 3)), (7, (7, 7)), (-2, (4, 0)))
+    ]
+    for dc, ac, (pu, pv) in cases:
+        coef = [[0.0] * 8 for _ in range(8)]
+        coef[0][0] = dc * QD
+        coef[pu][pv] = ac * QA
+        ref = _idct(coef)
+        pix = []
+        for row in ref:
+            for v in row:
+                shifted = v + 128.0
+                # Fixture sanity: stay inside 0..255 (no clamp in play)
+                # and away from the floor(x+0.5) boundary so a last-ulp
+                # libm difference can never flip the rounding.
+                assert 0.0 < shifted < 255.0
+                assert abs((shifted + 0.5) - round(shifted + 0.5)) > 1e-6
+                pix.append(math.floor(shifted + 0.5))
+        # The encoder must re-quantize the ROUNDED pixels onto the same
+        # lattice point — verified with the independent forward DCT.
+        fd = _fdct([[pix[y * 8 + x] - 128 for x in range(8)] for y in range(8)])
+        q = [
+            [math.floor(fd[u][v] / (QD if u == v == 0 else QA) + 0.5) for v in range(8)]
+            for u in range(8)
+        ]
+        expect_q = [
+            [
+                dc if (u, v) == (0, 0) else (ac if (u, v) == (pu, pv) else 0)
+                for v in range(8)
+            ]
+            for u in range(8)
+        ]
+        assert q == expect_q, (dc, ac, pu, pv)
+        # Lattice-exact => decode(encode(pix)) == pix, EXACTLY.
+        dw, dh, got = JDEC(JENC(pix, 8, 8))
+        assert (dw, dh) == (8, 8)
+        assert got == pix, (dc, ac, pu, pv)
+        all_decoded.extend(got)
+    # Family-level pin: any change to DCT, zigzag, Huffman, rounding,
+    # or quant tables shifts at least one decoded pixel.
+    digest = hashlib.sha256(bytes(all_decoded)).hexdigest()
+    assert digest == (
+        "821b71f9227678f0f1f610dd629830843af5760ad1e58a85d440a12f4ba3800b"
+    )
+
+
 def test_jpeg_byte_stuffing_handled():
     """Images whose entropy stream emits 0xFF bytes must decode
     correctly (stuffed 0x00 skipped). Scan a range of flat values to
