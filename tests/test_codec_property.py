@@ -228,6 +228,88 @@ def test_jpeg_single_coefficient_blocks_exact():
     )
 
 
+# ------------------------------------------------ progressive JPEG codec
+from data_pipeline_with_hdfs_sql_integration_spark.plans.multimodal import (  # noqa: E402
+    jpeg_progressive_codec,
+)
+
+PENC, PDEC = jpeg_progressive_codec()
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_progressive_matches_baseline_bit_for_bit(data):
+    """Progressive transmission reorders bits of the SAME quantized
+    coefficients — decode must equal the baseline codec's decode
+    EXACTLY for any input. This exercises the whole ladder: DC
+    successive approximation, AC first pass + refinement, EOBRUN."""
+    pixels = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=16 * 16,
+            max_size=16 * 16,
+        )
+    )
+    pay = PENC(pixels, 16, 16)
+    assert b"\xff\xc2" in pay[: pay.find(b"\xff\xda")]  # SOF2 header
+    assert pay.count(b"\xff\xda") == 4  # the 4-scan ladder
+    assert PDEC(pay)[2] == JDEC(JENC(pixels, 16, 16))[2]
+
+
+def test_progressive_flat_blocks_exact_and_eobrun_spans():
+    """Flat blocks: DC-only, exact round-trip; the empty AC band makes
+    ONE EOBRUN cover every block in each AC scan — the payload's AC
+    scans shrink to a few bytes, which only EOBRUN coding can do."""
+    w, h = 32, 32  # 16 blocks
+    pixels = [137] * (w * h)
+    pay = PENC(pixels, w, h)
+    dw, dh, got = PDEC(pay)
+    assert (dw, dh) == (w, h) and got == pixels
+    # EOB-run efficiency: 16 all-zero AC bands in two scans must cost
+    # less than a per-block EOB would (16 blocks x 1 byte x 2 scans).
+    scans = pay.split(b"\xff\xda")
+    assert len(scans) == 5
+    assert len(scans[3]) + len(scans[4]) < 2 * 16 + 30
+
+
+def test_progressive_single_coefficient_blocks_exact():
+    """The round-9 single-coefficient lattice class (see the baseline
+    twin above) must round-trip exactly through the progressive ladder
+    too — AC refinement reconstructs |v| from the v>>1 first pass plus
+    its correction bit with no slack."""
+    import math
+
+    QD, QA = 8, 16
+
+    def _basis(u, x):
+        return math.cos((2 * x + 1) * u * math.pi / 16) * (
+            math.sqrt(0.125) if u == 0 else 0.5
+        )
+
+    for dc, ac, (pu, pv) in [
+        (-7, -5, (0, 1)),
+        (0, 3, (2, 3)),
+        (9, 7, (7, 7)),
+        (4, -2, (4, 0)),
+    ]:
+        coef = [[0.0] * 8 for _ in range(8)]
+        coef[0][0] = dc * QD
+        coef[pu][pv] = ac * QA
+        pix = [
+            math.floor(
+                sum(
+                    coef[u][v] * _basis(u, y) * _basis(v, x)
+                    for u in range(8)
+                    for v in range(8)
+                )
+                + 128.5
+            )
+            for y in range(8)
+            for x in range(8)
+        ]
+        assert PDEC(PENC(pix, 8, 8))[2] == pix, (dc, ac, pu, pv)
+
+
 def test_jpeg_byte_stuffing_handled():
     """Images whose entropy stream emits 0xFF bytes must decode
     correctly (stuffed 0x00 skipped). Scan a range of flat values to
