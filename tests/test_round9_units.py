@@ -298,6 +298,26 @@ class TestVersionedSignatureStore:
         assert got["v1_files_reused_in_v2"] == 1
 
 
+class TestStoreVersionsPlanShape:
+    def test_incremental_store_versions_no_cartesian(self, spark):
+        """The versioned-store dedup must keep the banded equi-join
+        shape: candidates come from (band_idx, band_hash) hash joins,
+        never an all-pairs product."""
+        from data_pipeline_with_hdfs_sql_integration_spark.registry import (
+            all_queries,
+        )
+
+        df = all_queries()["dedup_incremental_store_versions"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "HashJoin" in plan
+
+
 class TestSweepDigest:
     def test_length_prefix_blocks_separator_collision(self):
         import importlib.util
