@@ -258,6 +258,71 @@ class TxTable:
             {"add": files, "remove": live}, df=df, validated=active
         )
 
+    def merge(self, spark: SparkSession, source: DataFrame, key: str) -> int:
+        """MERGE (upsert) at FILE granularity — the Delta/Iceberg
+        copy-on-write shape: rows of ``source`` replace same-key rows
+        of the current snapshot, unmatched source keys insert. Only
+        live files that actually CONTAIN a matching key are rewritten
+        (found via the ``_metadata.file_path`` scan column + a
+        semi-join against the source keys); every untouched file
+        carries over into the new version by reference. At 100 TB a
+        merge touching one day's keys rewrites one day's files, never
+        the table — and because the rewrite is just another
+        add+remove commit over immutable files, every pre-merge
+        snapshot stays readable and bit-identical (time travel
+        intact, proven by plans/formats.format_txlog_merge).
+
+        ``source`` must not contain duplicate ``key`` values (the
+        Delta MERGE contract); returns the committed version."""
+        from pyspark.sql import functions as F
+
+        active = self.constraints()
+        self._validate_against(source, active)
+        live_raw = sorted(self._replay_state(None)[0])
+        if not live_raw:
+            files = self._write_files(source)
+            return self._commit(
+                {"add": files, "remove": []}, df=source, validated=active
+            )
+        snap = spark.read.parquet(*(self._resolve(f) for f in live_raw))
+        # Which files hold a matching key? One metadata-column scan +
+        # semi-join; the collect is bounded by the table's FILE count.
+        touched_uris = {
+            r["f"]
+            for r in snap.select(
+                F.col("_metadata.file_path").alias("f"), F.col(key)
+            )
+            .join(F.broadcast(source.select(key).distinct()), key, "left_semi")
+            .select("f")
+            .distinct()
+            .collect()
+        }
+
+        def _norm(uri: str) -> str:
+            # Spark's _metadata.file_path is a URI ("file:/x" or
+            # "file:///x" depending on the FS impl); live_files are
+            # plain paths — compare on the path component.
+            from urllib.parse import unquote, urlparse
+
+            p = urlparse(uri)
+            return unquote(p.path) if p.scheme else uri
+
+        touched_paths = {_norm(u) for u in touched_uris}
+        remove = [
+            f for f in live_raw if self._resolve(f) in touched_paths
+        ]
+        if touched_paths:
+            keep = spark.read.parquet(*sorted(touched_paths)).join(
+                F.broadcast(source.select(key).distinct()), key, "left_anti"
+            )
+            new_data = keep.unionByName(source)
+        else:
+            new_data = source
+        files = self._write_files(new_data)
+        return self._commit(
+            {"add": files, "remove": remove}, df=source, validated=active
+        )
+
     # ------------------------------------------------------ constraints
     def constraints(self, version: int | None = None) -> dict[str, str]:
         """Active CHECK constraints at a version (checkpointed log

@@ -529,3 +529,111 @@ def format_txlog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+@query(
+    "format_txlog_merge",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderkey % 3 <> 0
+        ),
+        upsert AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 2 = 0
+              AND o_orderkey <= (SELECT max(o_orderkey) / 8 FROM orders)
+        ),
+        merged AS (
+            SELECT * FROM upsert
+            UNION ALL
+            SELECT b.* FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM upsert u
+                              WHERE u.o_orderkey = b.o_orderkey)
+        )
+        SELECT 0 AS version, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM base GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 1 AS version, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM merged GROUP BY o_orderpriority
+    """,
+    doc="MERGE (upsert) on the transaction-log table — file-level "
+    "copy-on-write, the Delta/Iceberg mechanism (operators/txlog.py "
+    "merge, round 9): the base table (orderkey % 3 <> 0, "
+    "range-partitioned into 8 file groups) is merged with an upsert "
+    "batch (even keys in the LOWEST eighth of the key range, at "
+    "doubled price — updates for keys already present, inserts for "
+    "the rest). Only files CONTAINING a matched key are "
+    "rewritten (found by a _metadata.file_path semi-join against "
+    "the broadcast source keys); untouched files carry into v1 by "
+    "reference — asserted in-query (the carried set is non-empty "
+    "and byte-identical paths). Both the PRE-merge snapshot (v0, "
+    "proving time travel survives row-level updates) and the merged "
+    "v1 value-check against the recompute-from-raw oracle. At "
+    "100 TB merge cost is proportional to TOUCHED files — a day's "
+    "upsert rewrites a day's files, never the table.",
+    tags=("format", "txlog", "merge", "cdc"),
+)
+def format_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        build_once,
+    )
+
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    # The upsert hits only the LOWEST eighth of the key range; the base
+    # is range-partitioned into 8 file groups, so the merge rewrites
+    # the low-range file(s) and carries the rest by reference — the
+    # COW locality the assertion below pins.
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+
+    def build(t):
+        t.append(
+            orders.filter(F.col("o_orderkey") % 3 != 0).repartitionByRange(
+                8, "o_orderkey"
+            )
+        )
+        upsert = orders.filter(
+            (F.col("o_orderkey") % 2 == 0)
+            & (F.col("o_orderkey") <= max_key / 8)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        t.merge(spark, upsert, "o_orderkey")
+
+    t = build_once("orders_merge", table_path(sf_dir, "orders"), 1, build)
+    v0, v1 = set(t.live_files(0)), set(t.live_files(1))
+    carried = v0 & v1
+    # COW contract: the merge rewrote SOME files (the upsert keys are
+    # spread across groups) but carried at least one untouched file
+    # by reference, byte-identically (same path, immutable).
+    assert v1 != v0, "merge must commit new files"
+    assert carried or len(v0) == 0, "no files carried — COW degenerated to overwrite"
+    out = None
+    for v in (0, 1):
+        snap = (
+            t.snapshot(spark, version=v)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(
+                F.lit(v).alias("version"),
+                "o_orderpriority",
+                "n_orders",
+                "total_price",
+            )
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

@@ -298,6 +298,71 @@ class TestVersionedSignatureStore:
         assert got["v1_files_reused_in_v2"] == 1
 
 
+class TestTxlogMerge:
+    def _base(self, spark, tmp_path):
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            TxTable,
+        )
+
+        t = TxTable(str(tmp_path / "tx"))
+        # Range-partitioned: ids 0..99 across 4 file groups.
+        t.append(
+            spark.range(100)
+            .selectExpr("id", "id * 10 as v")
+            .repartitionByRange(4, "id")
+        )
+        return t
+
+    def test_merge_updates_inserts_and_carries_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = self._base(spark, tmp_path)
+        v0_files = set(t.live_files(0))
+        # Upsert: update ids 0..9, insert ids 100..104 — touches only
+        # the low-range file group(s).
+        src = spark.range(0, 10).union(spark.range(100, 105)).selectExpr(
+            "id", "id * 10 + 1 as v"
+        )
+        v = t.merge(spark, src, "id")
+        assert v == 1
+        got = {r["id"]: r["v"] for r in t.snapshot(spark).collect()}
+        assert len(got) == 105
+        assert all(got[i] == i * 10 + 1 for i in range(10))  # updated
+        assert all(got[i] == i * 10 + 1 for i in range(100, 105))  # inserted
+        assert all(got[i] == i * 10 for i in range(10, 100))  # untouched
+        carried = v0_files & set(t.live_files(1))
+        assert carried, "COW must carry untouched file groups by reference"
+        # Pre-merge snapshot is intact (time travel over row updates).
+        old = {r["id"]: r["v"] for r in t.snapshot(spark, 0).collect()}
+        assert len(old) == 100 and old[3] == 30
+
+    def test_merge_into_empty_table_is_append(self, spark, tmp_path):
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            TxTable,
+        )
+
+        t = TxTable(str(tmp_path / "tx"))
+        v = t.merge(spark, spark.range(5).selectExpr("id", "id as v"), "id")
+        assert v == 0
+        assert t.snapshot(spark).count() == 5
+
+    def test_merge_respects_constraints(self, spark, tmp_path):
+        import pytest
+
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            ConstraintViolation,
+        )
+
+        t = self._base(spark, tmp_path)
+        t.set_constraint("v_nonneg", "v >= 0")
+        bad = spark.range(3).selectExpr("id", "-1L as v")
+        with pytest.raises(ConstraintViolation):
+            t.merge(spark, bad, "id")
+        # Nothing committed: v0 data + the constraint commit only.
+        assert t.latest_version() == 1
+        assert t.snapshot(spark).count() == 100
+
+
 class TestStoreVersionsPlanShape:
     def test_incremental_store_versions_no_cartesian(self, spark):
         """The versioned-store dedup must keep the banded equi-join
