@@ -311,6 +311,16 @@ class TxTable:
         remove = [
             f for f in live_raw if self._resolve(f) in touched_paths
         ]
+        # Every touched file MUST map back to a removed log entry; a
+        # URI-vs-path mismatch here would rewrite rows into the new
+        # commit while leaving the old file live — silent duplication.
+        # Fail loudly instead.
+        assert len(remove) == len(touched_paths), (
+            f"merge: {len(touched_paths)} touched files but only "
+            f"{len(remove)} matched log entries — path normalization "
+            f"mismatch (sample: {sorted(touched_paths)[:1]} vs "
+            f"{live_raw[:1]})"
+        )
         if touched_paths:
             keep = spark.read.parquet(*sorted(touched_paths)).join(
                 F.broadcast(source.select(key).distinct()), key, "left_anti"
@@ -430,32 +440,51 @@ def build_once(kind: str, source_path: str, target_version: int, builder) -> TxT
     root = deterministic_tmp_dir(f"txtable_{kind}", source_path)
     if _probe_latest(root) >= target_version:
         return TxTable(root)
-    if os.path.isdir(root):
-        # Partial dir from a pre-atomic (round <9) crashed build: move
-        # it aside so the rename target is free. A racer may beat us to
-        # the move — losing that race is fine, the final rename
-        # arbitrates.
-        try:
-            os.rename(root, f"{root}.stale-{uuid.uuid4().hex}")
-        except OSError:
-            pass
     build_root = f"{root}.build-{uuid.uuid4().hex}"
     bt = TxTable(build_root)
-    builder(bt)
-    built = bt.latest_version()
-    if built < target_version:
-        shutil.rmtree(build_root, ignore_errors=True)
-        raise ValueError(
-            f"builder for {kind} stopped at version {built}"
-            f" < target {target_version}"
-        )
     try:
-        os.rename(build_root, root)
-    except OSError:
-        # A racing builder published first; its table is complete by
-        # construction. Ours is redundant — drop it.
+        builder(bt)
+        built = bt.latest_version()
+        if built < target_version:
+            raise ValueError(
+                f"builder for {kind} stopped at version {built}"
+                f" < target {target_version}"
+            )
+    except BaseException:
+        # Never leak a table-sized private build tree on failure.
         shutil.rmtree(build_root, ignore_errors=True)
-    return TxTable(root)
+        raise
+    for _ in range(3):
+        if _probe_latest(root) >= target_version:
+            # A racer published a complete table while we built; ours
+            # is redundant — drop it and read the winner's.
+            shutil.rmtree(build_root, ignore_errors=True)
+            return TxTable(root)
+        if os.path.isdir(root):
+            # Incomplete dir in the way (pre-atomic partial build, or
+            # bare data/_log dirs mkdir-ed by a concurrent TxTable()
+            # handle): move it aside — re-probed as incomplete just
+            # above, so nothing complete is ever displaced — and
+            # delete the garbage. A racer may win the move; the
+            # rename below arbitrates.
+            try:
+                stale = f"{root}.stale-{uuid.uuid4().hex}"
+                os.rename(root, stale)
+                shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
+        try:
+            os.rename(build_root, root)
+            return TxTable(root)
+        except OSError:
+            continue  # target reappeared mid-race: re-probe and retry
+    shutil.rmtree(build_root, ignore_errors=True)
+    if _probe_latest(root) >= target_version:
+        return TxTable(root)
+    raise RuntimeError(
+        f"build_once({kind}): could not publish after 3 attempts and no"
+        f" complete table exists at {root}"
+    )
 
 
 class ConstraintViolation(ValueError):

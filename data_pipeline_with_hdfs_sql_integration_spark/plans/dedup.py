@@ -536,8 +536,8 @@ def versioned_minhash_store(spark: SparkSession, sf_dir: str):
     previous increments").
 
     Ingest generations model successive crawls over the documents
-    table: gen0 = doc_id % {MOD} in (1,2,3), gen1 = 4, gen2 = 0 (gen2
-    is the INCR_NEW_MOD "arriving batch" every incremental query
+    table: gen0 = doc_id % INCR_NEW_MOD in (1,2,3), gen1 = 4, gen2 = 0
+    (gen2 is the INCR_NEW_MOD "arriving batch" every incremental query
     uses). MinHash signatures are strictly per-document, so each
     generation's signature rows are identical whether computed in its
     own ingest job or sliced from a monolithic build — which is what
@@ -547,7 +547,7 @@ def versioned_minhash_store(spark: SparkSession, sf_dir: str):
     every file of version N-1 byte-identically (unit-pinned by content
     hash in tests/test_round9_units.py); built atomically via
     txlog.build_once so racing sessions can't duplicate generations.
-    """.format(MOD=INCR_NEW_MOD)
+    """
     from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
         params_digest,
         table_path,

@@ -594,10 +594,10 @@ def format_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The upsert hits only the LOWEST eighth of the key range; the base
     # is range-partitioned into 8 file groups, so the merge rewrites
     # the low-range file(s) and carries the rest by reference — the
-    # COW locality the assertion below pins.
-    max_key = orders.agg(F.max("o_orderkey")).first()[0]
-
+    # COW locality the assertion below pins. The max-key aggregate runs
+    # inside the one-time builder, never on the warm path.
     def build(t):
+        max_key = orders.agg(F.max("o_orderkey")).first()[0]
         t.append(
             orders.filter(F.col("o_orderkey") % 3 != 0).repartitionByRange(
                 8, "o_orderkey"

@@ -188,11 +188,29 @@ def png_codec():
 
 
 def _jpeg_is_progressive(blob: bytes) -> bool:
-    """True if the JPEG header region (before the first SOS) carries a
-    SOF2 marker. Only the header is searched: entropy-coded data could
-    contain raw 0xFFC2 byte pairs, the segment region cannot."""
-    sos = blob.find(b"\xff\xda")
-    return blob.find(b"\xff\xc2", 0, sos if sos >= 0 else len(blob)) >= 0
+    """True if the stream's frame header is SOF2 (progressive). A real
+    MARKER WALK, not a substring scan: segment payloads (EXIF APP1
+    thumbnails, ICC profiles, a 0xFFC2 byte pair inside any length
+    field) legally contain 0xFFC2 bytes, so only marker positions —
+    reached by skipping each segment by its declared length — count."""
+    import struct
+
+    i = 2  # past SOI
+    n = len(blob)
+    while i + 3 < n:
+        if blob[i] != 0xFF:
+            return False  # malformed header region
+        m = blob[i + 1]
+        if m == 0xFF:  # fill byte
+            i += 1
+            continue
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            return m == 0xC2  # the SOF marker decides
+        if m in (0x01,) or 0xD0 <= m <= 0xD9:
+            i += 2  # standalone marker, no length
+            continue
+        i += 2 + struct.unpack(">H", blob[i + 2 : i + 4])[0]
+    return False
 
 
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
@@ -1289,11 +1307,11 @@ def jpeg_progressive_codec():
                 if a == 0:
                     run += 1
                     continue
-                if a > 1:
-                    # History coefficient: correction bit, run intact.
-                    br.append(a & 1)
-                    continue
-                # Newly nonzero (|v| == 1).
+                # Pending ZRLs flush at EVERY nonzero coefficient —
+                # history or new — before its bit is handled (jcphuff
+                # order); deferring past a history coefficient would
+                # strand its buffered correction bit after the ZRL
+                # where the decoder reads it as stream data.
                 while run > 15 and i <= eob:
                     flush_eobrun4()
                     w4.put(*ac_codes[0xF0])
@@ -1301,6 +1319,11 @@ def jpeg_progressive_codec():
                     for b in br:
                         w4.put(b, 1)
                     br.clear()
+                if a > 1:
+                    # History coefficient: correction bit, run intact.
+                    br.append(a & 1)
+                    continue
+                # Newly nonzero (|v| == 1).
                 flush_eobrun4()
                 w4.put(*ac_codes[(run << 4) | 1])
                 w4.put(1 if blk[1 + i] > 0 else 0, 1)

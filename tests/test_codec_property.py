@@ -256,6 +256,69 @@ def test_progressive_matches_baseline_bit_for_bit(data):
     assert PDEC(pay)[2] == JDEC(JENC(pixels, 16, 16))[2]
 
 
+def test_progressive_refine_zrl_after_history_coefficient():
+    """Round-9 code-review regression: a zigzag band with >=16 zeros,
+    then a HISTORY coefficient (|q|>1), then a newly-nonzero one
+    (|q|==1) — the ZRL must flush before the history coefficient's
+    buffered correction bit, or the refinement bitstream desyncs and
+    pixels silently corrupt."""
+    import math
+
+    import numpy as np
+
+    dctm = np.array(
+        [
+            [
+                math.cos((2 * x + 1) * u * math.pi / 16)
+                * (math.sqrt(0.125) if u == 0 else 0.5)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    zz = [
+        rc
+        for d in range(15)
+        for rc in sorted(
+            ((r, d - r) for r in range(max(0, d - 7), min(8, d + 1))),
+            key=(lambda p: -p[0]) if d % 2 == 0 else (lambda p: p[0]),
+        )
+    ]
+    qmat = np.array([8] + [16] * 63, dtype=float).reshape(8, 8)
+    for q17, q18 in ((3, 1), (5, 1), (2, 1), (7, -1)):
+        q = np.zeros((8, 8))
+        q[zz[0]], q[zz[17]], q[zz[18]] = 4, q17, q18
+        blk = dctm.T @ (q * qmat) @ dctm + 128
+        pix = [
+            int(min(255, max(0, math.floor(v + 0.5))))
+            for v in blk.reshape(-1)
+        ]
+        assert PDEC(PENC(pix, 8, 8))[2] == JDEC(JENC(pix, 8, 8))[2], (q17, q18)
+
+
+def test_progressive_sniffer_walks_markers():
+    """_jpeg_is_progressive must key on the SOF marker reached by a
+    segment walk — a baseline file whose APP payload contains the raw
+    bytes FF C2 (EXIF thumbnails do) stays baseline."""
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.multimodal import (
+        _jpeg_is_progressive,
+    )
+
+    base = JENC([100] * 64, 8, 8)
+    prog = PENC([100] * 64, 8, 8)
+    assert not _jpeg_is_progressive(base)
+    assert _jpeg_is_progressive(prog)
+    # Inject an APP1 segment whose PAYLOAD contains 0xFFC2 right after
+    # SOI — the walk must skip it by length, not match the bytes.
+    import struct
+
+    payload = b"Exif\x00\x00" + b"\xff\xc2" * 3
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+    spiked = base[:2] + app1 + base[2:]
+    assert not _jpeg_is_progressive(spiked)
+    assert JDEC(spiked)[2] == JDEC(base)[2]  # baseline decoder skips APP1 too
+
+
 def test_progressive_flat_blocks_exact_and_eobrun_spans():
     """Flat blocks: DC-only, exact round-trip; the empty AC band makes
     ONE EOBRUN cover every block in each AC scan — the payload's AC

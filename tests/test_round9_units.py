@@ -107,8 +107,12 @@ class TestBuildOnce:
         assert t2.snapshot(spark).count() == 8
 
     def test_loser_discards_and_reads_winner(self, spark, tmp_path, monkeypatch):
-        """Simulate losing the publish race: rename raises, the losing
-        build is discarded, and the winner's table is returned."""
+        """Simulate losing the publish race: the initial probe sees no
+        table (so a build starts), but by publish time a racer's
+        complete table exists — the losing build is discarded and the
+        winner's table returned, never displaced."""
+        import glob
+
         from data_pipeline_with_hdfs_sql_integration_spark.operators import txlog
 
         src = str(tmp_path / "fixture2.parquet")
@@ -116,29 +120,42 @@ class TestBuildOnce:
         winner = txlog.build_once("t9_race", src, 1, self._builder(spark, 3))
         winner_files = winner.live_files()
 
-        # Force a rebuild attempt by probing below target, then make the
-        # loser's rename fail as if the winner republished first.
-        real_rename = os.rename
-        renames = []
+        real_probe = txlog._probe_latest
+        calls = {"n": 0}
 
-        def deny_publish(a, b):
-            if ".stale-" in b:
-                # In a real race the root does not exist when the loser
-                # probes, so nothing is moved aside; model that by
-                # failing the stale-move (build_once tolerates losing
-                # it to a racer the same way).
-                raise OSError(39, "directory not empty")
-            if ".build-" in a:
-                renames.append((a, b))
-                raise OSError(39, "directory not empty")
-            return real_rename(a, b)
+        def stale_then_real(root):
+            calls["n"] += 1
+            return -1 if calls["n"] == 1 else real_probe(root)
 
-        monkeypatch.setattr(txlog.os, "rename", deny_publish)
-        monkeypatch.setattr(txlog, "_probe_latest", lambda root: -1)
+        monkeypatch.setattr(txlog, "_probe_latest", stale_then_real)
         t = txlog.build_once("t9_race", src, 1, self._builder(spark, 3))
-        assert renames, "loser must have attempted to publish"
-        assert not os.path.exists(renames[0][0]), "losing build must be discarded"
-        assert t.live_files() == winner_files
+        assert calls["n"] >= 2, "publish loop must re-probe"
+        assert t.live_files() == winner_files  # winner untouched
+        assert not glob.glob(f"{winner.root}.build-*"), "losing build must be discarded"
+
+    def test_builder_failure_leaks_no_build_dir(self, spark, tmp_path):
+        import glob
+
+        import pytest
+
+        from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+            deterministic_tmp_dir,
+        )
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            build_once,
+        )
+
+        src = str(tmp_path / "fixture4.parquet")
+        spark.range(1).write.parquet(src)
+
+        def boom(t):
+            t.append(spark.range(2).selectExpr("id"))
+            raise RuntimeError("mid-build crash")
+
+        with pytest.raises(RuntimeError, match="mid-build crash"):
+            build_once("t9_crash", src, 1, boom)
+        root = deterministic_tmp_dir("txtable_t9_crash", src)
+        assert not glob.glob(f"{root}.build-*"), "crashed build tree leaked"
 
     def test_short_build_raises(self, spark, tmp_path):
         import pytest
