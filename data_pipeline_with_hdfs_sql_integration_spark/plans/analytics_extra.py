@@ -671,3 +671,74 @@ def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         scanned.filter(F.col("b").isNull() | (F.col("size") > F.col("b")))
         .select("p_partkey", "price_cents", "size")
     )
+
+
+@query(
+    "layout_bloom_join_pruning",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 400000.0
+        GROUP BY o_orderpriority
+    """,
+    doc="Runtime Bloom-filter join pruning, PROVEN to engage: a "
+    "selective filter on orders (o_totalprice > 400000) joins a much "
+    "larger lineitem, and Spark's InjectRuntimeFilter rule builds a "
+    "bloom_filter_agg over the filtered build-side keys and injects "
+    "might_contain(l_orderkey) into the probe-side scan — the fact "
+    "table is pre-filtered BEFORE the shuffle, which at 100 TB is the "
+    "difference between shuffling the whole fact and shuffling the "
+    "~few-percent that can match. The rule is deliberately "
+    "scale-activated (10 GB probe-scan threshold) and declines when "
+    "the build side is broadcastable, so at test SFs the query pins "
+    "the decision explicitly: applicationSideScanSizeThreshold=1 and "
+    "broadcast disabled FOR THIS BUILD ONLY (session confs "
+    "save/restored), then asserts might_contain + bloom_filter_agg in "
+    "the optimized plan and executes the join under those confs via an "
+    "eager localCheckpoint. On a real cluster the same plan appears "
+    "with default confs once the probe scan crosses the threshold. "
+    "Bloom pruning is a pure optimization — values oracled against the "
+    "plain join. Complements sketch_bloom_membership (the hand-rolled, "
+    "cross-engine-checkable analog of this native rule).",
+    tags=("layout", "pruning", "join", "bloom"),
+)
+def layout_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+        li = load(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt and "bloom_filter_agg" in opt, (
+            "runtime bloom filter did not inject:\n" + opt
+        )
+        # Execute NOW, while the tuned confs are live, so the collected
+        # result really ran the bloom-pruned plan; the returned frame
+        # is a scan of the materialized (tiny) grouped output.
+        out = j.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
