@@ -22,7 +22,9 @@ spark = (SparkSession.builder.master(f"local[{_cpus}]")
          # sf1 sweeps die at the 1g default driver memory (round 7:
          # SparkContext shut down mid-sweep); local mode puts every
          # executor thread in the driver JVM, so size it for the SF.
-         .config("spark.driver.memory", "24g")
+         # Env-tunable so several SWEEP_SHARD processes can split a
+         # 128 GB box without their worst cases adding past physical.
+         .config("spark.driver.memory", _os.environ.get("SWEEP_DRIVER_MEM", "24g"))
          # The harness collect()s full results for the compare; at
          # sf10 even aggregate outputs can pass the 1g default.
          .config("spark.driver.maxResultSize", "8g")
@@ -35,7 +37,7 @@ import duckdb; con = duckdb.connect()
 # dedup_substring_spans' oracle at sf1 hit 127 GB anon RSS and the OOM
 # killer took the whole sweep, silently when stderr was discarded).
 # Cap it and let it spill to disk instead of dying.
-con.execute("PRAGMA memory_limit='40GB'")
+con.execute(f"PRAGMA memory_limit='{_os.environ.get('SWEEP_DUCK_MEM', '40GB')}'")
 con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
 # The limit does not track every operator's state, and peak memory
 # scales with per-thread partial hash tables (default = all cores).
