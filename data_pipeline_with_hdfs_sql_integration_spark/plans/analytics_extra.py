@@ -708,6 +708,15 @@ def layout_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     tuned = {
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        # The rule also declines when the BUILD side's size estimate
+        # crosses creationSideThreshold (10 MB default — building the
+        # filter costs a pass over the build side). Without column
+        # stats the filtered orders relation keeps the full scan's
+        # sizeInBytes, which crosses 10 MB by sf1, so pin the
+        # threshold high enough for any test SF; on a real cluster
+        # this is the same knob operators raise when the build side
+        # is worth a bloom pass at 100 TB.
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "8GB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     }
