@@ -32,21 +32,33 @@ spark = (SparkSession.builder.master(f"local[{_cpus}]")
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
 qs, os_ = e.queries(), e.oracle_sql()
-import duckdb; con = duckdb.connect()
-# Big-SF oracles can exhaust RAM inside the in-process DuckDB (round 7:
-# dedup_substring_spans' oracle at sf1 hit 127 GB anon RSS and the OOM
-# killer took the whole sweep, silently when stderr was discarded).
-# Cap it and let it spill to disk instead of dying.
-con.execute(f"PRAGMA memory_limit='{_os.environ.get('SWEEP_DUCK_MEM', '40GB')}'")
-con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
-# The limit does not track every operator's state, and peak memory
-# scales with per-thread partial hash tables (default = all cores).
-# Fewer threads is the lever that actually bounds the big-SF oracles.
-con.execute(f"PRAGMA threads={max(4, int(_cpus) // 2)}")
+import duckdb
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+
+def _connect():
+    """Fresh oracle connection. Big-SF oracles can exhaust RAM inside
+    the in-process DuckDB (round 7: dedup_substring_spans' oracle at
+    sf1 hit 127 GB anon RSS and the OOM killer took the whole sweep,
+    silently when stderr was discarded) — cap it and let it spill to
+    disk instead of dying. The spill dir is PER-PROCESS: sharded
+    sweeps running several DuckDBs collide on temp block filenames in
+    a shared dir (round 9: one shard's buffer pool wedged after a
+    failed spill and every later oracle died on tiny allocations)."""
+    c = duckdb.connect()
+    c.execute(f"PRAGMA memory_limit='{_os.environ.get('SWEEP_DUCK_MEM', '40GB')}'")
+    c.execute(f"PRAGMA temp_directory='/tmp/duck_spill_{_os.getpid()}'")
+    # The limit does not track every operator's state, and peak memory
+    # scales with per-thread partial hash tables (default = all cores).
+    # Fewer threads is the lever that actually bounds the big-SF oracles.
+    c.execute(f"PRAGMA threads={max(4, int(_cpus) // 2)}")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+con = _connect()
 ok = bad = 0; fails = []
 t_start = time.monotonic()
 # Cheap-oracle families first: at big SFs the pair-generating text/
@@ -101,69 +113,86 @@ def _digest(row_iter):
 
 
 for name in _names:
-    t_q = time.monotonic()
-    try:
-        sdf = qs[name](spark, SF)
-        proj = sdf.select(*sorted(sdf.columns))
-        if _digest_mode:
-            s_cnt, s_acc = _digest(tuple(r) for r in proj.toLocalIterator())
+    # A DuckDB "Out of Memory / bad allocation" is a HARNESS condition,
+    # not an engine verdict, and it wedges the connection's buffer pool
+    # so every later oracle dies on tiny allocations (observed in the
+    # sharded sf10 run). Retry ONCE on a fresh connection; a second
+    # failure records as the query's real verdict.
+    for _attempt in (0, 1):
+        t_q = time.monotonic()
+        try:
+            sdf = qs[name](spark, SF)
+            proj = sdf.select(*sorted(sdf.columns))
+            if _digest_mode:
+                s_cnt, s_acc = _digest(tuple(r) for r in proj.toLocalIterator())
+                t_spark = time.monotonic() - t_q
+                if name not in os_:
+                    assert s_cnt > 0, f"{name}: rows-only query returned 0 rows"
+                    ok += 1
+                    print(f"OK(rows-only) {name} spark={t_spark:.1f}s rows={s_cnt}", flush=True)
+                    break
+                rel = con.sql(os_[name])
+                cur = con.execute(
+                    f"SELECT {', '.join(sorted(rel.columns))} FROM ({os_[name]})"
+                )
+
+                def _duck_rows():
+                    while True:
+                        batch = cur.fetchmany(100_000)
+                        if not batch:
+                            return
+                        yield from batch
+
+                d_cnt, d_acc = _digest(_duck_rows())
+                t_oracle = time.monotonic() - t_q - t_spark
+                if (s_cnt, s_acc) == (d_cnt, d_acc):
+                    ok += 1
+                    print(f"OK(digest) {name} spark={t_spark:.1f}s oracle={t_oracle:.1f}s rows={s_cnt}", flush=True)
+                else:
+                    bad += 1; fails.append((name, "digest-mismatch", s_cnt, d_cnt))
+                    print(f"FAIL(digest) {name} rows {s_cnt} vs {d_cnt} acc_eq={s_acc == d_acc}", flush=True)
+                break
+            rows = proj.collect()
             t_spark = time.monotonic() - t_q
             if name not in os_:
-                assert s_cnt > 0, f"{name}: rows-only query returned 0 rows"
+                # Oracle-less queries must still return data: a regression
+                # to an empty frame is a failure, not an "ok".
+                assert len(rows) > 0, f"{name}: rows-only query returned 0 rows"
+                assert len(rows[0]) > 0, f"{name}: rows-only query returned 0 columns"
                 ok += 1
-                print(f"OK(rows-only) {name} spark={t_spark:.1f}s rows={s_cnt}", flush=True)
-                continue
+                print(f"OK(rows-only) {name} spark={t_spark:.1f}s", flush=True)
+                break
+            s = sorted(tuple(str(x) for x in r) for r in rows)
             rel = con.sql(os_[name])
-            cur = con.execute(
-                f"SELECT {', '.join(sorted(rel.columns))} FROM ({os_[name]})"
-            )
-
-            def _duck_rows():
-                while True:
-                    batch = cur.fetchmany(100_000)
-                    if not batch:
-                        return
-                    yield from batch
-
-            d_cnt, d_acc = _digest(_duck_rows())
+            d = sorted(tuple(str(x) for x in r)
+                       for r in con.sql(f"SELECT {', '.join(sorted(rel.columns))} FROM ({os_[name]})").fetchall())
             t_oracle = time.monotonic() - t_q - t_spark
-            if (s_cnt, s_acc) == (d_cnt, d_acc):
+            if s == d:
                 ok += 1
-                print(f"OK(digest) {name} spark={t_spark:.1f}s oracle={t_oracle:.1f}s rows={s_cnt}", flush=True)
+                print(f"OK {name} spark={t_spark:.1f}s oracle={t_oracle:.1f}s", flush=True)
             else:
-                bad += 1; fails.append((name, "digest-mismatch", s_cnt, d_cnt))
-                print(f"FAIL(digest) {name} rows {s_cnt} vs {d_cnt} acc_eq={s_acc == d_acc}", flush=True)
-            continue
-        rows = proj.collect()
-        t_spark = time.monotonic() - t_q
-        if name not in os_:
-            # Oracle-less queries must still return data: a regression
-            # to an empty frame is a failure, not an "ok".
-            assert len(rows) > 0, f"{name}: rows-only query returned 0 rows"
-            assert len(rows[0]) > 0, f"{name}: rows-only query returned 0 columns"
-            ok += 1
-            print(f"OK(rows-only) {name} spark={t_spark:.1f}s", flush=True)
-            continue
-        s = sorted(tuple(str(x) for x in r) for r in rows)
-        rel = con.sql(os_[name])
-        d = sorted(tuple(str(x) for x in r)
-                   for r in con.sql(f"SELECT {', '.join(sorted(rel.columns))} FROM ({os_[name]})").fetchall())
-        t_oracle = time.monotonic() - t_q - t_spark
-        if s == d:
-            ok += 1
-            print(f"OK {name} spark={t_spark:.1f}s oracle={t_oracle:.1f}s", flush=True)
-        else:
-            bad += 1; fails.append((name, "mismatch", len(s), len(d)))
-            print(f"FAIL(mismatch) {name} rows {len(s)} vs {len(d)}", flush=True)
-    except Exception as ex:
-        bad += 1; fails.append((name, str(ex)[:160], None, None))
-        print(f"FAIL(error) {name}: {str(ex)[:160]}", flush=True)
-    finally:
-        # Bound session memory like bench.py: drop the persist handles
-        # the global-rank operators pin and clear cached relations so
-        # 256 queries in one session don't accumulate eviction churn.
-        from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import release_pins
-        release_pins()
-        spark.catalog.clearCache()
+                bad += 1; fails.append((name, "mismatch", len(s), len(d)))
+                print(f"FAIL(mismatch) {name} rows {len(s)} vs {len(d)}", flush=True)
+            break
+        except Exception as ex:
+            msg = str(ex)
+            if _attempt == 0 and ("Out of Memory" in msg or "bad allocation" in msg):
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = _connect()
+                print(f"RETRY {name}: fresh DuckDB connection after OOM", flush=True)
+                continue
+            bad += 1; fails.append((name, msg[:160], None, None))
+            print(f"FAIL(error) {name}: {msg[:160]}", flush=True)
+            break
+        finally:
+            # Bound session memory like bench.py: drop the persist handles
+            # the global-rank operators pin and clear cached relations so
+            # 256 queries in one session don't accumulate eviction churn.
+            from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import release_pins
+            release_pins()
+            spark.catalog.clearCache()
 print(f"SWEEP {SF}: {ok} ok / {bad} bad of {len(_names)} in {time.monotonic()-t_start:.0f}s")
 for f in fails: print(" FAIL:", f)
