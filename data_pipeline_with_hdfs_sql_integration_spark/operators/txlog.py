@@ -41,6 +41,108 @@ from pyspark.sql import DataFrame, SparkSession
 CHECKPOINT_INTERVAL = 10
 
 
+def _naive_utc(dt):
+    """tz-aware datetime -> naive UTC (pyarrow surfaces TIMESTAMP
+    MICROS isAdjustedToUTC bounds tz-aware; callers pass naive)."""
+    import datetime
+
+    if isinstance(dt, datetime.datetime) and dt.tzinfo is not None:
+        return dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def _file_stats(path: str) -> dict:
+    """{'rows': N, 'cols': {name: {t, min, max, nulls}}} from the
+    parquet FOOTER — a metadata-only read, no data pass (the
+    Delta/Iceberg per-file stats that power data skipping). A column
+    qualifies only when EVERY row group carries usable min/max:
+
+    - numeric/bool/date/timestamp logical types only — parquet
+      writers may TRUNCATE byte-array (string/decimal) min/max, so a
+      string bound is not a safe pruning bound without the exactness
+      flags, and we'd rather index fewer columns than prune wrongly;
+    - NaN poisons float stats (writers disagree on NaN ordering), so
+      any NaN bound disqualifies the column.
+
+    date/timestamp bounds are stored as ISO strings (naive UTC) with
+    a type tag and decoded for comparison at prune time. NOTE: Spark
+    writes INT96 timestamps by default, which carry NO footer stats —
+    _write_files pins outputTimestampType=TIMESTAMP_MICROS so txlog
+    timestamp columns are skippable."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict[str, dict | None] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaf: not a top-level column
+            if agg.get(name, "absent") is None:
+                continue  # already disqualified
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                agg[name] = None
+                continue
+            mn, mx = _naive_utc(st.min), _naive_utc(st.max)
+            nulls = st.null_count if st.has_null_count else 0
+            if isinstance(mn, bool) and isinstance(mx, bool):
+                tag = "bool"
+            elif isinstance(mn, int) and isinstance(mx, int):
+                tag = "int"
+            elif isinstance(mn, float) and isinstance(mx, float):
+                if mn != mn or mx != mx:  # NaN
+                    agg[name] = None
+                    continue
+                tag = "float"
+            elif isinstance(mn, datetime.datetime) and isinstance(mx, datetime.datetime):
+                tag = "ts"
+                mn, mx = mn.isoformat(), mx.isoformat()
+            elif isinstance(mn, datetime.date) and isinstance(mx, datetime.date):
+                tag = "date"
+                mn, mx = mn.isoformat(), mx.isoformat()
+            else:
+                agg[name] = None  # strings/decimals/bytes: unsafe
+                continue
+            cur = agg.get(name, "absent")
+            if cur == "absent":
+                agg[name] = {"t": tag, "min": mn, "max": mx, "nulls": nulls}
+            elif cur["t"] != tag:
+                agg[name] = None
+            else:
+                cur["min"] = min(cur["min"], mn)
+                cur["max"] = max(cur["max"], mx)
+                cur["nulls"] += nulls
+    return {
+        "rows": md.num_rows,
+        "cols": {k: v for k, v in agg.items() if v not in (None, "absent")},
+    }
+
+
+def _decode_bound(tag: str, value):
+    import datetime
+
+    if tag == "ts":
+        return datetime.datetime.fromisoformat(value)
+    if tag == "date":
+        return datetime.date.fromisoformat(value)
+    return value
+
+
+def _stat_overlaps(stat: dict | None, lo, hi) -> bool:
+    """Can a file with ``stat`` for the pruned column contain a value
+    in [lo, hi]? None (no usable stats — legacy commit, disqualified
+    column) is always True: pruning must be SAFE, never exact."""
+    if stat is None:
+        return True
+    mn = _decode_bound(stat["t"], stat["min"])
+    mx = _decode_bound(stat["t"], stat["max"])
+    return not (mx < _naive_utc(lo) or mn > _naive_utc(hi))
+
+
 class TxTable:
     def __init__(self, root: str) -> None:
         self.root = root
@@ -106,18 +208,22 @@ class TxTable:
 
     def _replay_state(
         self, version: int | None = None
-    ) -> tuple[set[str], dict[str, str]]:
-        """(live file set, active constraints) at ``version``, replayed
-        from the newest checkpoint <= version — O(CHECKPOINT_INTERVAL)
-        commit reads, never O(history)."""
+    ) -> tuple[set[str], dict[str, str], dict[str, dict]]:
+        """(live file set, active constraints, per-file column stats)
+        at ``version``, replayed from the newest checkpoint <= version
+        — O(CHECKPOINT_INTERVAL) commit reads, never O(history). Stats
+        are keyed by the RAW logged path; files from stat-less commits
+        (pre-stats tables) simply have no entry."""
         live: set[str] = set()
         active: dict[str, str] = {}
+        stats: dict[str, dict] = {}
         start = -1
         ckpt = self._latest_checkpoint(version)
         if ckpt is not None:
             start, state = ckpt
             live = set(state["live"])
             active = dict(state["constraints"])
+            stats = dict(state.get("stats", {}))
         reads = 0
         for name in self._commits():
             v = int(name.split(".")[0])
@@ -128,13 +234,17 @@ class TxTable:
             with open(os.path.join(self.log_dir, name)) as f:
                 entry = json.load(f)
             reads += 1
-            live -= set(entry.get("remove", []))
+            removed = set(entry.get("remove", []))
+            live -= removed
+            for r in removed:
+                stats.pop(r, None)
             live |= set(entry.get("add", []))
+            stats.update(entry.get("stats", {}))
             active.update(entry.get("setConstraint", {}))
             for dropped in entry.get("dropConstraint", []):
                 active.pop(dropped, None)
         self.last_replay_reads = reads
-        return live, active
+        return live, active, stats
 
     def _maybe_checkpoint(self, version: int) -> None:
         """After every CHECKPOINT_INTERVAL-th commit, roll the replayed
@@ -145,7 +255,7 @@ class TxTable:
         failed checkpoint never fails the commit it trails."""
         if version <= 0 or version % CHECKPOINT_INTERVAL != 0:
             return
-        live, active = self._replay_state(version)
+        live, active, stats = self._replay_state(version)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(
@@ -153,6 +263,9 @@ class TxTable:
                     "version": version,
                     "live": sorted(live),
                     "constraints": active,
+                    # Live files only: removed files' stats are dead
+                    # weight a long-lived table would accrete forever.
+                    "stats": {k: v for k, v in stats.items() if k in live},
                 },
                 f,
             )
@@ -222,18 +335,33 @@ class TxTable:
                 os.unlink(tmp)  # lost the race: replay and retry
 
     # ------------------------------------------------------------ write
-    def _write_files(self, df: DataFrame) -> list[str]:
+    def _write_files(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:
+        """(root-relative file list, per-file column stats). Stats come
+        from the parquet FOOTERS the write just produced — metadata
+        only, no second data pass; they ride in the commit entry so
+        every snapshot resolution gets data-skipping bounds for free."""
         group = os.path.join(self.data_dir, f"g-{uuid.uuid4().hex}")
-        df.write.parquet(group)
+        # Spark's default INT96 timestamps carry NO parquet footer
+        # stats; MICROS (the modern type, what Delta writes) do —
+        # without this, timestamp columns could never data-skip.
+        conf = df.sparkSession.conf
+        key = "spark.sql.parquet.outputTimestampType"
+        saved = conf.get(key, None)
+        try:
+            conf.set(key, "TIMESTAMP_MICROS")
+            df.write.parquet(group)
+        finally:
+            conf.unset(key) if saved is None else conf.set(key, saved)
         # Log entries are ROOT-RELATIVE so the whole table directory is
         # relocatable (build-under-temp + atomic rename publish, future
         # moves between stores). Pre-round-9 tables logged absolute
         # paths; _resolve() keeps reading those.
-        return [
+        files = [
             os.path.relpath(os.path.join(group, f), self.root)
             for f in os.listdir(group)
             if f.endswith(".parquet")
         ]
+        return files, {f: _file_stats(self._resolve(f)) for f in files}
 
     def _resolve(self, logged: str) -> str:
         """A logged file entry -> absolute path (relative entries are
@@ -243,19 +371,21 @@ class TxTable:
     def append(self, df: DataFrame) -> int:
         active = self.constraints()
         self._validate_against(df, active)
-        files = self._write_files(df)
-        return self._commit({"add": files, "remove": []}, df=df, validated=active)
+        files, stats = self._write_files(df)
+        return self._commit(
+            {"add": files, "remove": [], "stats": stats}, df=df, validated=active
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         active = self.constraints()
         self._validate_against(df, active)
-        files = self._write_files(df)
+        files, stats = self._write_files(df)
         # Remove entries must match the RAW logged strings (replay
         # subtracts them verbatim), not the resolved absolute paths
         # live_files() hands to readers.
         live = sorted(self._replay_state(None)[0])
         return self._commit(
-            {"add": files, "remove": live}, df=df, validated=active
+            {"add": files, "remove": live, "stats": stats}, df=df, validated=active
         )
 
     def merge(self, spark: SparkSession, source: DataFrame, key: str) -> int:
@@ -280,9 +410,11 @@ class TxTable:
         self._validate_against(source, active)
         live_raw = sorted(self._replay_state(None)[0])
         if not live_raw:
-            files = self._write_files(source)
+            files, stats = self._write_files(source)
             return self._commit(
-                {"add": files, "remove": []}, df=source, validated=active
+                {"add": files, "remove": [], "stats": stats},
+                df=source,
+                validated=active,
             )
         snap = spark.read.parquet(*(self._resolve(f) for f in live_raw))
         # Which files hold a matching key? One metadata-column scan +
@@ -328,9 +460,11 @@ class TxTable:
             new_data = keep.unionByName(source)
         else:
             new_data = source
-        files = self._write_files(new_data)
+        files, stats = self._write_files(new_data)
         return self._commit(
-            {"add": files, "remove": remove}, df=source, validated=active
+            {"add": files, "remove": remove, "stats": stats},
+            df=source,
+            validated=active,
         )
 
     # ------------------------------------------------------ constraints
@@ -386,6 +520,45 @@ class TxTable:
         if not files:
             raise ValueError(f"no live files at version {version}")
         return spark.read.parquet(*files)
+
+    def prune(
+        self, column: str, lo, hi, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Data skipping: (files that can hold ``column`` values in
+        [lo, hi], total live files) at ``version``, decided purely
+        from the per-file stats in the log — metadata only, no scan.
+        A file is kept unless its recorded [min, max] is disjoint
+        from the range; files with no usable stats for the column
+        (pre-stats commits, disqualified column types) are always
+        kept: pruning is a SAFE superset, never exact, so the caller
+        must still apply the real predicate. At 100 TB this is the
+        difference between listing-then-scanning every file of a
+        table and opening only the few whose ranges can match —
+        the same footer-stats mechanism Delta/Iceberg use, hoisted
+        into the commit log so it never even reads the footers."""
+        live, _active, stats = self._replay_state(version)
+        kept = []
+        for f in sorted(live):
+            ent = stats.get(f)
+            if ent is not None and ent.get("rows") == 0:
+                continue  # empty part file: nothing to read, ever
+            stat = None if ent is None else ent.get("cols", {}).get(column)
+            if _stat_overlaps(stat, lo, hi):
+                kept.append(self._resolve(f))
+        return kept, len(live)
+
+    def skipping_snapshot(
+        self, spark: SparkSession, column: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """snapshot() restricted to files prune() keeps for
+        ``column`` ∈ [lo, hi]. The caller MUST still filter on the
+        real predicate — skipped files provably hold no matching
+        rows, kept files may hold non-matching ones."""
+        kept, total = self.prune(column, lo, hi, version)
+        if not kept:
+            # Empty-but-correct: every file's range misses [lo, hi].
+            return self.snapshot(spark, version).limit(0)
+        return spark.read.parquet(*kept)
 
 
 def scratch_table(kind: str, source_path: str) -> TxTable:

@@ -637,3 +637,80 @@ def format_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+@query(
+    "format_txlog_skipping",
+    oracle="""
+        WITH m AS (SELECT max(l_orderkey) AS mx FROM lineitem)
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem, m
+        WHERE l_orderkey > mx // 4 AND l_orderkey <= (2 * mx) // 5
+        GROUP BY l_returnflag
+    """,
+    doc="DATA SKIPPING over the transaction-log table: every commit "
+    "records per-file column min/max/nulls lifted from the parquet "
+    "FOOTERS of the files it just wrote (a metadata-only read, no "
+    "second data pass), carried through log replay and checkpoints "
+    "like the live-set itself (operators/txlog.py _file_stats/prune). "
+    "The table is lineitem appended as 8 disjoint l_orderkey range "
+    "slices; the query asks for a ~15% key band, and "
+    "skipping_snapshot() opens ONLY the files whose recorded range "
+    "can intersect it — asserted in-query to be under half the live "
+    "set — then re-applies the real predicate (pruning is a safe "
+    "superset, exactly Delta/Iceberg's contract). At 100 TB this is "
+    "THE first-line scan reducer: the decision costs one log replay "
+    "of METADATA, before any footer or data byte of the skipped "
+    "files is touched. Files with no usable stats (legacy commits, "
+    "string/NaN columns) are always kept — pruning can never lose "
+    "rows, which is what the oracle (raw lineitem, same band) "
+    "value-checks.",
+    tags=("format", "txlog", "skipping", "pruning"),
+)
+def format_txlog_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        build_once,
+    )
+
+    apply_runtime_confs(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    max_ok = li.agg(F.max("l_orderkey")).first()[0]
+    n_slices = 8
+
+    def build(t):
+        for i in range(n_slices):
+            lo_i = (max_ok * i) // n_slices
+            hi_i = max_ok if i == n_slices - 1 else (max_ok * (i + 1)) // n_slices
+            t.append(
+                li.filter(
+                    (F.col("l_orderkey") > F.lit(lo_i))
+                    & (F.col("l_orderkey") <= F.lit(hi_i))
+                )
+            )
+
+    t = build_once(
+        "lineitem_sliced", table_path(sf_dir, "lineitem"), n_slices - 1, build
+    )
+    lo, hi = max_ok // 4, (2 * max_ok) // 5
+    # prune() bounds are inclusive; the predicate is (lo, hi], so ask
+    # for [lo+1, hi] — integer keys make the two ranges identical.
+    kept, total = t.prune("l_orderkey", lo + 1, hi)
+    assert kept and total and len(kept) * 2 < total, (
+        f"data skipping did not engage: kept {len(kept)} of {total} files"
+    )
+    return (
+        t.skipping_snapshot(spark, "l_orderkey", lo + 1, hi)
+        .filter((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

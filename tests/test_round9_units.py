@@ -418,3 +418,152 @@ class TestSweepDigest:
         assert d([("a", "b")]) == d([("a", "b")])
         # Order independence across rows is preserved.
         assert d([("a",), ("b",)]) == d([("b",), ("a",)])
+
+
+class TestTxlogDataSkipping:
+    """Per-file footer stats in commit entries + prune()/skipping_snapshot
+    (the Delta/Iceberg data-skipping mechanism, hoisted into the log)."""
+
+    @staticmethod
+    def _sliced(spark, tmp_path, n=4, width=100):
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            TxTable,
+        )
+
+        t = TxTable(str(tmp_path / "tx"))
+        for i in range(n):
+            t.append(
+                spark.range(i * width, (i + 1) * width).selectExpr(
+                    "id",
+                    "cast(id as double) as v",
+                    "cast(timestamp_micros(cast(id*1000000 as long)) as timestamp) as ts",
+                    "cast(id as string) as s",
+                )
+            )
+        return t
+
+    def test_prune_skips_disjoint_keeps_overlapping(self, spark, tmp_path):
+        t = self._sliced(spark, tmp_path)
+        kept, total = t.prune("id", 150, 250)
+        assert 0 < len(kept) < total
+        got = (
+            t.skipping_snapshot(spark, "id", 150, 250)
+            .filter("id between 150 and 250")
+            .count()
+        )
+        assert got == 101  # pruning lost nothing
+
+    def test_prune_is_metadata_only_and_versioned(self, spark, tmp_path):
+        t = self._sliced(spark, tmp_path)
+        # At version 0 only the first slice exists; a range in slice 3
+        # keeps nothing -> empty-but-correct snapshot.
+        kept, total = t.prune("id", 350, 360, version=0)
+        assert kept == [] and total > 0
+        assert t.skipping_snapshot(spark, "id", 350, 360, version=0).count() == 0
+
+    def test_timestamp_and_double_columns_skip(self, spark, tmp_path):
+        import datetime
+
+        t = self._sliced(spark, tmp_path)
+        kept, total = t.prune(
+            "ts",
+            datetime.datetime(1970, 1, 1, 0, 2, 30),
+            datetime.datetime(1970, 1, 1, 0, 4, 10),
+        )
+        assert 0 < len(kept) < total
+        kd, _ = t.prune("v", 150.0, 250.0)
+        assert 0 < len(kd) < total
+
+    def test_string_columns_never_indexed(self, spark, tmp_path):
+        # Parquet writers may truncate byte-array min/max; a string
+        # bound is not a safe pruning bound, so prune must keep all.
+        t = self._sliced(spark, tmp_path)
+        kept, total = t.prune("s", "0", "1")
+        assert len(kept) == total
+
+    def test_legacy_statless_commits_always_kept(self, spark, tmp_path):
+        import json
+        import os as _os
+
+        t = self._sliced(spark, tmp_path, n=2)
+        # Strip the stats from commit 0 (what a pre-stats table's log
+        # looks like): its files must be kept for ANY range.
+        p = _os.path.join(t.log_dir, t._commits()[0])
+        entry = json.load(open(p))
+        entry.pop("stats")
+        _os.unlink(p)
+        json.dump(entry, open(p, "w"))
+        kept, total = t.prune("id", 150, 199)
+        resolved0 = {t._resolve(f) for f in entry["add"]}
+        assert resolved0 <= set(kept)  # stat-less slice-0 files all kept
+        got = (
+            t.skipping_snapshot(spark, "id", 150, 199)
+            .filter("id between 150 and 199")
+            .count()
+        )
+        assert got == 50
+
+    def test_stats_survive_checkpoint_and_removal(self, spark, tmp_path):
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            CHECKPOINT_INTERVAL,
+            TxTable,
+        )
+
+        t = self._sliced(spark, tmp_path, n=CHECKPOINT_INTERVAL + 2)
+        t2 = TxTable(t.root)  # fresh handle: replays from checkpoint
+        kept, total = t2.prune("id", 150, 250)
+        assert t2.last_replay_reads <= CHECKPOINT_INTERVAL
+        assert 0 < len(kept) < total
+        # Overwrite drops every old file's stats; the new single
+        # range spans everything, so pruning keeps all live files.
+        t2.overwrite(spark.range(0, 10).selectExpr("id"))
+        kept2, total2 = t2.prune("id", 5, 6)
+        assert total2 == len(t2.live_files())
+        assert all(f in t2.live_files() for f in kept2)
+
+    def test_merge_keeps_stats_for_untouched_files(self, spark, tmp_path):
+        t = self._sliced(spark, tmp_path)
+        src = spark.range(150, 160).selectExpr(
+            "id",
+            "cast(-1.0 as double) as v",
+            "cast(timestamp_micros(0) as timestamp) as ts",
+            "'upd' as s",
+        )
+        t.merge(spark, src, "id")
+        # Slice 3 (300..399) was untouched by the merge: its carried
+        # stats must still prune a range inside slice 0.
+        kept, total = t.prune("id", 320, 330)
+        assert 0 < len(kept) < total
+        rows = (
+            t.skipping_snapshot(spark, "id", 150, 165)
+            .filter("id between 150 and 165")
+            .count()
+        )
+        assert rows == 16  # merge rewrote, skipping still lossless
+
+    def test_empty_part_files_always_skipped(self, spark, tmp_path):
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            TxTable,
+        )
+
+        t = TxTable(str(tmp_path / "tx"))
+        # A 1-row dataframe over several partitions writes empty part
+        # files; they carry rows=0 stats and never survive a prune.
+        t.append(spark.range(0, 1, 1, 4).selectExpr("id"))
+        kept, total = t.prune("id", 0, 10**9)
+        assert len(kept) == 1 and total >= 1
+
+    def test_nan_disqualifies_float_column(self, spark, tmp_path):
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            TxTable,
+        )
+
+        t = TxTable(str(tmp_path / "tx"))
+        t.append(
+            spark.range(0, 10, 1, 1).selectExpr(
+                "id",
+                "case when id = 5 then double('NaN') else cast(id as double) end as v",
+            )
+        )
+        kept, total = t.prune("v", 1e9, 2e9)  # range no real value hits
+        assert len(kept) == total  # NaN bounds are unusable -> keep
