@@ -467,6 +467,66 @@ class TxTable:
             validated=active,
         )
 
+    def delete_range(
+        self, spark: SparkSession, column: str, lo, hi
+    ) -> tuple[int, int, int]:
+        """COW DELETE of rows with ``column`` in [lo, hi] — the third
+        leg of the DML triad (append/merge/delete), DRIVEN BY DATA
+        SKIPPING: prune() narrows the candidate files from the log's
+        per-file stats (metadata only), a `_metadata.file_path` scan
+        over just those candidates finds the files that truly hold
+        matching rows, and only THOSE are rewritten without the rows;
+        every other file carries into the new version by reference.
+        At 100 TB a retention delete of one day's keys reads the few
+        files whose ranges overlap that day and rewrites the subset
+        that actually match — never the table. Returns (version,
+        files_rewritten, total_live_before); a delete matching
+        nothing commits nothing (idempotent), returning the current
+        version unchanged. Pre-delete snapshots stay readable —
+        immutable files + add/remove commit, same as merge."""
+        candidates, total = self.prune(column, lo, hi)
+        if not candidates:
+            return self.latest_version(), 0, total
+        from pyspark.sql import functions as F
+
+        cond = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+        touched_uris = {
+            r["f"]
+            for r in spark.read.parquet(*candidates)
+            .where(cond)
+            .select(F.col("_metadata.file_path").alias("f"))
+            .distinct()
+            .collect()
+        }
+        if not touched_uris:
+            # Stats kept the files (safe superset) but no row matches.
+            return self.latest_version(), 0, total
+
+        def _norm(uri: str) -> str:
+            from urllib.parse import unquote, urlparse
+
+            p = urlparse(uri)
+            return unquote(p.path) if p.scheme else uri
+
+        touched_paths = {_norm(u) for u in touched_uris}
+        live_raw = sorted(self._replay_state(None)[0])
+        remove = [f for f in live_raw if self._resolve(f) in touched_paths]
+        assert len(remove) == len(touched_paths), (
+            f"delete: {len(touched_paths)} touched files but only "
+            f"{len(remove)} matched log entries — path normalization "
+            f"mismatch (sample: {sorted(touched_paths)[:1]} vs "
+            f"{live_raw[:1]})"
+        )
+        # DELETE removes rows where the predicate is TRUE; a NULL
+        # predicate (NULL column value) keeps the row — the SQL DELETE
+        # semantic, which a bare ~cond filter would silently violate.
+        keep = spark.read.parquet(*sorted(touched_paths)).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        files, stats = self._write_files(keep)
+        version = self._commit({"add": files, "remove": remove, "stats": stats})
+        return version, len(remove), total
+
     # ------------------------------------------------------ constraints
     def constraints(self, version: int | None = None) -> dict[str, str]:
         """Active CHECK constraints at a version (checkpointed log

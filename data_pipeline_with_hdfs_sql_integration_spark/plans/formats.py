@@ -684,7 +684,10 @@ def format_txlog_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(t):
         for i in range(n_slices):
-            lo_i = (max_ok * i) // n_slices
+            # Slice 0 opens at -1: keys may START at 0 and a > 0 lower
+            # bound would silently drop them from the table (caught by
+            # the delete query's complement-band oracle).
+            lo_i = -1 if i == 0 else (max_ok * i) // n_slices
             hi_i = max_ok if i == n_slices - 1 else (max_ok * (i + 1)) // n_slices
             t.append(
                 li.filter(
@@ -694,7 +697,7 @@ def format_txlog_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     t = build_once(
-        "lineitem_sliced", table_path(sf_dir, "lineitem"), n_slices - 1, build
+        "lineitem_sliced_v2", table_path(sf_dir, "lineitem"), n_slices - 1, build
     )
     lo, hi = max_ok // 4, (2 * max_ok) // 5
     # prune() bounds are inclusive; the predicate is (lo, hi], so ask
@@ -706,6 +709,95 @@ def format_txlog_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.skipping_snapshot(spark, "l_orderkey", lo + 1, hi)
         .filter((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "format_txlog_delete",
+    oracle="""
+        WITH m AS (SELECT max(l_orderkey) AS mx FROM lineitem)
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem, m
+        WHERE NOT (l_orderkey > mx // 2 AND l_orderkey <= (5 * mx) // 8)
+        GROUP BY l_returnflag
+    """,
+    doc="COW DELETE driven by data skipping (operators/txlog.py "
+    "delete_range): on its own 8-slice l_orderkey txlog table (same "
+    "layout as format_txlog_skipping, separate scratch root so the "
+    "two queries never mutate each other's table), a retention-style "
+    "delete of the (mx/2, 5mx/8] key band. prune() narrows candidate "
+    "files from the log's per-file stats — asserted in-query to be "
+    "under half the live set — a _metadata.file_path scan over just "
+    "those candidates finds the true holders, and only they are "
+    "rewritten without the band; all other files carry by reference. "
+    "The delete is committed ONCE (a re-run finds no matching rows "
+    "and commits nothing — idempotent), the pre-delete snapshot "
+    "stays readable (asserted: version-(n-1) row count unchanged), "
+    "and the post-delete aggregate is value-checked against the raw "
+    "table with the band NOT-ed out. At 100 TB this is GDPR/retention "
+    "DML whose cost is the overlap, never the table.",
+    tags=("format", "txlog", "delete", "skipping"),
+)
+def format_txlog_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        build_once,
+    )
+
+    apply_runtime_confs(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    max_ok = li.agg(F.max("l_orderkey")).first()[0]
+    n_slices = 8
+
+    def build(t):
+        for i in range(n_slices):
+            # Slice 0 opens at -1: keys may START at 0 and a > 0 lower
+            # bound would silently drop them from the table (caught by
+            # the delete query's complement-band oracle).
+            lo_i = -1 if i == 0 else (max_ok * i) // n_slices
+            hi_i = max_ok if i == n_slices - 1 else (max_ok * (i + 1)) // n_slices
+            t.append(
+                li.filter(
+                    (F.col("l_orderkey") > F.lit(lo_i))
+                    & (F.col("l_orderkey") <= F.lit(hi_i))
+                )
+            )
+
+    t = build_once(
+        "lineitem_sliced_del_v2", table_path(sf_dir, "lineitem"), n_slices - 1, build
+    )
+    lo, hi = max_ok // 2, (5 * max_ok) // 8
+    pre_version = t.latest_version()
+    pre_rows = t.snapshot(spark, version=n_slices - 1).count()
+    candidates, total = t.prune("l_orderkey", lo + 1, hi)
+    assert total and len(candidates) * 2 < total, (
+        f"skipping did not narrow the delete: {len(candidates)} of {total}"
+    )
+    version, rewritten, _ = t.delete_range(spark, "l_orderkey", lo + 1, hi)
+    if pre_version == n_slices - 1:
+        # First run this store: the delete must have landed as ONE new
+        # commit that rewrote only the pruned candidates.
+        assert version == n_slices and 0 < rewritten <= len(candidates), (
+            f"delete commit shape: v{version}, rewrote {rewritten}"
+        )
+    else:
+        # Re-run: idempotent, nothing matched, nothing committed.
+        assert version == pre_version and rewritten == 0
+    # Time travel across DML: the pre-delete snapshot is untouched.
+    assert t.snapshot(spark, version=n_slices - 1).count() == pre_rows
+    return (
+        t.snapshot(spark)
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

@@ -567,3 +567,53 @@ class TestTxlogDataSkipping:
         )
         kept, total = t.prune("v", 1e9, 2e9)  # range no real value hits
         assert len(kept) == total  # NaN bounds are unusable -> keep
+
+
+class TestTxlogDeleteRange:
+    def test_delete_rewrites_only_overlapping_files(self, spark, tmp_path):
+        t = TestTxlogDataSkipping._sliced(spark, tmp_path)
+        v0 = t.latest_version()
+        pre = t.snapshot(spark).count()
+        version, rewritten, total = t.delete_range(spark, "id", 150, 249)
+        assert version == v0 + 1
+        assert 0 < rewritten < total
+        assert t.snapshot(spark).count() == pre - 100
+        # Time travel: pre-delete snapshot intact.
+        assert t.snapshot(spark, version=v0).count() == pre
+
+    def test_delete_is_idempotent(self, spark, tmp_path):
+        t = TestTxlogDataSkipping._sliced(spark, tmp_path)
+        v1, r1, _ = t.delete_range(spark, "id", 150, 249)
+        v2, r2, _ = t.delete_range(spark, "id", 150, 249)
+        assert r1 > 0 and r2 == 0 and v2 == v1  # nothing matched: no commit
+
+    def test_delete_outside_all_ranges_commits_nothing(self, spark, tmp_path):
+        t = TestTxlogDataSkipping._sliced(spark, tmp_path)
+        v0 = t.latest_version()
+        version, rewritten, _ = t.delete_range(spark, "id", 10**6, 2 * 10**6)
+        assert version == v0 and rewritten == 0
+        assert t.latest_version() == v0
+
+    def test_null_predicate_rows_survive(self, spark, tmp_path):
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            TxTable,
+        )
+
+        t = TxTable(str(tmp_path / "tx"))
+        t.append(
+            spark.range(0, 10, 1, 1).selectExpr(
+                "id", "case when id < 3 then cast(null as long) else id end as k"
+            )
+        )
+        # DELETE WHERE k in [0, 100]: NULL k is not TRUE -> row stays.
+        t.delete_range(spark, "k", 0, 100)
+        left = t.snapshot(spark)
+        assert left.count() == 3
+        assert left.filter("k is null").count() == 3
+
+    def test_deleted_band_prunes_to_nothing_after(self, spark, tmp_path):
+        t = TestTxlogDataSkipping._sliced(spark, tmp_path)
+        t.delete_range(spark, "id", 100, 199)  # whole slice 1
+        # The rewritten slice is empty; its replacement files carry
+        # rows=0 (or shrunken ranges), so the band now prunes away.
+        assert t.skipping_snapshot(spark, "id", 100, 199).count() == 0
