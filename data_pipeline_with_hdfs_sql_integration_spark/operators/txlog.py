@@ -208,15 +208,19 @@ class TxTable:
 
     def _replay_state(
         self, version: int | None = None
-    ) -> tuple[set[str], dict[str, str], dict[str, dict]]:
-        """(live file set, active constraints, per-file column stats)
-        at ``version``, replayed from the newest checkpoint <= version
-        — O(CHECKPOINT_INTERVAL) commit reads, never O(history). Stats
-        are keyed by the RAW logged path; files from stat-less commits
-        (pre-stats tables) simply have no entry."""
+    ) -> tuple[set[str], dict[str, str], dict[str, dict], str | None]:
+        """(live file set, active constraints, per-file column stats,
+        table schema JSON) at ``version``, replayed from the newest
+        checkpoint <= version — O(CHECKPOINT_INTERVAL) commit reads,
+        never O(history). Stats are keyed by the RAW logged path;
+        files from stat-less commits (pre-stats tables) simply have
+        no entry. Schema is the latest ``metaData.schemaString`` seen
+        (None for legacy schema-less tables: readers fall back to
+        footer inference)."""
         live: set[str] = set()
         active: dict[str, str] = {}
         stats: dict[str, dict] = {}
+        schema: str | None = None
         start = -1
         ckpt = self._latest_checkpoint(version)
         if ckpt is not None:
@@ -224,6 +228,7 @@ class TxTable:
             live = set(state["live"])
             active = dict(state["constraints"])
             stats = dict(state.get("stats", {}))
+            schema = state.get("schema")
         reads = 0
         for name in self._commits():
             v = int(name.split(".")[0])
@@ -240,11 +245,14 @@ class TxTable:
                 stats.pop(r, None)
             live |= set(entry.get("add", []))
             stats.update(entry.get("stats", {}))
+            meta = entry.get("metaData")
+            if meta and meta.get("schemaString"):
+                schema = meta["schemaString"]
             active.update(entry.get("setConstraint", {}))
             for dropped in entry.get("dropConstraint", []):
                 active.pop(dropped, None)
         self.last_replay_reads = reads
-        return live, active, stats
+        return live, active, stats, schema
 
     def _maybe_checkpoint(self, version: int) -> None:
         """After every CHECKPOINT_INTERVAL-th commit, roll the replayed
@@ -255,7 +263,7 @@ class TxTable:
         failed checkpoint never fails the commit it trails."""
         if version <= 0 or version % CHECKPOINT_INTERVAL != 0:
             return
-        live, active, stats = self._replay_state(version)
+        live, active, stats, schema = self._replay_state(version)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(
@@ -266,6 +274,7 @@ class TxTable:
                     # Live files only: removed files' stats are dead
                     # weight a long-lived table would accrete forever.
                     "stats": {k: v for k, v in stats.items() if k in live},
+                    "schema": schema,
                 },
                 f,
             )
@@ -368,13 +377,83 @@ class TxTable:
         root-relative; absolute ones are legacy and pass through)."""
         return logged if os.path.isabs(logged) else os.path.join(self.root, logged)
 
-    def append(self, df: DataFrame) -> int:
+    # ----------------------------------------------------------- schema
+    def table_schema(self, version: int | None = None):
+        """The tracked table schema (StructType) at ``version``, or
+        None for legacy schema-less tables (readers then fall back to
+        parquet footer inference). Log-resolved: at 100 TB this is
+        O(1) metadata — no reader ever unions N file footers to learn
+        the schema (the reason Delta/Iceberg carry schema in the log)."""
+        s = self._replay_state(version)[3]
+        if s is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(s))
+
+    def _reader(self, spark: SparkSession, version: int | None = None):
+        schema = self.table_schema(version)
+        return spark.read if schema is None else spark.read.schema(schema)
+
+    def _schema_action(
+        self, df: DataFrame, evolve: bool, require_full: bool = False
+    ) -> dict | None:
+        """Validate ``df`` against the tracked schema (Delta write
+        semantics): same-name columns must keep their exact type; new
+        columns are refused unless ``evolve`` (then the schema grows
+        by exactly those fields, recorded in this commit's metaData);
+        omitted columns are fine for append (readers null-fill via
+        the tracked schema) but refused when ``require_full`` (merge
+        rewrites whole files — a partial source would null-out the
+        untouched columns of rewritten rows). Returns the metaData
+        dict to attach, or None when the schema is unchanged."""
+        current = self.table_schema()
+        if current is None:
+            if not self._replay_state(None)[0]:
+                # First data commit of a fresh table: adopt df schema.
+                return {"schemaString": df.schema.json()}
+            return None  # legacy schema-less table: stay untracked
+        cur = {f.name: f for f in current.fields}
+        new_fields = []
+        for f in df.schema.fields:
+            if f.name in cur:
+                if f.dataType != cur[f.name].dataType:
+                    raise SchemaMismatch(
+                        f"column {f.name!r}: batch type {f.dataType.simpleString()}"
+                        f" != table type {cur[f.name].dataType.simpleString()}"
+                        " (type changes are never auto-evolved)"
+                    )
+            elif evolve:
+                new_fields.append(f)
+            else:
+                raise SchemaMismatch(
+                    f"batch adds column {f.name!r} not in the table schema;"
+                    " pass evolve=True to grow the schema"
+                )
+        if require_full:
+            have = set(df.schema.names)
+            missing = [n for n in cur if n not in have]
+            if missing:
+                raise SchemaMismatch(
+                    f"batch is missing table columns {missing} required here"
+                )
+        if new_fields:
+            from pyspark.sql.types import StructType
+
+            return {
+                "schemaString": StructType(current.fields + new_fields).json()
+            }
+        return None
+
+    def append(self, df: DataFrame, evolve: bool = False) -> int:
         active = self.constraints()
         self._validate_against(df, active)
+        meta = self._schema_action(df, evolve)
         files, stats = self._write_files(df)
-        return self._commit(
-            {"add": files, "remove": [], "stats": stats}, df=df, validated=active
-        )
+        entry = {"add": files, "remove": [], "stats": stats}
+        if meta:
+            entry["metaData"] = meta
+        return self._commit(entry, df=df, validated=active)
 
     def overwrite(self, df: DataFrame) -> int:
         active = self.constraints()
@@ -384,8 +463,18 @@ class TxTable:
         # subtracts them verbatim), not the resolved absolute paths
         # live_files() hands to readers.
         live = sorted(self._replay_state(None)[0])
+        # Overwrite REPLACES the table contents; its schema is the
+        # table's new schema by definition (older versions keep
+        # resolving theirs through the log).
         return self._commit(
-            {"add": files, "remove": live, "stats": stats}, df=df, validated=active
+            {
+                "add": files,
+                "remove": live,
+                "stats": stats,
+                "metaData": {"schemaString": df.schema.json()},
+            },
+            df=df,
+            validated=active,
         )
 
     def merge(self, spark: SparkSession, source: DataFrame, key: str) -> int:
@@ -410,13 +499,19 @@ class TxTable:
         self._validate_against(source, active)
         live_raw = sorted(self._replay_state(None)[0])
         if not live_raw:
+            meta = self._schema_action(source, evolve=False)
             files, stats = self._write_files(source)
-            return self._commit(
-                {"add": files, "remove": [], "stats": stats},
-                df=source,
-                validated=active,
-            )
-        snap = spark.read.parquet(*(self._resolve(f) for f in live_raw))
+            entry = {"add": files, "remove": [], "stats": stats}
+            if meta:
+                entry["metaData"] = meta
+            return self._commit(entry, df=source, validated=active)
+        # Full-schema source required: merge REWRITES whole files, so
+        # a partial source would null-out untouched columns of
+        # rewritten rows (append's null-fill contract doesn't apply).
+        self._schema_action(source, evolve=False, require_full=True)
+        snap = self._reader(spark).parquet(
+            *(self._resolve(f) for f in live_raw)
+        )
         # Which files hold a matching key? One metadata-column scan +
         # semi-join; the collect is bounded by the table's FILE count.
         touched_uris = {
@@ -454,7 +549,10 @@ class TxTable:
             f"{live_raw[:1]})"
         )
         if touched_paths:
-            keep = spark.read.parquet(*sorted(touched_paths)).join(
+            # Schema-pinned read: rewritten rows from pre-evolution
+            # files get their missing columns null-filled, so the
+            # rewrite NORMALIZES old files to the current schema.
+            keep = self._reader(spark).parquet(*sorted(touched_paths)).join(
                 F.broadcast(source.select(key).distinct()), key, "left_anti"
             )
             new_data = keep.unionByName(source)
@@ -492,7 +590,8 @@ class TxTable:
         cond = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
         touched_uris = {
             r["f"]
-            for r in spark.read.parquet(*candidates)
+            for r in self._reader(spark)
+            .parquet(*candidates)
             .where(cond)
             .select(F.col("_metadata.file_path").alias("f"))
             .distinct()
@@ -520,7 +619,9 @@ class TxTable:
         # DELETE removes rows where the predicate is TRUE; a NULL
         # predicate (NULL column value) keeps the row — the SQL DELETE
         # semantic, which a bare ~cond filter would silently violate.
-        keep = spark.read.parquet(*sorted(touched_paths)).filter(
+        # Schema-pinned read: the rewrite normalizes pre-evolution
+        # files to the current schema, like merge.
+        keep = self._reader(spark).parquet(*sorted(touched_paths)).filter(
             ~F.coalesce(cond, F.lit(False))
         )
         files, stats = self._write_files(keep)
@@ -579,7 +680,11 @@ class TxTable:
         files = self.live_files(version)
         if not files:
             raise ValueError(f"no live files at version {version}")
-        return spark.read.parquet(*files)
+        # Log-resolved schema (when tracked): one metadata read, no
+        # footer unions — and pre-evolution files null-fill their
+        # missing columns, post-evolution snapshots of old versions
+        # resolve THAT version's schema.
+        return self._reader(spark, version).parquet(*files)
 
     def prune(
         self, column: str, lo, hi, version: int | None = None
@@ -596,7 +701,7 @@ class TxTable:
         table and opening only the few whose ranges can match —
         the same footer-stats mechanism Delta/Iceberg use, hoisted
         into the commit log so it never even reads the footers."""
-        live, _active, stats = self._replay_state(version)
+        live, _active, stats, _schema = self._replay_state(version)
         kept = []
         for f in sorted(live):
             ent = stats.get(f)
@@ -618,7 +723,7 @@ class TxTable:
         if not kept:
             # Empty-but-correct: every file's range misses [lo, hi].
             return self.snapshot(spark, version).limit(0)
-        return spark.read.parquet(*kept)
+        return self._reader(spark, version).parquet(*kept)
 
 
 def scratch_table(kind: str, source_path: str) -> TxTable:
@@ -725,7 +830,20 @@ class ConstraintViolation(ValueError):
     nothing was committed."""
 
 
-__all__ = ["ConstraintViolation", "TxTable", "build_once", "scratch_table"]
+class SchemaMismatch(ValueError):
+    """A write batch's schema is incompatible with the tracked table
+    schema (new column without evolve=True, changed column type, or a
+    partial source where a full one is required); nothing was
+    committed."""
+
+
+__all__ = [
+    "ConstraintViolation",
+    "SchemaMismatch",
+    "TxTable",
+    "build_once",
+    "scratch_table",
+]
 
 
 def vacuum(table: TxTable, keep_versions: int = 1) -> list[str]:

@@ -806,3 +806,77 @@ def format_txlog_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@query(
+    "format_txlog_evolution",
+    oracle="""
+        WITH unioned AS (
+            SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 <> 0
+        )
+        SELECT COALESCE(o_orderpriority, '<pre-schema>') AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM unioned
+        GROUP BY COALESCE(o_orderpriority, '<pre-schema>')
+    """,
+    doc="SCHEMA TRACKING on the txlog table — the catalog-pinned twin "
+    "of format_schema_evolution's mergeSchema read: the table's "
+    "schema lives IN the commit log (recorded at first commit, grown "
+    "by an explicit evolve=True append, replayed and checkpointed "
+    "like the live set), so readers resolve it in O(1) metadata — no "
+    "N-footer union pass at 100 TB — and writers are ENFORCED "
+    "against it (surprise columns and type changes are refused as "
+    "SchemaMismatch before any file is referenced). Generation 1 "
+    "appends orders WITHOUT the priority column (even keys), "
+    "generation 2 adds it via evolve=True (odd keys); the snapshot "
+    "read needs no mergeSchema option — the tracked schema "
+    "null-fills generation 1 — and the version-0 snapshot still "
+    "resolves ITS schema (2 columns, asserted in-query, like the "
+    "data of old versions). Aggregate proves per-generation "
+    "fidelity against the raw-table oracle.",
+    tags=("format", "txlog", "schema"),
+)
+def format_txlog_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        build_once,
+    )
+
+    apply_runtime_confs(spark)
+    o = load(spark, sf_dir, "orders")
+
+    def build(t):
+        t.append(
+            o.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_totalprice"
+            )
+        )
+        t.append(
+            o.filter(F.col("o_orderkey") % 2 != 0).select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            ),
+            evolve=True,
+        )
+
+    t = build_once("orders_evolve", table_path(sf_dir, "orders"), 1, build)
+    # The log carries per-version schemas: v0 pre-evolution, v1 grown.
+    assert [f.name for f in t.table_schema(0).fields] == [
+        "o_orderkey",
+        "o_totalprice",
+    ]
+    assert t.table_schema().fieldNames()[-1] == "o_orderpriority"
+    assert t.snapshot(spark, version=0).columns == ["o_orderkey", "o_totalprice"]
+    back = t.snapshot(spark)  # no mergeSchema option anywhere
+    return back.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-schema>")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )

@@ -617,3 +617,123 @@ class TestTxlogDeleteRange:
         # The rewritten slice is empty; its replacement files carry
         # rows=0 (or shrunken ranges), so the band now prunes away.
         assert t.skipping_snapshot(spark, "id", 100, 199).count() == 0
+
+
+class TestTxlogSchemaTracking:
+    def _base(self, spark, tmp_path):
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            TxTable,
+        )
+
+        t = TxTable(str(tmp_path / "tx"))
+        t.append(spark.range(0, 5).selectExpr("id", "cast(id as double) as v"))
+        return t
+
+    def test_first_commit_adopts_schema(self, spark, tmp_path):
+        t = self._base(spark, tmp_path)
+        assert t.table_schema().simpleString() == "struct<id:bigint,v:double>"
+
+    def test_surprise_column_refused(self, spark, tmp_path):
+        import pytest
+
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            SchemaMismatch,
+        )
+
+        t = self._base(spark, tmp_path)
+        with pytest.raises(SchemaMismatch, match="adds column 'tag'"):
+            t.append(
+                spark.range(5, 8).selectExpr(
+                    "id", "cast(id as double) as v", "'x' as tag"
+                )
+            )
+        assert t.latest_version() == 0  # nothing committed
+
+    def test_type_change_refused_even_with_evolve(self, spark, tmp_path):
+        import pytest
+
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            SchemaMismatch,
+        )
+
+        t = self._base(spark, tmp_path)
+        with pytest.raises(SchemaMismatch, match="type changes are never"):
+            t.append(
+                spark.range(5, 8).selectExpr("id", "cast(id as string) as v"),
+                evolve=True,
+            )
+
+    def test_evolve_grows_schema_and_null_fills(self, spark, tmp_path):
+        t = self._base(spark, tmp_path)
+        t.append(
+            spark.range(5, 8).selectExpr(
+                "id", "cast(id as double) as v", "'x' as tag"
+            ),
+            evolve=True,
+        )
+        snap = t.snapshot(spark)
+        assert snap.columns == ["id", "v", "tag"]
+        assert snap.filter("tag is null").count() == 5
+        # Old version resolves the OLD schema.
+        assert t.snapshot(spark, version=0).columns == ["id", "v"]
+
+    def test_omitted_columns_null_fill_on_read(self, spark, tmp_path):
+        t = self._base(spark, tmp_path)
+        t.append(spark.range(5, 7).selectExpr("id"))  # no v
+        snap = t.snapshot(spark)
+        assert snap.filter("v is null").count() == 2
+
+    def test_merge_requires_full_schema(self, spark, tmp_path):
+        import pytest
+
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            SchemaMismatch,
+        )
+
+        t = self._base(spark, tmp_path)
+        with pytest.raises(SchemaMismatch, match="missing table columns"):
+            t.merge(spark, spark.range(0, 2).selectExpr("id"), "id")
+
+    def test_schema_survives_checkpoint(self, spark, tmp_path):
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            CHECKPOINT_INTERVAL,
+            TxTable,
+        )
+
+        t = self._base(spark, tmp_path)
+        t.append(
+            spark.range(5, 6).selectExpr(
+                "id", "cast(id as double) as v", "'x' as tag"
+            ),
+            evolve=True,
+        )
+        for i in range(CHECKPOINT_INTERVAL + 1):
+            t.append(spark.range(10 + i, 11 + i).selectExpr("id"))
+        t2 = TxTable(t.root)
+        assert t2.table_schema().fieldNames() == ["id", "v", "tag"]
+        assert t2.last_replay_reads <= CHECKPOINT_INTERVAL
+
+    def test_overwrite_replaces_schema(self, spark, tmp_path):
+        t = self._base(spark, tmp_path)
+        t.overwrite(spark.range(0, 3).selectExpr("id", "'y' as label"))
+        assert t.table_schema().fieldNames() == ["id", "label"]
+        # Time travel still resolves the pre-overwrite schema.
+        assert t.snapshot(spark, version=0).columns == ["id", "v"]
+
+    def test_legacy_schemaless_tables_stay_untracked(self, spark, tmp_path):
+        import json
+        import os as _os
+
+        t = self._base(spark, tmp_path)
+        # Strip the metaData (what a pre-schema table's log looks like).
+        p = _os.path.join(t.log_dir, t._commits()[0])
+        entry = json.load(open(p))
+        entry.pop("metaData")
+        _os.unlink(p)
+        json.dump(entry, open(p, "w"))
+        assert t.table_schema() is None
+        # Appends to a non-empty legacy table do NOT invent a schema,
+        # and reads fall back to footer inference.
+        t.append(spark.range(5, 7).selectExpr("id", "cast(id as double) as v"))
+        assert t.table_schema() is None
+        assert t.snapshot(spark).count() == 7
