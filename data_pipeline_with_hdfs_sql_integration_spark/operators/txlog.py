@@ -450,7 +450,8 @@ class TxTable:
         self._validate_against(df, active)
         meta = self._schema_action(df, evolve)
         files, stats = self._write_files(df)
-        entry = {"add": files, "remove": [], "stats": stats}
+        entry = {"add": files, "remove": [], "stats": stats,
+                 "operation": {"op": "append"}}
         if meta:
             entry["metaData"] = meta
         return self._commit(entry, df=df, validated=active)
@@ -472,6 +473,7 @@ class TxTable:
                 "remove": live,
                 "stats": stats,
                 "metaData": {"schemaString": df.schema.json()},
+                "operation": {"op": "overwrite"},
             },
             df=df,
             validated=active,
@@ -501,7 +503,8 @@ class TxTable:
         if not live_raw:
             meta = self._schema_action(source, evolve=False)
             files, stats = self._write_files(source)
-            entry = {"add": files, "remove": [], "stats": stats}
+            entry = {"add": files, "remove": [], "stats": stats,
+                     "operation": {"op": "merge", "key": key}}
             if meta:
                 entry["metaData"] = meta
             return self._commit(entry, df=source, validated=active)
@@ -560,7 +563,8 @@ class TxTable:
             new_data = source
         files, stats = self._write_files(new_data)
         return self._commit(
-            {"add": files, "remove": remove, "stats": stats},
+            {"add": files, "remove": remove, "stats": stats,
+             "operation": {"op": "merge", "key": key}},
             df=source,
             validated=active,
         )
@@ -625,7 +629,11 @@ class TxTable:
             ~F.coalesce(cond, F.lit(False))
         )
         files, stats = self._write_files(keep)
-        version = self._commit({"add": files, "remove": remove, "stats": stats})
+        version = self._commit(
+            {"add": files, "remove": remove, "stats": stats,
+             "operation": {"op": "delete", "column": column,
+                           "lo": repr(lo), "hi": repr(hi)}}
+        )
         return version, len(remove), total
 
     # ------------------------------------------------------ constraints
@@ -641,11 +649,15 @@ class TxTable:
         to every reader, the same atomicity that protects crashed
         writes)."""
         return self._commit(
-            {"add": [], "remove": [], "setConstraint": {name: predicate}}
+            {"add": [], "remove": [], "setConstraint": {name: predicate},
+             "operation": {"op": "setConstraint", "name": name}}
         )
 
     def drop_constraint(self, name: str) -> int:
-        return self._commit({"add": [], "remove": [], "dropConstraint": [name]})
+        return self._commit(
+            {"add": [], "remove": [], "dropConstraint": [name],
+             "operation": {"op": "dropConstraint", "name": name}}
+        )
 
     def _validate_against(self, df: DataFrame, active: dict[str, str]) -> None:
         """One aggregate pass counting violations of every constraint in
@@ -671,6 +683,47 @@ class TxTable:
             )
 
     # ------------------------------------------------------------- read
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one dict per commit — version, operation
+        (recorded by each write path; 'unknown' for legacy commits),
+        file and row deltas. Row counts come from the per-file stats
+        commits already carry, so this is METADATA-ONLY — the audit
+        trail of a 100 TB table costs a log read, never a data scan.
+        Deliberately O(total commits), unlike snapshot resolution
+        (checkpointed): history IS the full record. Row deltas are
+        None when a legacy commit carries no stats for a file."""
+        out = []
+        stats: dict[str, dict] = {}
+        for name in self._commits():
+            with open(os.path.join(self.log_dir, name)) as f:
+                entry = json.load(f)
+            # Adds first: a later commit's removes reference files
+            # added (with stats) earlier.
+            stats.update(entry.get("stats", {}))
+
+            def _rows(files: list[str]) -> int | None:
+                total = 0
+                for fp in files:
+                    ent = stats.get(fp)
+                    if ent is None or "rows" not in ent:
+                        return None
+                    total += ent["rows"]
+                return total
+
+            added = entry.get("add", [])
+            removed = entry.get("remove", [])
+            out.append(
+                {
+                    "version": entry.get("version", int(name.split(".")[0])),
+                    "operation": entry.get("operation", {}).get("op", "unknown"),
+                    "files_added": len(added),
+                    "files_removed": len(removed),
+                    "rows_added": _rows(added),
+                    "rows_removed": _rows(removed),
+                }
+            )
+        return out
+
     def live_files(self, version: int | None = None) -> list[str]:
         return sorted(
             self._resolve(f) for f in self._replay_state(version)[0]

@@ -880,3 +880,85 @@ def format_txlog_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_priority"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "format_txlog_history",
+    oracle="""
+        WITH m AS (SELECT max(l_orderkey) AS mx FROM lineitem),
+        slices AS (
+            SELECT CAST(i AS INT) AS version,
+                   'append' AS op,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem, m
+                    WHERE l_orderkey > CASE WHEN i = 0 THEN -1
+                                            ELSE (mx * i) // 8 END
+                      AND l_orderkey <= CASE WHEN i = 7 THEN mx
+                                             ELSE (mx * (i + 1)) // 8 END
+                   ) AS net_rows
+            FROM range(8) t(i)
+        ),
+        del AS (
+            SELECT 8 AS version, 'delete' AS op,
+                   -(SELECT CAST(count(*) AS BIGINT) FROM lineitem, m
+                     WHERE l_orderkey > mx // 2
+                       AND l_orderkey <= (5 * mx) // 8) AS net_rows
+        )
+        SELECT version, op, net_rows FROM slices
+        UNION ALL
+        SELECT version, op, net_rows FROM del
+    """,
+    doc="DESCRIBE HISTORY for the txlog table: every commit records "
+    "its operation descriptor, and row deltas come from the per-file "
+    "stats the commits already carry — the audit trail is a LOG read "
+    "(metadata), never a data scan, whatever the table size. The "
+    "table is its own 8-slice l_orderkey build (separate scratch "
+    "root: DML queries never share a mutable store, so concurrent "
+    "sweep shards cannot race each other's deletes) followed by a "
+    "band delete; the query emits (version, op, net_rows = "
+    "rows_added - rows_removed), which is layout-independent — "
+    "appends net the slice counts, the delete nets MINUS the band "
+    "count regardless of which files the engine chose to rewrite — "
+    "and the oracle reproduces every number from the raw data. "
+    "Proves the log's row accounting matches the data it references.",
+    tags=("format", "txlog", "history"),
+)
+def format_txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        build_once,
+    )
+
+    apply_runtime_confs(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    max_ok = li.agg(F.max("l_orderkey")).first()[0]
+    n_slices = 8
+
+    def build(t):
+        for i in range(n_slices):
+            lo_i = -1 if i == 0 else (max_ok * i) // n_slices
+            hi_i = max_ok if i == n_slices - 1 else (max_ok * (i + 1)) // n_slices
+            t.append(
+                li.filter(
+                    (F.col("l_orderkey") > F.lit(lo_i))
+                    & (F.col("l_orderkey") <= F.lit(hi_i))
+                )
+            )
+
+    t = build_once(
+        "lineitem_sliced_hist", table_path(sf_dir, "lineitem"), n_slices - 1, build
+    )
+    lo, hi = max_ok // 2, (5 * max_ok) // 8
+    t.delete_range(spark, "l_orderkey", lo + 1, hi)  # idempotent re-run
+    hist = t.history()
+    assert [h["operation"] for h in hist] == ["append"] * n_slices + ["delete"]
+    assert all(
+        h["rows_added"] is not None and h["rows_removed"] is not None
+        for h in hist
+    ), "stats-backed row accounting must cover every commit"
+    rows = [
+        (h["version"], h["operation"], h["rows_added"] - h["rows_removed"])
+        for h in hist
+    ]
+    return spark.createDataFrame(rows, "version int, op string, net_rows long")

@@ -737,3 +737,47 @@ class TestTxlogSchemaTracking:
         t.append(spark.range(5, 7).selectExpr("id", "cast(id as double) as v"))
         assert t.table_schema() is None
         assert t.snapshot(spark).count() == 7
+
+
+class TestTxlogHistory:
+    def test_history_accounts_every_commit(self, spark, tmp_path):
+        t = TestTxlogDataSkipping._sliced(spark, tmp_path, n=3, width=100)
+        t.set_constraint("pos", "id >= 0")
+        t.merge(
+            spark,
+            spark.range(50, 52).selectExpr(
+                "id",
+                "cast(0.5 as double) as v",
+                "cast(timestamp_micros(0) as timestamp) as ts",
+                "'m' as s",
+            ),
+            "id",
+        )
+        t.delete_range(spark, "id", 250, 259)
+        hist = t.history()
+        assert [h["operation"] for h in hist] == [
+            "append", "append", "append", "setConstraint", "merge", "delete",
+        ]
+        net = sum(h["rows_added"] - h["rows_removed"] for h in hist)
+        assert net == t.snapshot(spark).count() == 290  # 300 - 10 deleted
+        # Metadata commits move no data.
+        assert hist[3]["files_added"] == hist[3]["rows_added"] == 0
+
+    def test_history_legacy_commit_reports_unknown(self, spark, tmp_path):
+        import json
+        import os as _os
+
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            TxTable,
+        )
+
+        t = TxTable(str(tmp_path / "tx"))
+        t.append(spark.range(4).selectExpr("id"))
+        p = _os.path.join(t.log_dir, t._commits()[0])
+        entry = json.load(open(p))
+        entry.pop("operation"); entry.pop("stats")
+        _os.unlink(p)
+        json.dump(entry, open(p, "w"))
+        (h,) = t.history()
+        assert h["operation"] == "unknown"
+        assert h["rows_added"] is None  # no stats: honest, not zero
