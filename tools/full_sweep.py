@@ -186,6 +186,24 @@ for name in _names:
                 continue
             bad += 1; fails.append((name, msg[:160], None, None))
             print(f"FAIL(error) {name}: {msg[:160]}", flush=True)
+            # A dead JVM (driver heap OOM kills the SparkContext in
+            # local mode) fails EVERY later query instantly — those
+            # would be recorded as engine failures when they are one
+            # harness casualty. Abort loudly; the unreached names are
+            # printed so a recovery run can SWEEP_ONLY them.
+            try:
+                _dead = spark.sparkContext._jsc is None or spark.sparkContext._jsc.sc().isStopped()
+            except Exception:
+                _dead = True
+            if _dead:
+                rest = _names[_names.index(name) + 1:]
+                print(f"ABORT: Spark session died during {name}; "
+                      f"{len(rest)} queries not reached: {','.join(rest)}",
+                      flush=True)
+                print(f"SWEEP {SF}: {ok} ok / {bad} bad of {len(_names)} "
+                      f"(ABORTED, {len(rest)} unreached) in {time.monotonic()-t_start:.0f}s")
+                for f_ in fails: print(" FAIL:", f_)
+                sys.exit(3)
             break
         finally:
             # Bound session memory like bench.py: drop the persist handles
