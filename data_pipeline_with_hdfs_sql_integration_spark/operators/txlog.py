@@ -342,6 +342,28 @@ class TxTable:
                 return version
             except FileExistsError:
                 os.unlink(tmp)  # lost the race: replay and retry
+                # Conflict detection (the Delta optimistic-concurrency
+                # rule): append-only commits can always retry — their
+                # files are fresh and order-independent. But a commit
+                # that REMOVES files (merge/delete/overwrite) was
+                # computed against the snapshot it read; if the racing
+                # winner already removed any of those files, blindly
+                # retrying would re-apply a stale rewrite (duplicated
+                # rows: our add-files rewrote content whose source
+                # files someone else also rewrote). Fail loudly — the
+                # caller must recompute against the new snapshot.
+                removed = set(entry.get("remove", []))
+                if removed:
+                    live_now = self._replay_state(None)[0]
+                    gone = removed - live_now
+                    if gone:
+                        raise ConcurrentWriteConflict(
+                            f"lost the commit race and {len(gone)} of the"
+                            f" {len(removed)} files this commit rewrites"
+                            " are no longer live (a concurrent"
+                            " merge/delete/overwrite touched them);"
+                            " recompute the DML against the new snapshot"
+                        )
 
     # ------------------------------------------------------------ write
     def _write_files(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:
@@ -890,7 +912,15 @@ class SchemaMismatch(ValueError):
     committed."""
 
 
+class ConcurrentWriteConflict(RuntimeError):
+    """A file-rewriting commit (merge/delete/overwrite) lost the
+    commit race to a writer that removed files this commit also
+    rewrites; nothing was committed. Recompute against the new
+    snapshot (append-only commits never raise this — they retry)."""
+
+
 __all__ = [
+    "ConcurrentWriteConflict",
     "ConstraintViolation",
     "SchemaMismatch",
     "TxTable",

@@ -781,3 +781,72 @@ class TestTxlogHistory:
         (h,) = t.history()
         assert h["operation"] == "unknown"
         assert h["rows_added"] is None  # no stats: honest, not zero
+
+
+class TestConcurrentWriteConflict:
+    def test_stale_remove_set_refused_on_lost_race(self, spark, tmp_path, monkeypatch):
+        """Interleaving: our delete computes its rewrite set, a racing
+        writer's delete commits first and removes the same files — our
+        retry must refuse (stale rewrite would duplicate rows)."""
+        import pytest
+
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            ConcurrentWriteConflict,
+            TxTable,
+        )
+
+        t = TxTable(str(tmp_path / "tx"))
+        t.append(spark.range(0, 100, 1, 1).selectExpr("id"))
+
+        real_latest = t.latest_version
+        state = {"raced": False}
+
+        def latest_with_race(*a):
+            v = real_latest()
+            if not state["raced"]:
+                # Between our version probe and our link, a racing
+                # delete lands: it removes the same file our commit
+                # rewrites. (Executed HERE so it wins version v+1.)
+                state["raced"] = True
+                live = sorted(t._replay_state(None)[0])
+                t2 = TxTable(t.root)
+                t2._commit({"add": [], "remove": live, "stats": {},
+                            "operation": {"op": "delete"}})
+                return v  # stale: we still think v+1 is free
+            return real_latest()
+
+        monkeypatch.setattr(t, "latest_version", latest_with_race)
+        with pytest.raises(ConcurrentWriteConflict, match="no longer live"):
+            live = sorted(t._replay_state(None)[0])
+            t._commit({"add": [], "remove": live, "stats": {},
+                       "operation": {"op": "delete"}})
+
+    def test_append_retries_through_lost_race(self, spark, tmp_path, monkeypatch):
+        """Append-only commits carry fresh files — a lost race retries
+        and lands at the next version, never raising."""
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+            TxTable,
+        )
+
+        t = TxTable(str(tmp_path / "tx"))
+        t.append(spark.range(0, 10, 1, 1).selectExpr("id"))
+
+        real_latest = t.latest_version
+        state = {"raced": False}
+
+        def latest_with_race(*a):
+            v = real_latest()
+            if not state["raced"]:
+                state["raced"] = True
+                TxTable(t.root)._commit(
+                    {"add": [], "remove": [],
+                     "setConstraint": {"c": "id >= 0"},
+                     "operation": {"op": "setConstraint", "name": "c"}}
+                )
+                return v
+            return real_latest()
+
+        monkeypatch.setattr(t, "latest_version", latest_with_race)
+        v = t.append(spark.range(10, 20, 1, 1).selectExpr("id"))
+        assert v == 2  # raced metadata commit took 1; append landed at 2
+        assert t.snapshot(spark).count() == 20
