@@ -1,0 +1,49 @@
+"""Engine-side-only run: execute registered queries at an SF dir and
+print row count + wall time per query (digest-consumed via
+toLocalIterator, O(1) driver memory). Usage:
+    SWEEP_ONLY=a,b,c python tools/engine_side_run.py <sf_dir>
+
+This is NOT a correctness check — it records that the ENGINE side
+completes (and how fast) at scale factors where the single-box DuckDB
+oracle is the binding constraint (hours-long recursive/pair-join
+oracles, spill volumes beyond the shared disk). Value verification
+for such queries comes from smaller-SF sweeps; this records the
+engine's own sf-scaling evidence honestly and separately."""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+_cpus = os.environ.get("SWEEP_CPUS", "16")
+spark = (
+    SparkSession.builder.master(f"local[{_cpus}]")
+    .config("spark.sql.shuffle.partitions", _cpus)
+    .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "24g"))
+    .config("spark.driver.maxResultSize", "8g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e  # noqa: E402
+
+qs = e.queries()
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf10"
+names = [n for n in os.environ.get("SWEEP_ONLY", "").split(",") if n in qs]
+for name in names:
+    t0 = time.monotonic()
+    try:
+        sdf = qs[name](spark, SF)
+        n = 0
+        for _ in sdf.toLocalIterator():
+            n += 1
+        print(f"ENGINE-OK {name} rows={n} t={time.monotonic()-t0:.1f}s", flush=True)
+    except Exception as ex:
+        print(f"ENGINE-FAIL {name}: {str(ex)[:160]}", flush=True)
+    finally:
+        from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import release_pins
+
+        release_pins()
+        spark.catalog.clearCache()
+print("ENGINE-RUN done", flush=True)
