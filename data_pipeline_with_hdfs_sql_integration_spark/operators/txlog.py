@@ -40,6 +40,10 @@ from pyspark.sql import DataFrame, SparkSession
 #: table's total history (Delta checkpoints every 10 by default too).
 CHECKPOINT_INTERVAL = 10
 
+#: Sentinel distinguishing "no schema conflict check requested" from a
+#: legitimate None schema_base (legacy schema-less table).
+_UNSET = object()
+
 
 def _naive_utc(dt):
     """tz-aware datetime -> naive UTC (pyarrow surfaces TIMESTAMP
@@ -49,6 +53,51 @@ def _naive_utc(dt):
     if isinstance(dt, datetime.datetime) and dt.tzinfo is not None:
         return dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     return dt
+
+
+def _session_utc_bound(dt, tz_name: str, side: str):
+    """A caller-supplied pruning bound -> naive UTC, WIDENED to stay a
+    safe superset under every way Spark can interpret the matching
+    predicate literal. Footer stats compare in naive UTC; a naive
+    datetime predicate bound is interpreted by Spark as
+
+    - DRIVER-LOCAL wall time when built with ``F.lit(datetime)`` (py4j
+      converts via the Python process timezone — measured, not the
+      session tz), or
+    - SESSION-timezone wall time when written as a SQL string literal
+      (``ts >= TIMESTAMP '...'`` under ``spark.sql.session.timeZone``).
+
+    Rather than guess which one the caller's filter uses, take the
+    min (for ``lo``) / max (for ``hi``) across BOTH interpretations —
+    pruning may keep an extra file near the boundary but can never
+    skip a matching one. tz-aware datetimes are exact (one instant);
+    dates/numbers pass through. DST folds (fold 0/1) are widened the
+    same way."""
+    import datetime
+
+    if not isinstance(dt, datetime.datetime):
+        return dt
+    if dt.tzinfo is not None:
+        return dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    cands = [
+        # Driver-local interpretation (F.lit path): astimezone() on a
+        # naive datetime attaches the process-local zone.
+        dt.replace(fold=f).astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        for f in (0, 1)
+    ]
+    if tz_name not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz_name)
+        cands += [
+            dt.replace(tzinfo=z, fold=f)
+            .astimezone(datetime.timezone.utc)
+            .replace(tzinfo=None)
+            for f in (0, 1)
+        ]
+    else:
+        cands.append(dt)
+    return min(cands) if side == "lo" else max(cands)
 
 
 def _file_stats(path: str) -> dict:
@@ -293,6 +342,8 @@ class TxTable:
         entry: dict,
         df: DataFrame | None = None,
         validated: dict[str, str] | None = None,
+        schema_base: str | None | object = _UNSET,
+        read_live: set[str] | None = None,
     ) -> int:
         """Atomic rename onto the next free commit number (optimistic
         single-writer: a racing writer loses the rename and retries).
@@ -302,13 +353,62 @@ class TxTable:
         it changed since the caller's validation — closing the
         validate-then-commit TOCTOU where a racing ``set_constraint``
         lands between validation and the winning link.
+
+        Conflict checks run at the TOP of every attempt (not only after
+        a lost link): a racer whose commit landed before our first
+        ``latest_version()`` read never triggers FileExistsError at all,
+        so retry-only checks would miss it.
+
+        - ``schema_base`` (tracked schemaString observed when the entry
+          was computed): if the tracked schema has since changed to
+          something other than what this entry itself writes, the
+          entry's metaData/validation is stale — committing it could
+          silently drop a racer's newly-evolved column from the tracked
+          schema (invisible data on read). Raise, mirroring Delta's
+          MetadataChangedException.
+        - ``read_live`` (live file set the caller's rewrite was computed
+          against): merge/overwrite read the WHOLE table, so a racer's
+          appended file invalidates the result (merge would duplicate
+          upserted keys; overwrite would fail to replace the new rows).
+          Raise, mirroring Delta's ConcurrentAppendException.
+        - removed files no longer live (racer rewrote them): raise,
+          the write-write half (Delta's ConcurrentDeleteReadException).
         """
         while True:
+            live_now, active, _stats, schema_now = self._replay_state(None)
             if df is not None:
-                active = self.constraints()
                 if active != validated:
                     self._validate_against(df, active)
                     validated = active
+            if schema_base is not _UNSET and schema_now != schema_base:
+                ours = (entry.get("metaData") or {}).get("schemaString")
+                if ours != schema_now:
+                    raise ConcurrentWriteConflict(
+                        "tracked table schema changed while this commit"
+                        " was being computed (a concurrent writer evolved"
+                        " or replaced it); committing would track a stale"
+                        " schema — recompute against the new snapshot"
+                    )
+            removed = set(entry.get("remove", []))
+            if removed:
+                gone = removed - live_now
+                if gone:
+                    raise ConcurrentWriteConflict(
+                        f"{len(gone)} of the {len(removed)} files this"
+                        " commit rewrites are no longer live (a"
+                        " concurrent merge/delete/overwrite touched"
+                        " them); recompute the DML against the new"
+                        " snapshot"
+                    )
+            if read_live is not None:
+                appended = live_now - read_live
+                if appended:
+                    raise ConcurrentWriteConflict(
+                        f"{len(appended)} file(s) were appended after"
+                        " this full-table rewrite read its snapshot; the"
+                        " rewrite would miss their rows — recompute"
+                        " against the new snapshot"
+                    )
             version = self.latest_version() + 1
             entry = {**entry, "version": version}
             tmp = os.path.join(
@@ -341,29 +441,11 @@ class TxTable:
                     )
                 return version
             except FileExistsError:
-                os.unlink(tmp)  # lost the race: replay and retry
-                # Conflict detection (the Delta optimistic-concurrency
-                # rule): append-only commits can always retry — their
-                # files are fresh and order-independent. But a commit
-                # that REMOVES files (merge/delete/overwrite) was
-                # computed against the snapshot it read; if the racing
-                # winner already removed any of those files, blindly
-                # retrying would re-apply a stale rewrite (duplicated
-                # rows: our add-files rewrote content whose source
-                # files someone else also rewrote). Fail loudly — the
-                # caller must recompute against the new snapshot.
-                removed = set(entry.get("remove", []))
-                if removed:
-                    live_now = self._replay_state(None)[0]
-                    gone = removed - live_now
-                    if gone:
-                        raise ConcurrentWriteConflict(
-                            f"lost the commit race and {len(gone)} of the"
-                            f" {len(removed)} files this commit rewrites"
-                            " are no longer live (a concurrent"
-                            " merge/delete/overwrite touched them);"
-                            " recompute the DML against the new snapshot"
-                        )
+                # Lost the link race: loop back — the next iteration
+                # replays the winner's state and re-runs every conflict
+                # check (constraints, schema, removed-still-live,
+                # appended-since-read) before retrying the link.
+                os.unlink(tmp)
 
     # ------------------------------------------------------------ write
     def _write_files(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:
@@ -468,7 +550,7 @@ class TxTable:
         return None
 
     def append(self, df: DataFrame, evolve: bool = False) -> int:
-        active = self.constraints()
+        _live, active, _st, schema_base = self._replay_state(None)
         self._validate_against(df, active)
         meta = self._schema_action(df, evolve)
         files, stats = self._write_files(df)
@@ -476,16 +558,18 @@ class TxTable:
                  "operation": {"op": "append"}}
         if meta:
             entry["metaData"] = meta
-        return self._commit(entry, df=df, validated=active)
+        return self._commit(
+            entry, df=df, validated=active, schema_base=schema_base
+        )
 
     def overwrite(self, df: DataFrame) -> int:
-        active = self.constraints()
+        live0, active, _st, schema_base = self._replay_state(None)
         self._validate_against(df, active)
         files, stats = self._write_files(df)
         # Remove entries must match the RAW logged strings (replay
         # subtracts them verbatim), not the resolved absolute paths
         # live_files() hands to readers.
-        live = sorted(self._replay_state(None)[0])
+        live = sorted(live0)
         # Overwrite REPLACES the table contents; its schema is the
         # table's new schema by definition (older versions keep
         # resolving theirs through the log).
@@ -499,6 +583,10 @@ class TxTable:
             },
             df=df,
             validated=active,
+            schema_base=schema_base,
+            # A racer's append after this point would survive the
+            # overwrite's remove set — the table would not be replaced.
+            read_live=set(live0),
         )
 
     def merge(self, spark: SparkSession, source: DataFrame, key: str) -> int:
@@ -519,9 +607,9 @@ class TxTable:
         Delta MERGE contract); returns the committed version."""
         from pyspark.sql import functions as F
 
-        active = self.constraints()
+        live0, active, _st, schema_base = self._replay_state(None)
         self._validate_against(source, active)
-        live_raw = sorted(self._replay_state(None)[0])
+        live_raw = sorted(live0)
         if not live_raw:
             meta = self._schema_action(source, evolve=False)
             files, stats = self._write_files(source)
@@ -529,7 +617,13 @@ class TxTable:
                      "operation": {"op": "merge", "key": key}}
             if meta:
                 entry["metaData"] = meta
-            return self._commit(entry, df=source, validated=active)
+            # read_live=∅: this merge read an EMPTY table; a racer's
+            # first append still invalidates it (its keys were never
+            # matched against).
+            return self._commit(
+                entry, df=source, validated=active,
+                schema_base=schema_base, read_live=set(),
+            )
         # Full-schema source required: merge REWRITES whole files, so
         # a partial source would null-out untouched columns of
         # rewritten rows (append's null-fill contract doesn't apply).
@@ -584,11 +678,18 @@ class TxTable:
         else:
             new_data = source
         files, stats = self._write_files(new_data)
+        # read_live: merge reads the WHOLE table (its keys were matched
+        # against every live file), so a concurrent append — whose new
+        # file may hold matching keys this rewrite never saw — must
+        # conflict (Delta's ConcurrentAppendException), not retry into
+        # duplicate keys.
         return self._commit(
             {"add": files, "remove": remove, "stats": stats,
              "operation": {"op": "merge", "key": key}},
             df=source,
             validated=active,
+            schema_base=schema_base,
+            read_live=set(live0),
         )
 
     def delete_range(
@@ -607,8 +708,18 @@ class TxTable:
         files_rewritten, total_live_before); a delete matching
         nothing commits nothing (idempotent), returning the current
         version unchanged. Pre-delete snapshots stay readable —
-        immutable files + add/remove commit, same as merge."""
-        candidates, total = self.prune(column, lo, hi)
+        immutable files + add/remove commit, same as merge.
+
+        Naive datetime bounds are interpreted in the SESSION timezone
+        (matching the ``F.lit`` predicate below) and normalized to UTC
+        for the metadata prune, so pruning and the real filter agree
+        even when ``spark.sql.session.timeZone`` is not UTC."""
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+        candidates, total = self.prune(
+            column,
+            _session_utc_bound(lo, tz, "lo"),
+            _session_utc_bound(hi, tz, "hi"),
+        )
         if not candidates:
             return self.latest_version(), 0, total
         from pyspark.sql import functions as F
@@ -634,7 +745,8 @@ class TxTable:
             return unquote(p.path) if p.scheme else uri
 
         touched_paths = {_norm(u) for u in touched_uris}
-        live_raw = sorted(self._replay_state(None)[0])
+        live0, _active, _st, schema_base = self._replay_state(None)
+        live_raw = sorted(live0)
         remove = [f for f in live_raw if self._resolve(f) in touched_paths]
         assert len(remove) == len(touched_paths), (
             f"delete: {len(touched_paths)} touched files but only "
@@ -651,10 +763,16 @@ class TxTable:
             ~F.coalesce(cond, F.lit(False))
         )
         files, stats = self._write_files(keep)
+        # schema_base: the rewrite read rows under the tracked schema;
+        # a racing evolve invalidates that read (MetadataChanged). No
+        # read_live: a racer's appended rows legitimately survive a
+        # range delete under snapshot isolation (Delta's
+        # WriteSerializable allows DELETE/APPEND races too).
         version = self._commit(
             {"add": files, "remove": remove, "stats": stats,
              "operation": {"op": "delete", "column": column,
-                           "lo": repr(lo), "hi": repr(hi)}}
+                           "lo": repr(lo), "hi": repr(hi)}},
+            schema_base=schema_base,
         )
         return version, len(remove), total
 
@@ -775,7 +893,13 @@ class TxTable:
         difference between listing-then-scanning every file of a
         table and opening only the few whose ranges can match —
         the same footer-stats mechanism Delta/Iceberg use, hoisted
-        into the commit log so it never even reads the footers."""
+        into the commit log so it never even reads the footers.
+
+        Datetime bounds here are compared in NAIVE UTC (tz-aware
+        inputs are converted; naive inputs are taken as UTC wall
+        time). Callers whose predicate literals Spark will interpret
+        in a non-UTC session timezone must normalize first — the
+        Spark-facing wrappers (delete_range, skipping_snapshot) do."""
         live, _active, stats, _schema = self._replay_state(version)
         kept = []
         for f in sorted(live):
@@ -793,8 +917,17 @@ class TxTable:
         """snapshot() restricted to files prune() keeps for
         ``column`` ∈ [lo, hi]. The caller MUST still filter on the
         real predicate — skipped files provably hold no matching
-        rows, kept files may hold non-matching ones."""
-        kept, total = self.prune(column, lo, hi, version)
+        rows, kept files may hold non-matching ones. Naive datetime
+        bounds are interpreted in the session timezone (how Spark will
+        interpret the caller's own predicate literals) and normalized
+        to UTC for the metadata prune."""
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+        kept, total = self.prune(
+            column,
+            _session_utc_bound(lo, tz, "lo"),
+            _session_utc_bound(hi, tz, "hi"),
+            version,
+        )
         if not kept:
             # Empty-but-correct: every file's range misses [lo, hi].
             return self.snapshot(spark, version).limit(0)

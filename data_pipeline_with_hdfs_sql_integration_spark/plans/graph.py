@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_with_hdfs_sql_integration_spark.catalog import load
+from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import _pin
 from data_pipeline_with_hdfs_sql_integration_spark.registry import query
 from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
 
@@ -93,10 +94,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The distinct edge relation drives every round AND both union
     # branches below — persist it (one dedup shuffle total); the
     # direction-doubling union stays a cheap map over the cache.
-    edges = (
-        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .persist()
+    edges = _pin(
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
     )
     e2 = edges.select(F.col("p").alias("src"), (F.col("s") + SUPP_OFFSET).alias("dst")).unionAll(
         edges.select((F.col("s") + SUPP_OFFSET).alias("src"), F.col("p").alias("dst"))
@@ -106,13 +105,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
         .select(F.col("src").alias("node"), "d", F.lit(PR_SCALE).cast("long").alias("rfp"))
     )
+    prev = None
     for _ in range(PR_ITERS):
         # Each round's ranks feed TWO consumers (the contribution join
         # and the update join), and the next round repeats that — an
         # unpersisted lineage re-executes O(2^iters) times. The persist
         # is a distributed barrier (never a driver collect: node count
-        # scales with the data), so every round computes exactly once.
-        ranks = ranks.persist()
+        # scales with the data). count() materializes this generation
+        # into the cache so generation i-1 can be RELEASED immediately
+        # — a long Pregel chain holds O(1) cached generations, not
+        # O(iters) (storage that a sweep-length session would otherwise
+        # accrete; the cost is one count job per round over work the
+        # round computes anyway).
+        ranks = _pin(ranks)
+        ranks.count()
+        if prev is not None:
+            prev.unpersist(blocking=False)
+        prev = ranks
         contrib = (
             e2.join(ranks, e2.src == ranks.node)
             .select("dst", F.expr("rfp div d").alias("c"))
@@ -264,10 +273,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wedge + closing joins — persist both or the expensive co-supply
     # aggregate re-runs once per reference (measured 50 s -> ~8 s at
     # sf0.1).
-    ps = (
-        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .persist()
+    ps = _pin(
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
     )
     a = ps.alias("a")
     b = ps.alias("b")
@@ -280,10 +287,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("src").orderBy(F.col("shared").desc(), F.col("dst").asc())
     )
     topk = w.select("src", "dst", rk.alias("rk")).filter(F.col("rk") <= TRI_KNN)
-    und = (
+    und = _pin(
         topk.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
-        .persist()
     )
 
     deg = (
@@ -307,8 +313,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("ord_a"))
             .alias("ord_dst"),
         )
-        .persist()
     )
+    oriented = _pin(oriented)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     wedges = e1.join(

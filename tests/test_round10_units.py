@@ -1,0 +1,223 @@
+"""Round-10 unit pins.
+
+1. txlog concurrent-writer conflict rules grown this round (the Delta
+   optimistic-concurrency matrix): MetadataChanged (schema computed
+   before a racing evolve), ConcurrentAppend (merge/overwrite racing an
+   append that their full-table read never saw), and the session-
+   timezone normalization of timestamp pruning bounds.
+2. graph query cache hygiene: a sweep-length session must not accrete
+   persisted relations — every persist in plans/graph.py is either
+   released per Pregel round or registered in the pin registry that
+   bench/sweep loops drain between queries.
+"""
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _mk_table(tmp_path, spark, rows, schema="k long, v string"):
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame(rows, schema))
+    return t
+
+
+# ------------------------------------------------------------ txlog races
+def test_merge_racing_append_conflicts(spark, tmp_path, monkeypatch):
+    """A merge whose full-table read missed a racer's appended file must
+    raise ConcurrentWriteConflict (Delta's ConcurrentAppendException),
+    not retry into duplicate keys."""
+    from data_pipeline_with_hdfs_sql_integration_spark.operators import txlog
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        ConcurrentWriteConflict,
+        TxTable,
+    )
+
+    t = _mk_table(tmp_path, spark, [(1, "a"), (2, "b")])
+    orig = txlog.TxTable._write_files
+    raced = []
+
+    def hooked(self, df):
+        # Inject the race exactly once, between the merge's snapshot
+        # read and its commit: a second writer appends a file whose
+        # rows the merge never matched against.
+        if self is t and not raced:
+            raced.append(1)
+            TxTable(t.root).append(spark.createDataFrame([(9, "z")], "k long, v string"))
+        return orig(self, df)
+
+    monkeypatch.setattr(txlog.TxTable, "_write_files", hooked)
+    with pytest.raises(ConcurrentWriteConflict, match="appended"):
+        t.merge(spark, spark.createDataFrame([(1, "A")], "k long, v string"), "k")
+    # The loser committed nothing: the racer's row is intact, no upsert.
+    assert sorted(r["k"] for r in t.snapshot(spark).collect()) == [1, 2, 9]
+
+
+def test_overwrite_racing_append_conflicts(spark, tmp_path, monkeypatch):
+    from data_pipeline_with_hdfs_sql_integration_spark.operators import txlog
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        ConcurrentWriteConflict,
+        TxTable,
+    )
+
+    t = _mk_table(tmp_path, spark, [(1, "a")])
+    orig = txlog.TxTable._write_files
+    raced = []
+
+    def hooked(self, df):
+        if self is t and not raced:
+            raced.append(1)
+            TxTable(t.root).append(spark.createDataFrame([(9, "z")], "k long, v string"))
+        return orig(self, df)
+
+    monkeypatch.setattr(txlog.TxTable, "_write_files", hooked)
+    with pytest.raises(ConcurrentWriteConflict, match="appended"):
+        t.overwrite(spark.createDataFrame([(5, "e")], "k long, v string"))
+    assert sorted(r["k"] for r in t.snapshot(spark).collect()) == [1, 9]
+
+
+def test_append_racing_schema_evolution_conflicts(spark, tmp_path, monkeypatch):
+    """Two concurrent evolve=True appends adding DIFFERENT columns: the
+    loser's metaData was computed from the pre-race schema, so letting
+    it commit would silently drop the winner's column from the tracked
+    schema (invisible data on read). It must raise instead — Delta's
+    MetadataChangedException."""
+    from data_pipeline_with_hdfs_sql_integration_spark.operators import txlog
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        ConcurrentWriteConflict,
+        TxTable,
+    )
+
+    t = _mk_table(tmp_path, spark, [(1, "a")])
+    orig = txlog.TxTable._write_files
+    raced = []
+
+    def hooked(self, df):
+        if self is t and not raced:
+            raced.append(1)
+            TxTable(t.root).append(
+                spark.createDataFrame([(7, "w", 1.5)], "k long, v string, colb double"),
+                evolve=True,
+            )
+        return orig(self, df)
+
+    monkeypatch.setattr(txlog.TxTable, "_write_files", hooked)
+    with pytest.raises(ConcurrentWriteConflict, match="schema"):
+        t.append(
+            spark.createDataFrame([(3, "c", 42)], "k long, v string, cola long"),
+            evolve=True,
+        )
+    # Winner's column survives in the tracked schema.
+    assert "colb" in [f.name for f in t.table_schema().fields]
+
+
+def test_append_same_schema_race_still_retries(spark, tmp_path, monkeypatch):
+    """Plain appends (no schema change) racing each other must BOTH
+    commit — the optimistic retry that round-5 pinned must survive the
+    new conflict checks."""
+    from data_pipeline_with_hdfs_sql_integration_spark.operators import txlog
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import TxTable
+
+    t = _mk_table(tmp_path, spark, [(1, "a")])
+    orig = txlog.TxTable._write_files
+    raced = []
+
+    def hooked(self, df):
+        if self is t and not raced:
+            raced.append(1)
+            TxTable(t.root).append(spark.createDataFrame([(9, "z")], "k long, v string"))
+        return orig(self, df)
+
+    monkeypatch.setattr(txlog.TxTable, "_write_files", hooked)
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert sorted(r["k"] for r in t.snapshot(spark).collect()) == [1, 2, 9]
+
+
+def test_delete_range_timestamp_bounds_session_tz(spark, tmp_path):
+    """Naive datetime bounds are session-tz wall time (how Spark reads
+    the F.lit predicate); pruning must interpret them identically or a
+    non-UTC session silently under-deletes (file wrongly pruned)."""
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import TxTable
+
+    key = "spark.sql.session.timeZone"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "America/Los_Angeles")
+        t = TxTable(str(tmp_path / "tz"))
+        rows = [
+            (1, datetime.datetime(2024, 1, 15, 12, 0)),  # LA noon = 20:00 UTC
+            (2, datetime.datetime(2024, 1, 15, 3, 0)),
+        ]
+        t.append(spark.createDataFrame(rows, "k long, ts timestamp"))
+        version, rewritten, total = t.delete_range(
+            spark,
+            "ts",
+            datetime.datetime(2024, 1, 15, 11, 0),
+            datetime.datetime(2024, 1, 15, 13, 0),
+        )
+        # Without the session-tz normalization, prune compares the naive
+        # 11:00-13:00 bound against the footer's 20:00 UTC stats, prunes
+        # the file, and the delete silently matches nothing.
+        assert rewritten == 1
+        assert [r["k"] for r in t.snapshot(spark).collect()] == [2]
+    finally:
+        spark.conf.set(key, saved)
+
+
+def test_skipping_snapshot_timestamp_bounds_session_tz(spark, tmp_path):
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import TxTable
+
+    key = "spark.sql.session.timeZone"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "America/Los_Angeles")
+        t = TxTable(str(tmp_path / "tz2"))
+        t.append(
+            spark.createDataFrame(
+                [(1, datetime.datetime(2024, 1, 15, 12, 0))], "k long, ts timestamp"
+            )
+        )
+        got = t.skipping_snapshot(
+            spark,
+            "ts",
+            datetime.datetime(2024, 1, 15, 11, 0),
+            datetime.datetime(2024, 1, 15, 13, 0),
+        ).count()
+        assert got == 1  # superset: the one file must be kept, not pruned
+    finally:
+        spark.conf.set(key, saved)
+
+
+# ---------------------------------------------------- graph cache hygiene
+def test_graph_queries_release_all_persists(spark):
+    """A sweep-length session shows no monotone growth in persisted
+    relations: after consuming each graph query and draining the pin
+    registry (what bench.py / full_sweep.py do between queries), the
+    JVM's persistent-RDD map returns to its baseline."""
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import (
+        release_pins,
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.graph import (
+        graph_pagerank,
+        graph_triangle_count,
+    )
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_pins()
+    spark.catalog.clearCache()
+    base = n_persisted()
+    for fn in (graph_pagerank, graph_triangle_count):
+        name = fn.__name__
+        fn(spark, SF_DIR).collect()
+        # Mid-flight accounting for the Pregel chain: per-round release
+        # keeps cached generations O(1), never O(PR_ITERS) + O(queries).
+        assert n_persisted() - base <= 4, f"{name} accreted persisted RDDs"
+        release_pins()
+    assert n_persisted() <= base

@@ -16,6 +16,20 @@ import time
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
+import __spark_entry__ as e  # noqa: E402
+
+qs = e.queries()
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf10"
+requested = [n for n in os.environ.get("SWEEP_ONLY", "").split(",") if n]
+unknown = [n for n in requested if n not in qs]
+if unknown:
+    # A typo'd/renamed query must be a loud failure (before any Spark
+    # startup), not a silent skip that lets "ENGINE-RUN done" overstate
+    # the evidence that ran.
+    print(f"ENGINE-RUN unknown queries (not in registry): {unknown}", flush=True)
+    sys.exit(2)
+names = requested
+
 _cpus = os.environ.get("SWEEP_CPUS", "16")
 spark = (
     SparkSession.builder.master(f"local[{_cpus}]")
@@ -26,11 +40,6 @@ spark = (
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
-import __spark_entry__ as e  # noqa: E402
-
-qs = e.queries()
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf10"
-names = [n for n in os.environ.get("SWEEP_ONLY", "").split(",") if n in qs]
 for name in names:
     t0 = time.monotonic()
     try:
