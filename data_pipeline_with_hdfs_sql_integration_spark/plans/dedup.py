@@ -1503,8 +1503,13 @@ _register_sim_ann_lsh_batch()
 # ------------------------------------------------------- semantic dedup
 def _register_dedup_semantic() -> None:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): duplicate pairs
-    are only sought WITHIN k-means cells of the embedding space, so the
-    quadratic pair cost is n_cell^2 per cell instead of N^2 corpus-wide."""
+    are only sought WITHIN quantizer cells of the embedding space, so
+    the quadratic pair cost is n_cell^2 per cell instead of N^2
+    corpus-wide. Round 10: the quantizer is TWO-LEVEL — 16 level-1
+    k-means cells refined by floor(sqrt(n_cell)) sub-centroids each —
+    so the fine cell count grows Θ(sqrt(N)) with the corpus and the
+    within-cell pair join stays sub-quadratic at any scale (the fixed
+    16-cell quantizer shuffled >40 GB of pairs at sf10, SWEEPS_r9)."""
     from data_pipeline_with_hdfs_sql_integration_spark.plans import similarity as sim
 
     ham_max = _emb_lsh_ham_max()
@@ -1514,57 +1519,62 @@ def _register_dedup_semantic() -> None:
         oracle=f"""
             WITH e AS ({sim._SQL_VECS}),
             {sim._KMEANS_CTES},
+            {sim.kmeans2_ctes()},
             sigs AS (SELECT vec_id,
                             {sim._sql_lsh_sig('v', 0)} AS sig_lo,
                             {sim._sql_lsh_sig('v', 1)} AS sig_hi
                      FROM e),
-            probes AS (
-                SELECT vec_id, cell_id, rn FROM (
-                    SELECT e.vec_id, c.cell_id,
-                           row_number() OVER (PARTITION BY e.vec_id
-                               ORDER BY {sim._sql_cosine('e.v', 'c.cv')} DESC,
-                                        c.cell_id ASC) AS rn
-                    FROM e, {sim._KMEANS_FINAL} c)
-                WHERE rn <= {SEMANTIC_PROBES}),
-            m AS (SELECT p.vec_id, p.cell_id, e.v, s.sig_lo, s.sig_hi
-                  FROM probes p
-                  JOIN e ON p.vec_id = e.vec_id
-                  JOIN sigs s ON p.vec_id = s.vec_id),
-            dup AS (
-                SELECT DISTINCT b.vec_id
+            fp AS (SELECT vec_id, cell_id, sub_id FROM fprobe
+                   WHERE rn <= {SEMANTIC_PROBES} AND srn <= {sim.SUB_PROBES_STORED}),
+            m AS (SELECT f.vec_id, f.cell_id, f.sub_id, s.sig_lo, s.sig_hi
+                  FROM fp f JOIN sigs s ON f.vec_id = s.vec_id),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
                 FROM m a JOIN m b
-                  ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+                  ON a.cell_id = b.cell_id AND a.sub_id = b.sub_id
+                 AND a.vec_id < b.vec_id
                 WHERE bit_count(xor(a.sig_lo, b.sig_lo))
-                      + bit_count(xor(a.sig_hi, b.sig_hi)) <= {ham_max}
-                  AND {sim._sql_cosine('a.v', 'b.v')} >= {EMB_COSINE_THRESHOLD})
+                      + bit_count(xor(a.sig_hi, b.sig_hi)) <= {ham_max}),
+            dup AS (
+                SELECT DISTINCT c.ib AS vec_id
+                FROM cand c
+                JOIN en na ON c.ia = na.vec_id
+                JOIN en nb ON c.ib = nb.vec_id
+                WHERE round({sim._sql_ip('na.v', 'nb.v')} / (na.nv * nb.nv), 6)
+                      >= {EMB_COSINE_THRESHOLD})
             SELECT p.vec_id, p.cell_id,
                    CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-            FROM (SELECT vec_id, cell_id FROM probes WHERE rn = 1) p
+            FROM (SELECT vec_id, cell_id FROM l2s WHERE rn = 1) p
             LEFT JOIN dup ON p.vec_id = dup.vec_id
         """,
-        doc=f"Semantic dedup, SemDeDup-shaped, with {SEMANTIC_PROBES}-cell "
-        f"multi-probe BY DEFAULT: each vector searches under its top-"
-        f"{SEMANTIC_PROBES} quantizer cells (single-assign misses 78% "
-        "of exact above-threshold pairs on this corpus — the round-5 "
-        "measured footgun; the ladder P=1 0.217 / P=2 0.478 / P=3 "
-        "0.848 / P=4 0.935 is in SCALE.md and the detection floor "
-        "0.75 is test-gated in test_similarity_recall.py). "
-        "Candidate pairs are enumerated ONLY within a shared probe "
-        "cell (cell-keyed equi-self-join, never a corpus cross join), "
-        "hamming-gated on 16-byte signatures before any vector math, "
-        f"and a vector is dropped when a lower-id cell-mate sits at "
+        doc="Semantic dedup, SemDeDup-shaped, over a TWO-LEVEL adaptive "
+        f"quantizer: 16 level-1 k-means cells, each refined by "
+        "floor(sqrt(n_cell)) level-2 sub-centroids (same deterministic "
+        "seeded-Lloyd machinery, fixed-point BIGINT means — bit-exact "
+        "across engines), so the fine cell count grows Θ(sqrt(N)) and "
+        "per-cell pair work is Θ(sqrt(N)) — N^1.5 total, never the N^2 "
+        "a FIXED cell count degrades to (the round-9 sf10 finding: 16 "
+        "pinned cells shuffled >40 GB of within-cell pairs; SWEEPS_r9). "
+        f"Multi-probe BY DEFAULT: top-{SEMANTIC_PROBES} level-1 cells x "
+        f"top-{sim.SUB_PROBES_STORED} sub-cells each (single-assign "
+        "misses 78% of exact above-threshold pairs — the round-5 "
+        "measured footgun; the two-level co-probe recall is 0.898 at "
+        "sf0.01 / 0.835 at sf0.1 vs 0.848/— for the flat 16-cell P=3 "
+        "quantizer, and the 0.75 detection floor stays test-gated in "
+        "test_similarity_recall.py). Candidate pairs are enumerated "
+        "ONLY within a shared (cell, sub-cell) — fine-cell-keyed "
+        "equi-self-join, never a corpus cross join — hamming-gated on "
+        "16-byte signatures before any vector math, deduped, then "
+        "verified at exact cosine with per-vector norms attached once; "
+        f"a vector is dropped when a lower-id fine-cell-mate sits at "
         f"cosine >= {EMB_COSINE_THRESHOLD}. Output keeps the PRIMARY "
-        "(rn=1) cell per vector. At 100 TB the cell count grows "
-        "~N/target_cell_size (the SemDeDup paper runs 50k cells) so "
-        "per-cell pair work stays constant (x P^2 for multi-probe); "
-        "the pair join shuffles on cell_id and the verdict is a left "
-        "anti lookup. Small corpora take the same plan with the "
-        "derived sides broadcast (size-gated from the driver file "
-        "listing, catalog.broadcast_gate) so the whole query is two "
-        "shuffles; past the gate it degrades to the shuffle equi-join "
-        "it was designed as. Greedy lowest-id-wins keeps exactly one "
-        "representative per dense neighborhood without a transitive "
-        "closure (that stronger semantics is dedup_clusters).",
+        "(rn=1) level-1 cell per vector — same schema and semantics as "
+        "rounds 5-9. All quantizer tables come from the build-once "
+        "two-level IVF store (similarity.ivf2_index_store); the query "
+        "plan reads 20-byte probe rows, never centroids. Greedy "
+        "lowest-id-wins keeps exactly one representative per dense "
+        "neighborhood without a transitive closure (that stronger "
+        "semantics is dedup_clusters).",
         tags=("dedup", "embeddings", "semantic", "training"),
     )
     def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1586,27 +1596,32 @@ def _register_dedup_semantic() -> None:
         # serialized driver job, so only the sides that erase a
         # shuffle earn one). Large corpora keep the shuffle equi-joins.
         bc = broadcast_gate(sf_dir, "embeddings")
-        # Top-P probe cells come from the build-once IVF store (12
-        # bytes/row parquet) — the query plan never touches centroids
-        # or re-ranks them.
-        probes = (
-            sim.ivf_probes_store(spark, sf_dir)
-            .filter(F.col("rn") <= SEMANTIC_PROBES)
-            .select("vec_id", "cell_id")
+        # Fine-probe rows come from the build-once two-level IVF store
+        # (20 bytes/row parquet) — the query plan never touches
+        # centroids or re-ranks them.
+        fp = (
+            sim.ivf2_fine_probes(spark, sf_dir)
+            .filter(
+                (F.col("rn") <= SEMANTIC_PROBES)
+                & (F.col("srn") <= sim.SUB_PROBES_STORED)
+            )
+            .select("vec_id", "cell_id", "sub_id")
         )
-        # Candidates stay BARE (cell, id, 16-byte sig) until the gate:
-        # the pair join never shuffles 64-double vectors, only survivor
-        # pairs fetch vectors back by id (the dedup_embedding_lsh
-        # shape).
-        m = probes.join(bc(sigs), "vec_id")
+        # Candidates stay BARE (fine cell, id, 16-byte sig) until the
+        # gate: the pair join never shuffles 64-double vectors, only
+        # survivor pairs fetch vectors back by id (the
+        # dedup_embedding_lsh shape).
+        m = fp.join(bc(sigs), "vec_id")
         a = m.select(
             F.col("cell_id"),
+            F.col("sub_id"),
             F.col("vec_id").alias("id_a"),
             F.col("sig_lo").alias("lo_a"),
             F.col("sig_hi").alias("hi_a"),
         )
         b = m.select(
             F.col("cell_id"),
+            F.col("sub_id"),
             F.col("vec_id").alias("id_b"),
             F.col("sig_lo").alias("lo_b"),
             F.col("sig_hi").alias("hi_b"),
@@ -1618,9 +1633,10 @@ def _register_dedup_semantic() -> None:
         # mean+1.9sigma bound (and the same oracle mirror) as
         # dedup_embedding_lsh; measured: zero exact co-located pairs
         # gated at any test SF. A pair co-probing in multiple shared
-        # cells would double-count — dedupe before the vector fetch.
+        # fine cells would double-count — dedupe before the vector
+        # fetch.
         cand = (
-            a.join(b, "cell_id")
+            a.join(b, ["cell_id", "sub_id"])
             .filter(F.col("id_a") < F.col("id_b"))
             .filter(ham <= ham_max)
             .select("id_a", "id_b")
@@ -1674,10 +1690,10 @@ _register_dedup_semantic()
 
 def _register_dedup_incremental_semantic() -> None:
     """Ingestion-time counterpart of dedup_semantic, with the verdict
-    protocol of dedup_incremental_minhash: the frozen quantizer (the
-    IVF store's centroids) assigns each arriving vector to a cell, and
-    candidates are only its cell-mates — base corpus or earlier rows of
-    the same increment."""
+    protocol of dedup_incremental_minhash: the frozen TWO-LEVEL
+    quantizer (the ivf2 store) probes each arriving vector into its
+    fine cells, and candidates are only fine-cell co-probers — base
+    corpus or earlier rows of the same increment."""
     from data_pipeline_with_hdfs_sql_integration_spark.plans import similarity as sim
 
     ham_max = _emb_lsh_ham_max()
@@ -1687,33 +1703,33 @@ def _register_dedup_incremental_semantic() -> None:
         oracle=f"""
             WITH e AS ({sim._SQL_VECS}),
             {sim._KMEANS_CTES},
+            {sim.kmeans2_ctes()},
             sigs AS (SELECT vec_id,
                             {sim._sql_lsh_sig('v', 0)} AS sig_lo,
                             {sim._sql_lsh_sig('v', 1)} AS sig_hi
                      FROM e),
-            assignedf AS (
-                SELECT vec_id, cell_id FROM (
-                    SELECT e.vec_id, c.cell_id,
-                           row_number() OVER (PARTITION BY e.vec_id
-                               ORDER BY {sim._sql_cosine('e.v', 'c.cv')} DESC,
-                                        c.cell_id ASC) AS rn
-                    FROM e, {sim._KMEANS_FINAL} c)
-                WHERE rn = 1),
-            m AS (SELECT a.vec_id, a.cell_id, e.v, s.sig_lo, s.sig_hi
-                  FROM assignedf a
-                  JOIN e ON a.vec_id = e.vec_id
-                  JOIN sigs s ON a.vec_id = s.vec_id),
-            scored AS (
-                SELECT n.vec_id AS new_vec, o.vec_id AS match,
-                       {sim._sql_cosine('n.v', 'o.v')} AS cos
+            m AS (SELECT f.vec_id, f.cell_id, f.sub_id, s.sig_lo, s.sig_hi
+                  FROM (SELECT vec_id, cell_id, sub_id FROM fprobe
+                        WHERE rn <= {SEMANTIC_PROBES}
+                          AND srn <= {sim.SUB_PROBES_STORED}) f
+                  JOIN sigs s ON f.vec_id = s.vec_id),
+            cand AS (
+                SELECT DISTINCT n.vec_id AS new_vec, o.vec_id AS match
                 FROM m n JOIN m o
-                  ON n.cell_id = o.cell_id
+                  ON n.cell_id = o.cell_id AND n.sub_id = o.sub_id
                  AND o.vec_id <> n.vec_id
                  AND (o.vec_id % {INCR_NEW_MOD} <> 0 OR o.vec_id < n.vec_id)
                 WHERE n.vec_id % {INCR_NEW_MOD} = 0
                   AND bit_count(xor(n.sig_lo, o.sig_lo))
-                      + bit_count(xor(n.sig_hi, o.sig_hi)) <= {ham_max}
-                  AND {sim._sql_cosine('n.v', 'o.v')} >= {EMB_COSINE_THRESHOLD}
+                      + bit_count(xor(n.sig_hi, o.sig_hi)) <= {ham_max}),
+            scored AS (
+                SELECT c.new_vec, c.match,
+                       round({sim._sql_ip('nn.v', 'nm.v')} / (nn.nv * nm.nv), 6) AS cos
+                FROM cand c
+                JOIN en nn ON c.new_vec = nn.vec_id
+                JOIN en nm ON c.match = nm.vec_id
+                WHERE round({sim._sql_ip('nn.v', 'nm.v')} / (nn.nv * nm.nv), 6)
+                      >= {EMB_COSINE_THRESHOLD}
             ),
             best AS (
                 SELECT new_vec, match, cos,
@@ -1721,28 +1737,28 @@ def _register_dedup_incremental_semantic() -> None:
                                           ORDER BY cos DESC, match ASC) AS rn
                 FROM scored
             )
-            SELECT m.vec_id AS new_vec,
+            SELECT nw.vec_id AS new_vec,
                    CASE WHEN b.match IS NULL THEN 'unique'
                         WHEN b.match % {INCR_NEW_MOD} <> 0 THEN 'dup_of_index'
                         ELSE 'dup_in_batch' END AS verdict,
                    COALESCE(b.match, CAST(-1 AS BIGINT)) AS best_match,
                    COALESCE(b.cos, CAST(0.0 AS DOUBLE)) AS best_cos
-            FROM m
-            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_vec = m.vec_id
-            WHERE m.vec_id % {INCR_NEW_MOD} = 0
+            FROM (SELECT vec_id FROM e WHERE vec_id % {INCR_NEW_MOD} = 0) nw
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_vec = nw.vec_id
         """,
         doc="Incremental (ingestion-time) SEMANTIC dedup: each vector of "
         "the arriving increment (vec_id % "
-        f"{INCR_NEW_MOD} = 0, ~20%) is assigned to its IVF cell by the "
-        "store's frozen quantizer and compared ONLY to cell-mates — "
-        "accumulated-corpus rows ('dup_of_index') or earlier rows of "
-        "the same increment ('dup_in_batch'; first occurrence wins, "
-        "ties to highest cosine then lowest id), else 'unique'. The "
-        "production shape of SemDeDup ingestion: quantizer trained "
-        "once and frozen in the index store, per-increment cost "
-        "O(|increment| x cell occupancy) via the cell-keyed equi-join "
-        "(never increment x corpus), centroids broadcast "
-        "(cells x dims doubles at any corpus size).",
+        f"{INCR_NEW_MOD} = 0, ~20%) is probed into its fine cells by "
+        "the store's frozen TWO-LEVEL quantizer (same Θ(sqrt(N)) fine "
+        "cell growth and multi-probe dials as dedup_semantic) and "
+        "compared ONLY to fine-cell co-probers — accumulated-corpus "
+        "rows ('dup_of_index') or earlier rows of the same increment "
+        "('dup_in_batch'; first occurrence wins, ties to highest "
+        "cosine then lowest id), else 'unique'. The production shape "
+        "of SemDeDup ingestion: quantizer trained once and frozen in "
+        "the index store, per-increment cost O(|increment| x fine-cell "
+        "occupancy) via the fine-cell-keyed equi-join (never increment "
+        "x corpus), sub-centroids Θ(sqrt(N)) rows broadcast.",
         tags=("dedup", "embeddings", "semantic", "incremental", "training"),
     )
     def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1752,15 +1768,25 @@ def _register_dedup_incremental_semantic() -> None:
         sigs = sim.lsh_signature_store(spark, sf_dir)
         # Same bare-candidate + hamming-gate shape as dedup_semantic:
         # the pair join ships 16-byte sigs, survivors re-attach vectors.
-        m = assigned.select("vec_id", "cell_id").join(sigs, "vec_id")
+        fp = (
+            sim.ivf2_fine_probes(spark, sf_dir)
+            .filter(
+                (F.col("rn") <= SEMANTIC_PROBES)
+                & (F.col("srn") <= sim.SUB_PROBES_STORED)
+            )
+            .select("vec_id", "cell_id", "sub_id")
+        )
+        m = fp.join(sigs, "vec_id")
         new = m.filter(F.col("vec_id") % INCR_NEW_MOD == 0).select(
             F.col("cell_id"),
+            F.col("sub_id"),
             F.col("vec_id").alias("new_vec"),
             F.col("sig_lo").alias("lo_n"),
             F.col("sig_hi").alias("hi_n"),
         )
         other = m.select(
             F.col("cell_id"),
+            F.col("sub_id"),
             F.col("vec_id").alias("match"),
             F.col("sig_lo").alias("lo_m"),
             F.col("sig_hi").alias("hi_m"),
@@ -1768,8 +1794,10 @@ def _register_dedup_incremental_semantic() -> None:
         ham = F.bit_count(F.col("lo_n").bitwiseXOR(F.col("lo_m"))) + F.bit_count(
             F.col("hi_n").bitwiseXOR(F.col("hi_m"))
         )
+        # A (new, match) pair co-probing in several shared fine cells
+        # would double-score — dedupe before the vector fetch.
         cand = (
-            new.join(other, "cell_id")
+            new.join(other, ["cell_id", "sub_id"])
             .filter(
                 (F.col("match") != F.col("new_vec"))
                 & (
@@ -1779,6 +1807,7 @@ def _register_dedup_incremental_semantic() -> None:
             )
             .filter(ham <= ham_max)
             .select("new_vec", "match")
+            .distinct()
         )
         # Per-vector norms attach once (the dedup_semantic treatment):
         # bit-identical to computing them inside the pair expression,
@@ -1807,7 +1836,9 @@ def _register_dedup_incremental_semantic() -> None:
             F.col("cos").desc(), F.col("match").asc()
         )
         best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        newids = m.filter(F.col("vec_id") % INCR_NEW_MOD == 0).select(
+        # One row per increment vector (the L1 assignment table, not
+        # the multi-probe m — m now carries up to P1*P2 rows per vec).
+        newids = assigned.filter(F.col("vec_id") % INCR_NEW_MOD == 0).select(
             F.col("vec_id").alias("new_vec")
         )
         joined = newids.join(best.select("new_vec", "match", "cos"), "new_vec", "left")
@@ -1841,59 +1872,70 @@ def _register_dedup_semantic_probe2() -> None:
         oracle=f"""
             WITH e AS ({sim._SQL_VECS}),
             {sim._KMEANS_CTES},
-            probes AS (
-                SELECT vec_id, cell_id FROM (
-                    SELECT e.vec_id, c.cell_id,
-                           row_number() OVER (PARTITION BY e.vec_id
-                               ORDER BY {sim._sql_cosine('e.v', 'c.cv')} DESC,
-                                        c.cell_id ASC) AS rn
-                    FROM e, {sim._KMEANS_FINAL} c)
-                WHERE rn <= 2),
-            m AS (SELECT p.vec_id, p.cell_id, e.v
-                  FROM probes p JOIN e ON p.vec_id = e.vec_id),
+            {sim.kmeans2_ctes()},
+            fp AS (SELECT vec_id, cell_id, sub_id FROM fprobe
+                   WHERE rn <= 2 AND srn <= {sim.SUB_PROBES_STORED}),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+                FROM fp a JOIN fp b
+                  ON a.cell_id = b.cell_id AND a.sub_id = b.sub_id
+                 AND a.vec_id < b.vec_id),
             dup AS (
-                SELECT DISTINCT b.vec_id
-                FROM m a JOIN m b
-                  ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-                WHERE {sim._sql_cosine('a.v', 'b.v')} >= {EMB_COSINE_THRESHOLD})
+                SELECT DISTINCT c.ib AS vec_id
+                FROM cand c
+                JOIN en na ON c.ia = na.vec_id
+                JOIN en nb ON c.ib = nb.vec_id
+                WHERE round({sim._sql_ip('na.v', 'nb.v')} / (na.nv * nb.nv), 6)
+                      >= {EMB_COSINE_THRESHOLD})
             SELECT e.vec_id,
                    CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
                        AS keep
             FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
         """,
-        doc="SemDeDup with 2-cell multi-probe: candidate pairs need ONE "
-        "shared cell among each side's two nearest quantizer cells, "
-        "recovering ~2.2x the exact duplicate pairs the single-assign "
-        "variant sees (measured ladder in SCALE.md; the pure recall "
-        "metric is emitted by bench.py each round). Pair work grows "
-        "~P^2 — the explicit cost/recall dial that at 100 TB is tuned "
-        "per corpus against the duplicate-miss budget. Same cell-keyed "
-        "equi-join shape as dedup_semantic, pairs deduped before the "
-        "verdict anti-lookup.",
+        doc="SemDeDup with 2-cell level-1 multi-probe over the two-level "
+        "quantizer: candidate pairs need ONE shared fine cell among "
+        "each side's 2 nearest level-1 cells x "
+        f"{sim.SUB_PROBES_STORED} sub-cells — the cheaper, lower-"
+        "recall rung of the P ladder relative to dedup_semantic's "
+        f"P1={SEMANTIC_PROBES} default (the pure recall metric is "
+        "emitted by bench.py each round). Pair work grows ~(P1*P2)^2 — "
+        "the explicit cost/recall dial that at 100 TB is tuned per "
+        "corpus against the duplicate-miss budget. Same fine-cell-"
+        "keyed equi-join shape as dedup_semantic (no hamming gate: "
+        "this diagnostic measures pure quantizer recall), pairs "
+        "deduped before the exact-cosine verify with norms attached "
+        "once per side.",
         tags=("dedup", "embeddings", "semantic", "training"),
     )
     def dedup_semantic_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_runtime_confs(spark)
         e = sim._vecs(spark, sf_dir)
-        # Probe cells from the build-once IVF store; vectors re-attach
-        # by id for the exact-cosine pair gate.
-        probes = (
-            sim.ivf_probes_store(spark, sf_dir)
-            .filter(F.col("rn") <= 2)
-            .select("vec_id", "cell_id")
-            .join(e, "vec_id")
-            .select("vec_id", "cell_id", "v")
+        # Fine-probe rows from the build-once two-level IVF store.
+        fp = (
+            sim.ivf2_fine_probes(spark, sf_dir)
+            .filter((F.col("rn") <= 2) & (F.col("srn") <= sim.SUB_PROBES_STORED))
+            .select("vec_id", "cell_id", "sub_id")
         )
-        a = probes.select(
-            "cell_id", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-        )
-        b = probes.select(
-            "cell_id", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
-        )
-        dup = (
-            a.join(b, "cell_id")
+        a = fp.select("cell_id", "sub_id", F.col("vec_id").alias("id_a"))
+        b = fp.select("cell_id", "sub_id", F.col("vec_id").alias("id_b"))
+        cand = (
+            a.join(b, ["cell_id", "sub_id"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .filter(sim._cosine(F.col("va"), F.col("vb")) >= EMB_COSINE_THRESHOLD)
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        nrm = F.sqrt(tf.dot(F.col("v"), F.col("v")))
+        ea = e.select(
+            F.col("vec_id").alias("id_a"), F.col("v").alias("va"), nrm.alias("na")
+        )
+        eb = e.select(
+            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), nrm.alias("nb")
+        )
+        cos = F.round(tf.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+        dup = (
+            cand.join(ea, "id_a")
+            .join(eb, "id_b")
+            .filter(cos >= EMB_COSINE_THRESHOLD)
             .select(F.col("id_b").alias("vec_id"))
             .distinct()
         )

@@ -454,6 +454,265 @@ def ivf_probes_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(store, "probes"))
 
 
+# ------------------------------------------- two-level IVF refinement
+# Level-2 sub-quantizer for the SemDeDup family: within each level-1
+# cell, k_cell = floor(sqrt(n_cell)) sub-centroids (the standard IVF
+# ~sqrt(N) cell-count rule, so TOTAL fine cells grow Θ(sqrt(N)) and
+# both the assignment cost (N·sqrt(N)) and the within-cell pair cost
+# (N^1.5) stay sub-quadratic at ANY corpus size — the round-9 sf10
+# finding was the fixed 16-cell quantizer turning the pair join
+# quadratic). Same deterministic machinery as level 1: Knuth-hash
+# seeded init, fixed-point BIGINT Lloyd means, (cos DESC, sub_id ASC)
+# total order — bit-identical across engines.
+SUB_KMEANS_ITERS = 2
+#: Sub-probes materialized per (vector, probed level-1 cell) in the
+#: fine-probe store; consumers filter srn <= P2. P1=3, P2=3 measured
+#: 0.898 co-probe recall of exact above-threshold pairs at sf0.01 and
+#: 0.835 at sf0.1 (vs 0.848 for the flat 16-cell P=3 quantizer).
+SUB_PROBES_STORED = 3
+
+
+def _sql_ip(a: str, b: str) -> str:
+    """DuckDB NATIVE inner product for the oracle's hot pair paths.
+    Bit-identical to the list_reduce fold (both accumulate left to
+    right in double; pinned by tests/test_round10_units.py's parity
+    check) and ~7x faster — the level-2 ranking and pair-verify
+    volumes at sf10 are where the fold's interpreted lambda becomes
+    the oracle's wall-clock."""
+    return f"list_inner_product({a}, {b})"
+
+
+def _sub_cos(v, nv, scv, ns):
+    """round(dot(v,scv)/(nv*ns), 6) with norms attached ONCE per side
+    (algebraically the same doubles as computing sqrt(dot(x,x)) inline
+    — the dedup_semantic norms-once treatment, mirrored in SQL)."""
+    return F.round(tf.dot(v, scv) / (nv * ns), 6)
+
+
+def ivf2_index_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once two-level IVF store; returns its root path. Contents:
+
+    - ``subcentroids`` (cell_id, sub_id, scv): level-2 centroids, keyed
+      by (level-1 cell, seed vec_id);
+    - ``fine`` (vec_id, cell_id, sub_id): each vector's primary fine
+      cell (its rn=1 level-1 cell's srn=1 sub-cell);
+    - ``fprobes`` (vec_id, rn, cell_id, sub_id, srn): per vector, for
+      each of its top-``IVF_PROBES_STORED`` level-1 cells (rn), the
+      top-``SUB_PROBES_STORED`` sub-cells (srn) — consumers dial
+      multi-probe recall with rn <= P1 AND srn <= P2 filters.
+
+    At 100 TB: sub-centroid count is Θ(sqrt(N)) so the broadcast side
+    stays small (sqrt(2e11)·64·8B ≈ 230 MB at 200B vectors — chunk or
+    re-partition by cell past that); each Lloyd round is one broadcast
+    join + a (cell, sub)-keyed BIGINT hash aggregate.
+    """
+    import os
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import (
+        deterministic_tmp_dir,
+        params_digest,
+        publish_store,
+        table_path,
+    )
+
+    store = deterministic_tmp_dir(
+        f"ivf2x{IVF_CELLS}x{IVF_KMEANS_ITERS}x{SUB_KMEANS_ITERS}"
+        f"v{params_digest(_SEED_MULT, _SEED_MOD, _FP, IVF_PROBES_STORED, SUB_PROBES_STORED)}",
+        table_path(sf_dir, "embeddings"),
+    )
+
+    def build(staging: str) -> None:
+        _cent, assigned = ivf_index_store(spark, sf_dir)
+        probes = ivf_probes_store(spark, sf_dir)
+        en = _vecs(spark, sf_dir).select(
+            "vec_id", "v", F.sqrt(tf.dot(F.col("v"), F.col("v"))).alias("nv")
+        )
+        al1 = _persist(assigned.select("vec_id", "cell_id").join(en, "vec_id"))
+
+        def _mat(c: DataFrame) -> DataFrame:
+            # Θ(sqrt(N)) rows — the same constant-size driver
+            # materialization level-1 uses for its centroids.
+            return spark.createDataFrame(c.collect(), c.schema)
+
+        # k_cell = max(1, floor(sqrt(n_cell))): exercised at every SF
+        # (500-vector fixtures get ~5 subs/cell, sf10 gets ~111).
+        kk = al1.groupBy("cell_id").agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.sqrt(F.count(F.lit(1)).cast("double"))).cast("long"),
+            ).alias("k")
+        )
+        wseed = Window.partitionBy("cell_id").orderBy(
+            ((F.col("vec_id").cast("long") * F.lit(_SEED_MULT)) % F.lit(_SEED_MOD)).asc(),
+            F.col("vec_id").asc(),
+        )
+        sub = _mat(
+            al1.withColumn("srn", F.row_number().over(wseed))
+            .join(kk, "cell_id")
+            .filter(F.col("srn") <= F.col("k"))
+            .select("cell_id", F.col("vec_id").alias("sub_id"), F.col("v").alias("scv"))
+        )
+        sums = [
+            F.expr(
+                f"sum(cast(floor(element_at(v, {d + 1}) * {_FP} + 0.5) as bigint))"
+            ).alias(f"s{d}")
+            for d in range(EMB_DIM)
+        ]
+        comps = [
+            F.expr(f"cast(s{d} as double) / (cast(n as double) * {_FP})")
+            for d in range(EMB_DIM)
+        ]
+        for _ in range(SUB_KMEANS_ITERS):
+            subn = sub.withColumn("ns", F.sqrt(tf.dot(F.col("scv"), F.col("scv"))))
+            scos = _sub_cos(F.col("v"), F.col("nv"), F.col("scv"), F.col("ns"))
+            assigned2 = (
+                al1.join(F.broadcast(subn), "cell_id")
+                .select("vec_id", "v", "cell_id", scos.alias("scos"), "sub_id")
+                .groupBy("vec_id")
+                .agg(
+                    F.first("v").alias("v"),
+                    F.first("cell_id").alias("cell_id"),
+                    F.max_by(
+                        "sub_id",
+                        F.struct(F.col("scos"), (-F.col("sub_id")).alias("neg")),
+                    ).alias("sub_id"),
+                )
+            )
+            agg = assigned2.groupBy("cell_id", "sub_id").agg(
+                F.count("*").alias("n"), *sums
+            )
+            sub = _mat(agg.select("cell_id", "sub_id", F.array(*comps).alias("scv")))
+        subn = sub.withColumn("ns", F.sqrt(tf.dot(F.col("scv"), F.col("scv"))))
+        scos = _sub_cos(F.col("v"), F.col("nv"), F.col("scv"), F.col("ns"))
+        wp = Window.partitionBy("vec_id", "cell_id").orderBy(
+            F.col("scos").desc(), F.col("sub_id").asc()
+        )
+        fprobes = (
+            probes.join(en, "vec_id")
+            .join(F.broadcast(subn), "cell_id")
+            .select("vec_id", "rn", "cell_id", "sub_id", scos.alias("scos"))
+            .withColumn("srn", F.row_number().over(wp))
+            .filter(F.col("srn") <= SUB_PROBES_STORED)
+            .select("vec_id", "rn", "cell_id", "sub_id", "srn")
+        )
+        fine = fprobes.filter((F.col("rn") == 1) & (F.col("srn") == 1)).select(
+            "vec_id", "cell_id", "sub_id"
+        )
+        sub.write.parquet(os.path.join(staging, "subcentroids"))
+        fprobes.write.parquet(os.path.join(staging, "fprobes"))
+        fine.write.parquet(os.path.join(staging, "fine"))
+        al1.unpersist()
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    publish_store(store, build)
+    return store
+
+
+def ivf2_fine_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, rn, cell_id, sub_id, srn) from the two-level store."""
+    import os
+
+    return spark.read.parquet(os.path.join(ivf2_index_store(spark, sf_dir), "fprobes"))
+
+
+def ivf2_fine_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell_id, sub_id): primary fine cell per vector."""
+    import os
+
+    return spark.read.parquet(os.path.join(ivf2_index_store(spark, sf_dir), "fine"))
+
+
+def _sql_kmeans2_ctes() -> tuple[str, str]:
+    """DuckDB CTE chain mirroring ivf2_index_store on top of
+    ``_KMEANS_CTES``; returns (ctes, fine_probe_cte_name). The chain
+    defines ``l2s`` (the level-1 probe ranking over all cells — rn is
+    the same total order the level-1 probes store carries) and
+    ``fprobe`` (vec_id, rn, cell_id, sub_id, srn)."""
+    sums = ", ".join(
+        f"sum(CAST(floor(v[{d + 1}] * {_FP} + 0.5) AS BIGINT)) AS s{d}"
+        for d in range(EMB_DIM)
+    )
+    comps = ", ".join(
+        f"CAST(s{d} AS DOUBLE) / (CAST(n AS DOUBLE) * {_FP})" for d in range(EMB_DIM)
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as _tf
+
+    parts = [
+        f"en AS (SELECT vec_id, v, sqrt({_tf.sql_dot('v', 'v')}) AS nv FROM e)",
+        f"""l2s AS (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine('e.v', 'c.cv')} DESC, c.cell_id ASC) AS rn
+            FROM e, {_KMEANS_FINAL} c)""",
+        """al2 AS (SELECT n.vec_id, n.v, n.nv, s.cell_id
+                  FROM l2s s JOIN en n ON s.vec_id = n.vec_id WHERE s.rn = 1)""",
+        """kk2 AS (SELECT cell_id,
+                   greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
+            FROM al2 GROUP BY cell_id)""",
+        f"""sub0 AS (
+            SELECT s.cell_id, s.vec_id AS sub_id, s.v AS scv FROM (
+                SELECT cell_id, vec_id, v,
+                       row_number() OVER (PARTITION BY cell_id
+                           ORDER BY (CAST(vec_id AS BIGINT) * {_SEED_MULT}) % {_SEED_MOD} ASC,
+                                    vec_id ASC) AS rn
+                FROM al2) s JOIN kk2 ON s.cell_id = kk2.cell_id
+            WHERE s.rn <= kk2.k)""",
+    ]
+    prev = "sub0"
+    for it in range(SUB_KMEANS_ITERS):
+        parts.append(
+            f"subn{it} AS (SELECT cell_id, sub_id, scv, "
+            f"sqrt({_tf.sql_dot('scv', 'scv')}) AS ns FROM {prev})"
+        )
+        parts.append(
+            f"""sa{it} AS (
+            SELECT vec_id, v, cell_id, sub_id FROM (
+                SELECT a.vec_id, a.v, a.cell_id, s.sub_id,
+                       row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY round({_sql_ip('a.v', 's.scv')} / (a.nv * s.ns), 6) DESC,
+                                    s.sub_id ASC) AS rn
+                FROM al2 a JOIN subn{it} s ON a.cell_id = s.cell_id)
+            WHERE rn = 1)"""
+        )
+        parts.append(
+            f"sg{it} AS (SELECT cell_id, sub_id, count(*) AS n, {sums}"
+            f" FROM sa{it} GROUP BY cell_id, sub_id)"
+        )
+        parts.append(
+            f"sub{it + 1} AS (SELECT cell_id, sub_id, [{comps}] AS scv FROM sg{it})"
+        )
+        prev = f"sub{it + 1}"
+    parts.append(
+        f"subf AS (SELECT cell_id, sub_id, scv, "
+        f"sqrt({_tf.sql_dot('scv', 'scv')}) AS ns FROM {prev})"
+    )
+    parts.append(
+        f"""fprobe AS (
+            SELECT vec_id, rn, cell_id, sub_id, srn FROM (
+                SELECT p.vec_id, p.rn, p.cell_id, s.sub_id,
+                       row_number() OVER (PARTITION BY p.vec_id, p.cell_id
+                           ORDER BY round({_sql_ip('n.v', 's.scv')} / (n.nv * s.ns), 6) DESC,
+                                    s.sub_id ASC) AS srn
+                FROM (SELECT vec_id, cell_id, rn FROM l2s WHERE rn <= {IVF_PROBES_STORED}) p
+                JOIN en n ON p.vec_id = n.vec_id
+                JOIN subf s ON p.cell_id = s.cell_id)
+            WHERE srn <= {SUB_PROBES_STORED})"""
+    )
+    return ",\n        ".join(parts), "fprobe"
+
+
+_KMEANS2_CTES, _KMEANS2_FPROBE = None, "fprobe"  # built lazily below
+
+
+def kmeans2_ctes() -> str:
+    """Lazily-built (then cached) level-2 CTE chain — module import
+    stays cheap; only the three semantic-dedup oracles pay the build."""
+    global _KMEANS2_CTES
+    if _KMEANS2_CTES is None:
+        _KMEANS2_CTES = _sql_kmeans2_ctes()[0]
+    return _KMEANS2_CTES
+
+
 def _sql_kmeans_ctes() -> tuple[str, str]:
     """DuckDB CTE chain mirroring _kmeans_centroids; returns (ctes, final_name)."""
     sums = ", ".join(

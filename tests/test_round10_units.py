@@ -193,6 +193,55 @@ def test_skipping_snapshot_timestamp_bounds_session_tz(spark, tmp_path):
         spark.conf.set(key, saved)
 
 
+# ------------------------------------------- two-level IVF oracle parity
+def test_duckdb_native_inner_product_matches_fold(duck):
+    """The level-2 quantizer oracles use DuckDB's NATIVE
+    list_inner_product in their hot pair paths (similarity._sql_ip).
+    The cross-engine contract is Spark's sequential fold == that
+    native dot, which holds only while DuckDB accumulates left to
+    right in double — this pin fails loudly if a DuckDB upgrade ever
+    changes the accumulation order."""
+    from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as tf
+
+    diff, total = duck.execute(
+        f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        p AS (SELECT a.v AS va, b.v AS vb
+              FROM e a JOIN e b ON (a.vec_id * 7919) % 500 = b.vec_id % 500)
+        SELECT count(*) FILTER (WHERE list_inner_product(va, vb) <> {tf.sql_dot('va', 'vb')}),
+               count(*)
+        FROM p
+        """
+    ).fetchone()
+    assert total > 0 and diff == 0, f"{diff}/{total} native-vs-fold dot mismatches"
+
+
+def test_ivf2_fine_cells_scale_with_corpus(spark):
+    """The level-2 refinement must actually grow the fine cell count
+    ~sqrt(N) (the round-9 scale finding was a FIXED 16-cell quantizer):
+    fine cells = sum over level-1 cells of floor(sqrt(n_cell)) >> 16
+    already at the 500-vector fixture, and every vector's primary fine
+    cell is one of its stored fine probes (rn=1, srn=1)."""
+    import os
+
+    from data_pipeline_with_hdfs_sql_integration_spark.plans import similarity as sim
+
+    store = sim.ivf2_index_store(spark, SF_DIR)
+    sub = spark.read.parquet(os.path.join(store, "subcentroids"))
+    n_fine = sub.count()
+    assert n_fine > 16, f"level-2 refinement degenerated to {n_fine} cells"
+    fine = sim.ivf2_fine_assignment(spark, SF_DIR)
+    fp = sim.ivf2_fine_probes(spark, SF_DIR)
+    n = fine.count()
+    joined = fine.join(
+        fp.filter((fp.rn == 1) & (fp.srn == 1)).select("vec_id", "cell_id", "sub_id"),
+        ["vec_id", "cell_id", "sub_id"],
+    ).count()
+    assert n == joined and n > 0
+
+
 # ---------------------------------------------------- graph cache hygiene
 def test_graph_queries_release_all_persists(spark):
     """A sweep-length session shows no monotone growth in persisted
