@@ -284,6 +284,17 @@ def main() -> None:
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
 
+    # Reference parity (performance_analyzer.py:85-125): refresh the
+    # CSV + chart artifacts under outputs/ from the detail just
+    # written. Stdlib-only SVG; never lets a report bug fail the bench.
+    try:
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+        from perf_report import write_report
+
+        write_report(detail_path, Path(__file__).resolve().parent / "outputs")
+    except Exception as exc:  # pragma: no cover - report is best-effort
+        print(f"perf_report failed (bench result stands): {exc}", file=sys.stderr)
+
     # Compact summary as the FINAL line — guaranteed to fit the tail
     # capture whole. The `queries` map carries only the cache pair plus
     # the 5 slowest headline queries; the complete map lives in

@@ -776,6 +776,142 @@ class TxTable:
         )
         return version, len(remove), total
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE to a prior ``version`` as a NEW commit — the
+        Delta RESTORE semantic (reference has no table format at all;
+        this is engine-side lakehouse parity): the target version's
+        live file set becomes the new live set BY REFERENCE (files the
+        target had that were since removed are re-added, files added
+        since are removed). No data is copied or rewritten — a restore
+        of a 100 TB table is a metadata-only commit — and because it
+        is itself just another add/remove commit, it is UNDOABLE: the
+        post-mistake history stays time-travelable, unlike a log
+        truncation. Re-added files carry the stats the target version
+        tracked for them, so data skipping survives the round trip.
+        Fails loudly if any file the target version references has
+        been vacuumed away (Delta's missing-data RESTORE error), and
+        conflicts (ConcurrentAppend) with writers that landed after
+        the restore read its snapshot — a restore must not silently
+        drop a racer's committed rows."""
+        latest = self.latest_version()
+        if not 0 <= version <= latest:
+            raise ValueError(
+                f"restore target {version} outside [0, {latest}]"
+            )
+        live_now, _active, _st, schema_base = self._replay_state(None)
+        live_tgt, _a2, stats_tgt, schema_tgt = self._replay_state(version)
+        add = sorted(live_tgt - live_now)
+        remove = sorted(live_now - live_tgt)
+        missing = [f for f in add if not os.path.exists(self._resolve(f))]
+        if missing:
+            raise FileNotFoundError(
+                f"restore to v{version} needs {len(missing)} file(s)"
+                f" that no longer exist (vacuumed?): {missing[:3]}"
+            )
+        entry: dict = {
+            "add": add,
+            "remove": remove,
+            "stats": {f: stats_tgt[f] for f in add if f in stats_tgt},
+            "operation": {"op": "restore", "to": version},
+        }
+        if schema_tgt is not None:
+            # The restored version's schema becomes the tracked schema
+            # again (columns evolved after it disappear from reads of
+            # the new head, exactly like Delta RESTORE).
+            entry["metaData"] = {"schemaString": schema_tgt}
+        return self._commit(
+            entry, schema_base=schema_base, read_live=set(live_now)
+        )
+
+    def changes(self, spark: SparkSession, version: int, key: str) -> DataFrame:
+        """CHANGE DATA FEED for commit ``version`` — row-level changes
+        derived from the commit's add/remove file sets (the COW-diff
+        construction Delta uses when no explicit CDC files exist):
+        rows of the REMOVED files that do not reappear in the ADDED
+        files are the before-images; added-file rows that were not
+        already present are the after-images (COW copies untouched
+        rows into the rewritten file, so the multiset difference
+        cancels them exactly). ``key`` classifies the survivors:
+        present on both sides -> update_preimage/update_postimage,
+        removed-only -> delete, added-only -> insert. A row rewritten
+        to an IDENTICAL value is not a change (it cancels) — the same
+        answer Delta's COW diff gives. Cost is proportional to the
+        commit's TOUCHED files, never the table: at 100 TB, consuming
+        a day's upsert reads a day's rewritten files.
+
+        Returns the changed rows under the post-commit schema plus
+        ``_change_type`` and ``_commit_version`` columns (Delta's CDF
+        column contract). Metadata-only commits yield an empty feed."""
+        from pyspark.sql import functions as F
+
+        if not 0 <= version <= self.latest_version():
+            raise ValueError(f"no commit {version} in this table")
+        with open(
+            os.path.join(self.log_dir, f"{version:08d}.json")
+        ) as f:
+            entry = json.load(f)
+        schema_post = self.table_schema(version)
+        cols = (
+            [fld.name for fld in schema_post.fields]
+            if schema_post is not None
+            else None
+        )
+
+        def _read(files: list[str], at: int) -> DataFrame | None:
+            if not files:
+                return None
+            df = self._reader(spark, at).parquet(
+                *(self._resolve(f) for f in files)
+            )
+            if cols is None:
+                return df
+            # Align both sides onto the post-commit column set; rows
+            # from pre-evolution files null-fill new columns (the same
+            # normalization snapshot readers apply).
+            have = set(df.columns)
+            return df.select(
+                *[
+                    F.col(c) if c in have else F.lit(None).alias(c)
+                    for c in cols
+                ]
+            )
+
+        pre = _read(entry.get("remove", []), max(version - 1, 0))
+        post = _read(entry.get("add", []), version)
+        if pre is None and post is None:
+            raise ValueError(
+                f"commit {version} is metadata-only: no data changes"
+            )
+        out_cols = cols or (post if post is not None else pre).columns
+        if pre is None:
+            pre = post.limit(0)
+        if post is None:
+            post = pre.limit(0)
+        # Multiset difference cancels COW-copied rows exactly.
+        pre_changed = pre.exceptAll(post)
+        post_changed = post.exceptAll(pre)
+        pre_keys = pre_changed.select(key).distinct()
+        post_keys = post_changed.select(key).distinct()
+        both = pre_keys.join(post_keys, key, "inner")
+        v = F.lit(version).cast("int").alias("_commit_version")
+        upd_pre = pre_changed.join(F.broadcast(both), key, "left_semi").select(
+            *out_cols, F.lit("update_preimage").alias("_change_type"), v
+        )
+        deletes = pre_changed.join(F.broadcast(both), key, "left_anti").select(
+            *out_cols, F.lit("delete").alias("_change_type"), v
+        )
+        upd_post = post_changed.join(F.broadcast(both), key, "left_semi").select(
+            *out_cols, F.lit("update_postimage").alias("_change_type"), v
+        )
+        inserts = post_changed.join(F.broadcast(both), key, "left_anti").select(
+            *out_cols, F.lit("insert").alias("_change_type"), v
+        )
+        return (
+            upd_pre.unionByName(upd_post)
+            .unionByName(deletes)
+            .unionByName(inserts)
+        )
+
     # ------------------------------------------------------ constraints
     def constraints(self, version: int | None = None) -> dict[str, str]:
         """Active CHECK constraints at a version (checkpointed log
@@ -1059,6 +1195,7 @@ __all__ = [
     "TxTable",
     "build_once",
     "scratch_table",
+    "vacuum",
 ]
 
 

@@ -962,3 +962,394 @@ def format_txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         for h in hist
     ]
     return spark.createDataFrame(rows, "version int, op string, net_rows long")
+
+
+@query(
+    "format_txlog_cdf",
+    oracle="""
+        WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+        base AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderkey % 3 <> 0
+        ),
+        ups AS (
+            SELECT o_orderkey, o_orderpriority,
+                   o_totalprice * 2 AS o_totalprice
+            FROM orders, m
+            WHERE o_orderkey % 2 = 0 AND o_orderkey <= mx // 8
+        ),
+        v1 AS (
+            SELECT b.* FROM base b
+            WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+            UNION ALL SELECT * FROM ups
+        ),
+        changes AS (
+            SELECT 0 AS _commit_version, 'insert' AS _change_type,
+                   o_totalprice
+            FROM base
+            UNION ALL
+            SELECT 1, 'update_preimage', b.o_totalprice
+            FROM base b JOIN ups u ON b.o_orderkey = u.o_orderkey
+            UNION ALL
+            SELECT 1, 'update_postimage', u.o_totalprice
+            FROM ups u JOIN base b ON b.o_orderkey = u.o_orderkey
+            UNION ALL
+            SELECT 1, 'insert', u.o_totalprice
+            FROM ups u ANTI JOIN base b ON b.o_orderkey = u.o_orderkey
+            UNION ALL
+            SELECT 2, 'delete', v.o_totalprice
+            FROM v1 v, m
+            WHERE v.o_orderkey > mx // 2 AND v.o_orderkey <= (5 * mx) // 8
+        )
+        SELECT _commit_version, _change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM changes GROUP BY 1, 2
+    """,
+    doc="CHANGE DATA FEED over the transaction-log table "
+    "(operators/txlog.py changes): row-level changes for each commit "
+    "derived from its add/remove file sets — the COW-diff "
+    "construction Delta uses when no explicit CDC files exist. The "
+    "table takes an append (v0), a MERGE upsert (v1: even low-range "
+    "keys at doubled price — updates where the key existed, inserts "
+    "where it did not), and a range DELETE (v2). The feed classifies "
+    "every changed row as insert / update_preimage / "
+    "update_postimage / delete by multiset-diffing the removed vs "
+    "added files (COW copies untouched rows into the rewrite, so "
+    "they cancel exactly) and key-joining the survivors; the oracle "
+    "recomputes all four classes from the raw table. This is the "
+    "incremental-consumer primitive at 100 TB: a downstream reader "
+    "syncs a day's upsert by reading the day's rewritten files, "
+    "never the table.",
+    tags=("format", "txlog", "cdf", "cdc"),
+)
+def format_txlog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        build_once,
+    )
+
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def build(t):
+        max_key = orders.agg(F.max("o_orderkey")).first()[0]
+        t.append(
+            orders.filter(F.col("o_orderkey") % 3 != 0).repartitionByRange(
+                8, "o_orderkey"
+            )
+        )
+        upsert = orders.filter(
+            (F.col("o_orderkey") % 2 == 0)
+            & (F.col("o_orderkey") <= max_key // 8)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        t.merge(spark, upsert, "o_orderkey")
+        t.delete_range(
+            spark, "o_orderkey", max_key // 2 + 1, (5 * max_key) // 8
+        )
+
+    t = build_once("orders_cdf", table_path(sf_dir, "orders"), 2, build)
+    feed = None
+    for v in (0, 1, 2):
+        part = t.changes(spark, v, "o_orderkey")
+        feed = part if feed is None else feed.unionByName(part)
+    return feed.groupBy("_commit_version", "_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
+    "format_txlog_restore",
+    oracle="""
+        WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+        versions AS (
+            SELECT 1 AS version, o_orderpriority, o_totalprice
+            FROM orders, m
+            WHERE NOT (o_orderkey > mx // 2 AND o_orderkey <= (5 * mx) // 8)
+            UNION ALL
+            SELECT 2, o_orderpriority, o_totalprice FROM orders
+        )
+        SELECT version, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM versions GROUP BY version, o_orderpriority
+    """,
+    doc="RESTORE TABLE to a prior version (operators/txlog.py "
+    "restore): after a range DELETE (v1), restore-to-v0 lands as a "
+    "NEW commit (v2) whose live set is v0's files BY REFERENCE — "
+    "asserted in-query (live_files(2) == live_files(0), no data "
+    "copied or rewritten; a restore of a 100 TB table is a "
+    "metadata-only commit). The mistake stays in history: v1 remains "
+    "time-travelable after the restore (asserted), unlike a log "
+    "truncation. Both the deleted state (v1) and the restored state "
+    "(v2) value-check against the raw table.",
+    tags=("format", "txlog", "restore", "time-travel"),
+)
+def format_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        build_once,
+    )
+
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def build(t):
+        max_key = orders.agg(F.max("o_orderkey")).first()[0]
+        t.append(orders.repartitionByRange(8, "o_orderkey"))
+        t.delete_range(
+            spark, "o_orderkey", max_key // 2 + 1, (5 * max_key) // 8
+        )
+        t.restore(0)
+
+    t = build_once("orders_restore", table_path(sf_dir, "orders"), 2, build)
+    # Metadata-only restore: v2's live set IS v0's (same paths, by
+    # reference), and the deleted intermediate stays readable.
+    assert set(t.live_files(2)) == set(t.live_files(0)), (
+        "restore must reinstate the target version's exact file set"
+    )
+    assert set(t.live_files(1)) != set(t.live_files(0)), (
+        "the delete under test never rewrote a file"
+    )
+    out = None
+    for v in (1, 2):
+        snap = (
+            t.snapshot(spark, version=v)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(
+                F.lit(v).alias("version"),
+                "o_orderpriority",
+                "n_orders",
+                "total_price",
+            )
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+@query(
+    "format_txlog_vacuum",
+    oracle="""
+        WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders, m
+        WHERE NOT (o_orderkey > mx // 2 AND o_orderkey <= (5 * mx) // 8)
+        GROUP BY o_orderpriority
+    """,
+    doc="VACUUM (operators/txlog.py vacuum): physically deletes data "
+    "files referenced ONLY by versions older than the retention "
+    "horizon — here an 8-slice append (v0) then a range DELETE (v1) "
+    "that rewrote the overlapping slices; vacuum(keep_versions=1) "
+    "removes exactly the pre-delete copies of the rewritten files. "
+    "Asserted in-query: after vacuum the on-disk file set EQUALS the "
+    "live set of the latest version (no orphans, no leaks — "
+    "idempotent on re-run), the latest snapshot still value-checks "
+    "against the oracle, and time travel to v0 now FAILS LOUDLY "
+    "(missing file) rather than silently serving holes — exactly "
+    "Delta's retention trade-off. At 100 TB vacuum is what keeps "
+    "storage proportional to the LIVE table instead of its whole "
+    "DML history.",
+    tags=("format", "txlog", "vacuum", "retention"),
+)
+def format_txlog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        build_once,
+        vacuum,
+    )
+
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def build(t):
+        max_key = orders.agg(F.max("o_orderkey")).first()[0]
+        t.append(orders.repartitionByRange(8, "o_orderkey"))
+        t.delete_range(
+            spark, "o_orderkey", max_key // 2 + 1, (5 * max_key) // 8
+        )
+
+    t = build_once("orders_vacuum", table_path(sf_dir, "orders"), 1, build)
+    vacuum(t, keep_versions=1)
+    live = set(t.live_files())
+    on_disk = {
+        os.path.join(t.data_dir, g, f)
+        for g in os.listdir(t.data_dir)
+        for f in os.listdir(os.path.join(t.data_dir, g))
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live, (
+        f"vacuum must leave exactly the live set: {len(on_disk)} on disk"
+        f" vs {len(live)} live"
+    )
+    # The delete rewrote at least one slice, so v0 references at least
+    # one now-vacuumed file: time travel past the horizon fails loudly.
+    assert set(t.live_files(0)) - live, "delete carried every file?"
+    try:
+        t.snapshot(spark, version=0).count()
+    except Exception:
+        pass
+    else:
+        raise AssertionError(
+            "reading a vacuumed version must fail, not serve holes"
+        )
+    return (
+        t.snapshot(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@query(
+    "format_txlog_ivm",
+    oracle="""
+        WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+        base AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderkey % 3 <> 0
+        ),
+        ups AS (
+            SELECT o_orderkey, o_orderpriority,
+                   o_totalprice * 2 AS o_totalprice
+            FROM orders, m
+            WHERE o_orderkey % 2 = 0 AND o_orderkey <= mx // 8
+        ),
+        v1 AS (
+            SELECT b.* FROM base b
+            WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+            UNION ALL SELECT * FROM ups
+        ),
+        v2 AS (
+            SELECT v.* FROM v1 v, m
+            WHERE NOT (v.o_orderkey > mx // 2
+                       AND v.o_orderkey <= (5 * mx) // 8)
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM v2 GROUP BY o_orderpriority
+    """,
+    doc="INCREMENTAL VIEW MAINTENANCE driven by the change data feed "
+    "(operators/txlog.py changes): a downstream grouped aggregate "
+    "(count + decimal sum per priority) is maintained by folding in "
+    "each commit's CDF deltas — +1/+price for insert and "
+    "update_postimage, -1/-price for delete and update_preimage — "
+    "NEVER re-reading the base table after v0. Runs on the same "
+    "orders_cdf table as format_txlog_cdf (append, merge upsert, "
+    "range delete). Sums fold in DECIMAL so the incremental total is "
+    "bit-equal to the direct recompute (double addition is not "
+    "associative; decimal is exact) — asserted in-query against the "
+    "latest-snapshot aggregate AND value-checked against the oracle's "
+    "full recompute. At 100 TB this is why CDF exists: refreshing a "
+    "materialized view costs a day's rewritten files, not a table "
+    "scan.",
+    tags=("format", "txlog", "cdf", "ivm"),
+)
+def format_txlog_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        build_once,
+    )
+
+    apply_runtime_confs(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def build(t):
+        max_key = orders.agg(F.max("o_orderkey")).first()[0]
+        t.append(
+            orders.filter(F.col("o_orderkey") % 3 != 0).repartitionByRange(
+                8, "o_orderkey"
+            )
+        )
+        upsert = orders.filter(
+            (F.col("o_orderkey") % 2 == 0)
+            & (F.col("o_orderkey") <= max_key // 8)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        t.merge(spark, upsert, "o_orderkey")
+        t.delete_range(
+            spark, "o_orderkey", max_key // 2 + 1, (5 * max_key) // 8
+        )
+
+    t = build_once("orders_cdf", table_path(sf_dir, "orders"), 2, build)
+
+    def signed_agg(df: DataFrame) -> DataFrame:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(sign).cast("long").alias("n_orders"),
+            F.sum(
+                sign.cast("decimal(18,2)")
+                * F.col("o_totalprice").cast("decimal(18,2)")
+            )
+            .cast("decimal(18,2)")
+            .alias("total_price"),
+        )
+
+    # v0's CDF is the base state (pure inserts); later commits fold in
+    # as deltas — the view never touches the table again.
+    running = signed_agg(
+        t.changes(spark, 0, "o_orderkey")
+    )
+    for v in range(1, t.latest_version() + 1):
+        delta = signed_agg(t.changes(spark, v, "o_orderkey"))
+        running = (
+            running.unionByName(delta)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("total_price")
+                .cast("decimal(18,2)")
+                .alias("total_price"),
+            )
+        ).filter(F.col("n_orders") > 0)
+    out = running.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+    )
+    # The maintained view must equal the direct recompute exactly —
+    # decimal folding makes this bit-stable at any SF.
+    direct = (
+        t.snapshot(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    assert out.exceptAll(direct).isEmpty() and direct.exceptAll(out).isEmpty(), (
+        "incremental view diverged from the direct recompute"
+    )
+    return out

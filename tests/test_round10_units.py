@@ -270,3 +270,155 @@ def test_graph_queries_release_all_persists(spark):
         assert n_persisted() - base <= 4, f"{name} accreted persisted RDDs"
         release_pins()
     assert n_persisted() <= base
+
+
+# ------------------------------------------------- restore / CDF / vacuum
+def test_restore_is_metadata_only_and_undoable(spark, tmp_path):
+    """RESTORE reinstates the target version's file set by reference
+    (no rewrite), lands as a NEW commit, and is itself restorable —
+    the mistake and its fix both stay in history."""
+    t = _mk_table(tmp_path, spark, [(1, "a"), (2, "b"), (3, "c")])
+    t.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+    v = t.restore(0)
+    assert v == 2
+    assert set(t.live_files(2)) == set(t.live_files(0))
+    assert sorted(r["k"] for r in t.snapshot(spark).collect()) == [1, 2, 3]
+    # The overwritten intermediate is still time-travelable...
+    assert [r["k"] for r in t.snapshot(spark, version=1).collect()] == [9]
+    # ...and the restore can be undone by restoring to it.
+    t.restore(1)
+    assert [r["k"] for r in t.snapshot(spark).collect()] == [9]
+
+
+def test_restore_rejects_bad_version_and_vacuumed_target(spark, tmp_path):
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import vacuum
+
+    t = _mk_table(tmp_path, spark, [(1, "a")])
+    with pytest.raises(ValueError, match="outside"):
+        t.restore(5)
+    t.overwrite(spark.createDataFrame([(2, "b")], "k long, v string"))
+    vacuum(t, keep_versions=1)  # v0's file is gone
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(0)
+    # Nothing was committed by the failed restore.
+    assert t.latest_version() == 1
+
+
+def test_restore_conflicts_with_racing_append(spark, tmp_path, monkeypatch):
+    """A restore whose snapshot read missed a racer's append must
+    conflict, not silently drop the racer's committed rows."""
+    from data_pipeline_with_hdfs_sql_integration_spark.operators import txlog
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        ConcurrentWriteConflict,
+        TxTable,
+    )
+
+    t = _mk_table(tmp_path, spark, [(1, "a")])
+    t.overwrite(spark.createDataFrame([(2, "b")], "k long, v string"))
+    orig = txlog.TxTable._replay_state
+    raced = []
+
+    def hooked(self, version=None):
+        out = orig(self, version)
+        # Inject the race once, after restore() reads the CURRENT state
+        # (its first replay call) but before its commit re-checks.
+        if self is t and version is None and not raced:
+            raced.append(1)
+            TxTable(t.root).append(
+                spark.createDataFrame([(7, "r")], "k long, v string")
+            )
+        return out
+
+    monkeypatch.setattr(txlog.TxTable, "_replay_state", hooked)
+    with pytest.raises(ConcurrentWriteConflict):
+        t.restore(0)
+    assert sorted(r["k"] for r in t.snapshot(spark).collect()) == [2, 7]
+
+
+def test_cdf_classifies_all_four_change_types(spark, tmp_path):
+    """COW-diff CDF: an upsert's unmatched-but-rewritten rows cancel;
+    matched keys yield pre+post images, new keys inserts, and a
+    delete's rows before-images only."""
+    t = _mk_table(
+        tmp_path, spark, [(1, "a"), (2, "b"), (3, "c")]
+    )
+    # v1: merge updates k=1, inserts k=4; k=2,3 rewritten unchanged.
+    t.merge(
+        spark,
+        spark.createDataFrame([(1, "A"), (4, "d")], "k long, v string"),
+        "k",
+    )
+    rows = {
+        (r["k"], r["_change_type"], r["_commit_version"], r["v"])
+        for r in t.changes(spark, 1, "k").collect()
+    }
+    assert rows == {
+        (1, "update_preimage", 1, "a"),
+        (1, "update_postimage", 1, "A"),
+        (4, "insert", 1, "d"),
+    }
+    # v0 (pure append): every row is an insert.
+    v0 = t.changes(spark, 0, "k")
+    assert sorted(
+        (r["k"], r["_change_type"]) for r in v0.collect()
+    ) == [(1, "insert"), (2, "insert"), (3, "insert")]
+    # v2 (delete k<=2): deletes only, the kept rewrite rows cancel.
+    t.delete_range(spark, "k", 0, 2)
+    v2 = t.changes(spark, 2, "k")
+    assert sorted(
+        (r["k"], r["_change_type"]) for r in v2.collect()
+    ) == [(1, "delete"), (2, "delete")]
+
+
+def test_cdf_metadata_only_commit_raises(spark, tmp_path):
+    t = _mk_table(tmp_path, spark, [(1, "a")])
+    t.set_constraint("pos", "k > 0")
+    with pytest.raises(ValueError, match="metadata-only"):
+        t.changes(spark, 1, "k")
+    with pytest.raises(ValueError, match="no commit"):
+        t.changes(spark, 9, "k")
+
+
+def test_cdf_identical_rewrite_is_not_a_change(spark, tmp_path):
+    """A merge that rewrites a row to an identical value produces NO
+    feed entry for it (multiset cancellation) — Delta's COW-diff
+    answer."""
+    t = _mk_table(tmp_path, spark, [(1, "a"), (2, "b")])
+    t.merge(
+        spark,
+        spark.createDataFrame([(1, "a"), (3, "c")], "k long, v string"),
+        "k",
+    )
+    rows = {
+        (r["k"], r["_change_type"]) for r in t.changes(spark, 1, "k").collect()
+    }
+    assert rows == {(3, "insert")}
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
+    import os
+
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import vacuum
+
+    t = _mk_table(tmp_path, spark, [(1, "a"), (2, "b")])
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+    doomed = vacuum(t, keep_versions=2)  # retain v1 and v2
+    # v0's file is still LIVE at retained v1 (appends accrete), so
+    # nothing is deletable yet — vacuum never touches retained data.
+    assert doomed == []
+    assert sorted(r["k"] for r in t.snapshot(spark, version=1).collect()) == [
+        1,
+        2,
+        3,
+    ]
+    assert [r["k"] for r in t.snapshot(spark).collect()] == [9]
+    # Disk holds exactly the union of the retained versions' live sets.
+    keep = set(t.live_files(1)) | set(t.live_files(2))
+    on_disk = {
+        os.path.join(t.data_dir, g, f)
+        for g in os.listdir(t.data_dir)
+        for f in os.listdir(os.path.join(t.data_dir, g))
+        if f.endswith(".parquet")
+    }
+    assert on_disk == keep
