@@ -103,6 +103,12 @@ HEADLINE = [
     "mix_temperature_sampling",
     "rollup_incremental_refresh",
     "events_dau_hll",
+    # Round-10 lakehouse DML additions: the CDF consumer path and the
+    # clustered-OPTIMIZE skipping path are maintenance costs a 100 TB
+    # deployment pays routinely — track them per-round like any query.
+    "format_txlog_cdf",
+    "format_txlog_ivm",
+    "format_txlog_zorder",
 ]
 
 

@@ -890,20 +890,24 @@ class TxTable:
         # Multiset difference cancels COW-copied rows exactly.
         pre_changed = pre.exceptAll(post)
         post_changed = post.exceptAll(pre)
+        # The changed-key intersection is small for routine commits
+        # (COW bounds it by the commit's own writes) but can be a
+        # whole day's upsert at 100 TB — no forced broadcast; AQE
+        # picks BroadcastHashJoin whenever it actually fits.
         pre_keys = pre_changed.select(key).distinct()
         post_keys = post_changed.select(key).distinct()
         both = pre_keys.join(post_keys, key, "inner")
         v = F.lit(version).cast("int").alias("_commit_version")
-        upd_pre = pre_changed.join(F.broadcast(both), key, "left_semi").select(
+        upd_pre = pre_changed.join(both, key, "left_semi").select(
             *out_cols, F.lit("update_preimage").alias("_change_type"), v
         )
-        deletes = pre_changed.join(F.broadcast(both), key, "left_anti").select(
+        deletes = pre_changed.join(both, key, "left_anti").select(
             *out_cols, F.lit("delete").alias("_change_type"), v
         )
-        upd_post = post_changed.join(F.broadcast(both), key, "left_semi").select(
+        upd_post = post_changed.join(both, key, "left_semi").select(
             *out_cols, F.lit("update_postimage").alias("_change_type"), v
         )
-        inserts = post_changed.join(F.broadcast(both), key, "left_anti").select(
+        inserts = post_changed.join(both, key, "left_anti").select(
             *out_cols, F.lit("insert").alias("_change_type"), v
         )
         return (

@@ -220,19 +220,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, list_sort(sh) AS sh, len(sh) AS n FROM sh
         ),
         prefix AS (
-            SELECT doc_id, sh, n,
+            SELECT doc_id, n,
                    unnest(sh[1 : CAST(n - ceil(n * {JACCARD_THRESHOLD}) + 1 AS INT)]) AS h
             FROM sorted_sh
         ),
         cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                            a.sh AS sh_a, b.sh AS sh_b, a.n AS na, b.n AS nb
+            -- id-only candidates (the lists join back in ONCE per
+            -- surviving pair below): carrying both shingle lists
+            -- through the equi-join + DISTINCT is what made this
+            -- oracle hour-class at sf10.
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
                 AND b.n * {JACCARD_THRESHOLD} <= a.n AND a.n * {JACCARD_THRESHOLD} <= b.n
         ),
         scored AS (
-            SELECT doc_a, doc_b, len(list_intersect(sh_a, sh_b)) AS i, na, nb
-            FROM cand
+            SELECT c.doc_a, c.doc_b,
+                   len(list_intersect(sa.sh, sb.sh)) AS i,
+                   sa.n AS na, sb.n AS nb
+            FROM cand c
+            JOIN sorted_sh sa ON sa.doc_id = c.doc_a
+            JOIN sorted_sh sb ON sb.doc_id = c.doc_b
         )
         SELECT doc_a, doc_b,
                round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard

@@ -1353,3 +1353,97 @@ def format_txlog_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "incremental view diverged from the direct recompute"
     )
     return out
+
+
+@query(
+    "format_txlog_zorder",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM lineitem
+        WHERE l_partkey BETWEEN 10 AND 59
+          AND l_suppkey BETWEEN 1 AND 5
+        GROUP BY l_returnflag
+    """,
+    doc="OPTIMIZE ZORDER as a transaction-log commit (Delta's "
+    "clustered OPTIMIZE): v0 appends lineitem hash-shuffled into 16 "
+    "files — every file spans nearly the FULL l_partkey and "
+    "l_suppkey ranges, so the log's per-file stats can prune nothing "
+    "on either column (asserted). v1 rewrites the live set ordered "
+    "by the Morton interleave of both columns (operators/zorder.py), "
+    "committed like any overwrite — after which prune() narrows a "
+    "range on l_partkey AND on l_suppkey each to under half the "
+    "files (asserted): ONE clustered layout serves range predicates "
+    "on BOTH dimensions from commit-log metadata alone. The "
+    "pre-optimize version stays readable (layout rewrites never "
+    "invalidate history), and the 2-D box aggregate value-checks "
+    "against the unordered raw table — clustering can shift "
+    "LOCALITY, never rows. At 100 TB this pairing (Z-order rewrite + "
+    "log-level stats skipping) is what turns a full-table scan into "
+    "an open-few-files point lookup on multi-column filters.",
+    tags=("format", "txlog", "zorder", "maintenance", "pruning"),
+)
+def format_txlog_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import table_path
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import (
+        build_once,
+    )
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.zorder import (
+        scale_to_grid,
+        zorder2,
+    )
+
+    apply_runtime_confs(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    n_files = 16
+
+    def build(t):
+        t.append(li.repartition(n_files))
+        b = li.agg(
+            F.min("l_partkey"), F.max("l_partkey"),
+            F.min("l_suppkey"), F.max("l_suppkey"),
+        ).first()
+        z = zorder2(
+            scale_to_grid(F.col("l_partkey"), b[0], b[1]),
+            scale_to_grid(F.col("l_suppkey"), b[2], b[3]),
+        )
+        t.overwrite(
+            t.snapshot(spark)
+            .withColumn("_z", z)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+
+    t = build_once("lineitem_zorder", table_path(sf_dir, "lineitem"), 1, build)
+    for col, lo, hi in (("l_partkey", 10, 59), ("l_suppkey", 1, 5)):
+        kept0, total0 = t.prune(col, lo, hi, version=0)
+        kept1, total1 = t.prune(col, lo, hi, version=1)
+        # Hash-shuffled files all overlap any interior range; the
+        # Z-clustered rewrite must skip more than half on EACH column.
+        assert len(kept1) * 2 < total1 <= len(kept0) + 1, (
+            f"zorder skipping on {col}: {len(kept0)}/{total0} before,"
+            f" {len(kept1)}/{total1} after"
+        )
+    box = (
+        t.skipping_snapshot(spark, "l_partkey", 10, 59)
+        .filter(
+            F.col("l_partkey").between(10, 59)
+            & F.col("l_suppkey").between(1, 5)
+        )
+    )
+    return box.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
