@@ -990,6 +990,107 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_simhash_pairs_counts",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {tf.sql_tokens('text')} AS t FROM documents
+        ),
+        th AS (
+            SELECT doc_id, list_transform(t, s -> {tf.sql_poly_hash_str('s')}) AS th
+            FROM toks WHERE len(t) > 0
+        ),
+        sh AS (
+            SELECT doc_id, {_sql_simhash_select()} AS simhash FROM th
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, simhash, {j} AS band_idx, (simhash >> {10 * j}) & 1023 AS band_val FROM sh" for j in range(tf.SIMHASH_BANDS))}
+        ),
+        buckets AS (
+            SELECT band_idx, band_val, COUNT(*) AS n
+            FROM bands GROUP BY band_idx, band_val
+        ),
+        candstats AS (
+            SELECT band_idx,
+                   CAST(COUNT(*) AS BIGINT) AS buckets_ge2,
+                   CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS cand_pairs
+            FROM buckets WHERE n >= 2 GROUP BY band_idx
+        ),
+        matched AS (
+            SELECT a.band_idx,
+                   CAST(COUNT(*) AS BIGINT) AS matched_pairs,
+                   MIN(a.doc_id * 4294967296 + b.doc_id) AS min_code
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {tf.SIMHASH_HAMMING_MAX}
+            GROUP BY a.band_idx
+        )
+        SELECT c.band_idx,
+               c.buckets_ge2,
+               c.cand_pairs,
+               COALESCE(m.matched_pairs, CAST(0 AS BIGINT)) AS matched_pairs,
+               CAST(m.min_code // 4294967296 AS BIGINT) AS min_doc_a,
+               CAST(m.min_code % 4294967296 AS BIGINT) AS min_doc_b
+        FROM candstats c LEFT JOIN matched m USING (band_idx)
+    """,
+    doc="Cluster-scale sibling of dedup_simhash_pairs: the full within-band "
+    "pair dump is output-bound on one volume at sf10 (>47 GB); this variant "
+    "answers the same question as a per-band aggregate — buckets with >=2 "
+    "docs, candidate-pair mass sum C(n,2), matched pairs under the hamming "
+    "bound, and a deterministic min-(doc_a,doc_b) sample pair — 3 rows total. "
+    "Within one band_idx each doc holds exactly one band_val, so a pair "
+    "occurs at most once per band: no distinct is needed (cheaper than the "
+    "dump, which dedups across bands). All-aggregate output means the shuffle "
+    "is the only cost at 100 TB; nothing lands on a single volume.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_pairs_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    sh = _materialize(_simhash_df(spark, sf_dir))
+    band_vals = F.array(
+        *[F.shiftright(F.col("simhash"), 10 * j).bitwiseAND(F.lit(1023)) for j in range(tf.SIMHASH_BANDS)]
+    )
+    bands = sh.select("doc_id", "simhash", F.posexplode(band_vals).alias("band_idx", "band_val"))
+    buckets = bands.groupBy("band_idx", "band_val").agg(F.count("*").alias("n"))
+    candstats = (
+        buckets.filter(F.col("n") >= 2)
+        .groupBy("band_idx")
+        .agg(
+            F.count("*").cast("long").alias("buckets_ge2"),
+            F.sum(F.expr("(n * (n - 1)) DIV 2")).cast("long").alias("cand_pairs"),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pair_code = F.col("a.doc_id") * F.lit(4294967296).cast("long") + F.col("b.doc_id")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    matched = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= tf.SIMHASH_HAMMING_MAX)
+        .groupBy(F.col("a.band_idx").alias("band_idx"))
+        .agg(
+            F.count("*").cast("long").alias("matched_pairs"),
+            F.min(pair_code).alias("min_code"),
+        )
+    )
+    return (
+        candstats.join(matched, "band_idx", "left")
+        .select(
+            "band_idx",
+            "buckets_ge2",
+            "cand_pairs",
+            F.coalesce(F.col("matched_pairs"), F.lit(0).cast("long")).alias("matched_pairs"),
+            F.expr("CAST(min_code DIV 4294967296 AS BIGINT)").alias("min_doc_a"),
+            (F.col("min_code") % F.lit(4294967296).cast("long")).cast("long").alias("min_doc_b"),
+        )
+    )
+
+
 # ------------------------------------------------------- embedding cosine
 @query(
     "dedup_embedding_cosine",
