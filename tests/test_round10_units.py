@@ -422,3 +422,59 @@ def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert on_disk == keep
+
+
+class TestVersionedIvf2ProbeStore:
+    """Round-9 verdict stretch item 9: the semantic (IVF) family's
+    incremental store rides the same txlog-versioned pattern as the
+    MinHash signature store."""
+
+    def test_increment_appends_and_equals_monolithic(self, spark):
+        import hashlib
+
+        from data_pipeline_with_hdfs_sql_integration_spark.plans import (
+            similarity as sim,
+        )
+        from data_pipeline_with_hdfs_sql_integration_spark.plans.dedup import (
+            versioned_ivf2_probe_store,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        t = versioned_ivf2_probe_store(spark, sf)
+        assert t.latest_version() == 2
+        v0, v1, v2 = (t.live_files(v) for v in (0, 1, 2))
+        # Append-only file reuse, byte-identical (txlog never rewrites).
+        assert set(v0) <= set(v1) <= set(v2)
+        h = lambda fs: {  # noqa: E731
+            f: hashlib.sha256(open(f, "rb").read()).hexdigest() for f in fs
+        }
+        assert h(v1) == {f: d for f, d in h(v2).items() if f in set(v1)}
+        # store@v2 == monolithic fprobes build, row-for-row: probe rows
+        # are pure per-vector functions of the frozen quantizer.
+        mono = sim.ivf2_fine_probes(spark, sf)
+        snap2 = t.snapshot(spark, 2).select(*mono.columns)
+        assert snap2.exceptAll(mono).isEmpty()
+        assert mono.exceptAll(snap2).isEmpty()
+
+    def test_versions_verdicts_match_monolithic(self, spark):
+        from collections import Counter
+
+        from data_pipeline_with_hdfs_sql_integration_spark.registry import (
+            all_queries,
+        )
+
+        qs = all_queries()
+        sf = "/root/testdata/sf0.001"
+        mono = Counter(
+            r["verdict"]
+            for r in qs["dedup_incremental_semantic"].fn(spark, sf).collect()
+        )
+        vers = {
+            r["metric"]: r["value"]
+            for r in qs["dedup_incremental_semantic_versions"].fn(spark, sf).collect()
+        }
+        assert vers["n_dup_of_index"] == mono.get("dup_of_index", 0)
+        assert vers["n_dup_in_batch"] == mono.get("dup_in_batch", 0)
+        assert vers["n_unique"] == mono.get("unique", 0)
+        assert vers["n_new_vecs"] == sum(mono.values())
+        assert vers["v2_equals_monolithic_rebuild"] == 1
