@@ -138,20 +138,31 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "within ±5% of the exact distinct count (Spark approx_count_distinct "
     "rsd=0.02 vs DuckDB approx_count_distinct), and the exact counts "
     "must agree bit-for-bit. A hash match therefore proves both "
-    "sketches honest, not just that rows exist.",
+    "sketches honest, not just that rows exist. PLAN SHAPE (round-10 "
+    "sf10 finding): asking for countDistinct AND the sketch in ONE agg "
+    "makes Spark's distinct-rewrite carry the rsd=0.02 sketch's ~1.5k "
+    "long registers through a per-(status, custkey) partial aggregate "
+    "— ~12 KB shuffled per distinct key, 88 s at sf10. Split them: "
+    "exact distinct as the classic two-phase (status, custkey) "
+    "group-count, the sketch as a plain per-status HLL agg (3 sketches "
+    "total, merged map-side), joined on the 3-row result. Same "
+    "estimate (HLL registers are duplicate-insensitive), 15x faster "
+    "at sf10 (88 s -> 5.8 s).",
     tags=("analytics", "agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    g = (
-        load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
+    exact = (
+        o.groupBy("o_orderstatus", "o_custkey")
+        .agg(F.lit(1))
         .groupBy("o_orderstatus")
-        .agg(
-            F.countDistinct("o_custkey").alias("exact_customers"),
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        )
+        .agg(F.count(F.lit(1)).alias("exact_customers"))
     )
-    return g.select(
+    approx = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+    return exact.join(approx, "o_orderstatus").select(
         "o_orderstatus",
         "exact_customers",
         (

@@ -86,7 +86,13 @@ if _shard:
 # order) — the tail-chasing knob when a few slow oracles remain.
 _only = __import__("os").environ.get("SWEEP_ONLY", "")
 if _only:
-    _names = [n for n in _only.split(",") if n in qs]
+    _unknown = [n for n in _only.split(",") if n not in qs]
+    if _unknown:
+        # Same contract as engine_side_run (round-9 ADVICE): a typo'd
+        # name must never be silently skipped and reported as covered.
+        print(f"SWEEP_ONLY names not in registry: {_unknown}", flush=True)
+        sys.exit(2)
+    _names = _only.split(",")
 _digest_mode = __import__("os").environ.get("SWEEP_MODE", "exact") == "digest"
 
 
