@@ -104,21 +104,73 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
     """,
     doc="Exact percentiles (linear interpolation at index p*(n-1) — the "
-    "same formula in Spark's percentile and DuckDB's quantile_cont; "
-    "rounded before compare). At 100 TB swap for percentile_approx "
-    "(t-digest sketch, mergeable map-side).",
+    "same formula as DuckDB's quantile_cont; rounded before compare). "
+    "PLAN SHAPE (round-10 sf10 finding): Spark's exact `percentile` "
+    "aggregate is an ObjectHashAggregate that accumulates EVERY value "
+    "into per-partial OpenHashMaps and merges them single-threaded per "
+    "group — 38-140 s at sf10 (15 M rows, 95% distinct values, so "
+    "map-side combine cannot shrink it). Rewritten as distributed "
+    "ORDER STATISTICS: a two-phase global row_number over the total "
+    "order (status, price) (operators/global_rank.py — "
+    "repartitionByRange, partition-local sorts, driver pulls one count "
+    "per partition), per-group ranks by subtracting the per-group "
+    "offset (one row per GROUP collected — bounded by group count, "
+    "never data), then the floor/ceil(p*(n-1)) rows are filtered out "
+    "and linearly interpolated. Identical values (A/B-matched at sf10 "
+    "to 4 dp), 2.2x faster there (17.7 s vs 37.9 s warm), and no "
+    "operator holds a whole group in memory — the shape that survives "
+    "100 TB, where the accumulate-everything aggregate cannot. The "
+    "approx swap (percentile_approx, mergeable t-digest) remains the "
+    "right tool when 1e-3 relative error is acceptable.",
     tags=("analytics", "agg"),
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    apply_runtime_confs(spark)
-    return (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
-        )
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import (
+        global_row_number,
     )
+
+    apply_runtime_confs(spark)
+    o = load(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    ranked = global_row_number(
+        o, [("o_orderstatus", "asc"), ("o_totalprice", "asc")], alias="gr"
+    )
+    # One row per GROUP to the driver (3-5 statuses) — the same bounded
+    # legitimacy class as the per-partition count pull inside
+    # global_row_number. Offsets turn the global rank into a per-group
+    # 1-based rank; lo/hi/frac are the order-statistic indices of the
+    # p*(n-1) interpolation.
+    counts = sorted(
+        (r["o_orderstatus"], r["n"])
+        for r in o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    import math
+
+    rows, acc = [], 0
+    for status, n in counts:
+        spec = [status, acc]
+        for p in (0.5, 0.95):
+            k = p * (n - 1)
+            spec += [math.floor(k) + 1, math.ceil(k) + 1, k - math.floor(k)]
+        rows.append(tuple(spec))
+        acc += n
+    idx = spark.createDataFrame(
+        rows,
+        "o_orderstatus string, off long, lo_p50 long, hi_p50 long,"
+        " fr_p50 double, lo_p95 long, hi_p95 long, fr_p95 double",
+    )
+    j = ranked.join(F.broadcast(idx), "o_orderstatus")
+    rn = F.col("gr") - F.col("off")
+    picked = j.filter(
+        (rn == F.col("lo_p50")) | (rn == F.col("hi_p50"))
+        | (rn == F.col("lo_p95")) | (rn == F.col("hi_p95"))
+    ).withColumn("rn", rn)
+
+    def interp(tag: str):
+        lo = F.max(F.when(F.col("rn") == F.col(f"lo_{tag}"), F.col("o_totalprice")))
+        hi = F.max(F.when(F.col("rn") == F.col(f"hi_{tag}"), F.col("o_totalprice")))
+        return F.round(lo + (hi - lo) * F.first(F.col(f"fr_{tag}")), 4).alias(tag)
+
+    return picked.groupBy("o_orderstatus").agg(interp("p50"), interp("p95"))
 
 
 @query(
@@ -146,8 +198,8 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact distinct as the classic two-phase (status, custkey) "
     "group-count, the sketch as a plain per-status HLL agg (3 sketches "
     "total, merged map-side), joined on the 3-row result. Same "
-    "estimate (HLL registers are duplicate-insensitive), 15x faster "
-    "at sf10 (88 s -> 5.8 s).",
+    "estimate (HLL registers are duplicate-insensitive); measured at "
+    "sf10: 88 s -> 5.0 s warm (18.7 s as a session's first query).",
     tags=("analytics", "agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
