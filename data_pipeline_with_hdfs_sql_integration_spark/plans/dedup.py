@@ -2287,39 +2287,47 @@ def _register_dedup_semantic_probe2() -> None:
         "the explicit cost/recall dial that at 100 TB is tuned per "
         "corpus against the duplicate-miss budget. Same fine-cell-"
         "keyed equi-join shape as dedup_semantic (no hamming gate: "
-        "this diagnostic measures pure quantizer recall), pairs "
-        "deduped before the exact-cosine verify with norms attached "
-        "once per side.",
+        "this diagnostic measures pure quantizer recall). PLAN SHAPE "
+        "(round-10 sf10 finding): vectors attach to the PROBE rows "
+        "BEFORE the pair self-join (1.2M small rows shuffled), so the "
+        "quadratic pair stream stays pipelined inside the join stage "
+        "— cosine filters in-stage and only surviving ids ever hit a "
+        "shuffle. The previous shape (bare id pairs, vectors attached "
+        "per pair afterwards) shuffled the 0.5 KB-per-pair attach "
+        "intermediate: >65 GB spilled at sf10 before being stopped. "
+        "A pair co-probing in several shared fine cells is verified "
+        "redundantly (avg multiplicity ~1.2) and collapses in the "
+        "final DISTINCT — same dup set, no pre-distinct shuffle of "
+        "the full pair list needed.",
         tags=("dedup", "embeddings", "semantic", "training"),
     )
     def dedup_semantic_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_runtime_confs(spark)
         e = sim._vecs(spark, sf_dir)
-        # Fine-probe rows from the build-once two-level IVF store.
-        fp = (
+        # Fine-probe rows from the build-once two-level IVF store,
+        # vector + norm attached ONCE per probe row (pre-join).
+        nrm = F.sqrt(tf.dot(F.col("v"), F.col("v")))
+        fpv = (
             sim.ivf2_fine_probes(spark, sf_dir)
             .filter((F.col("rn") <= 2) & (F.col("srn") <= sim.SUB_PROBES_STORED))
             .select("vec_id", "cell_id", "sub_id")
+            .join(e, "vec_id")
+            .select("vec_id", "cell_id", "sub_id", "v", nrm.alias("nv"))
         )
-        a = fp.select("cell_id", "sub_id", F.col("vec_id").alias("id_a"))
-        b = fp.select("cell_id", "sub_id", F.col("vec_id").alias("id_b"))
-        cand = (
-            a.join(b, ["cell_id", "sub_id"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+        a = fpv.select(
+            "cell_id", "sub_id",
+            F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+            F.col("nv").alias("na"),
         )
-        nrm = F.sqrt(tf.dot(F.col("v"), F.col("v")))
-        ea = e.select(
-            F.col("vec_id").alias("id_a"), F.col("v").alias("va"), nrm.alias("na")
-        )
-        eb = e.select(
-            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), nrm.alias("nb")
+        b = fpv.select(
+            "cell_id", "sub_id",
+            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("nv").alias("nb"),
         )
         cos = F.round(tf.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
         dup = (
-            cand.join(ea, "id_a")
-            .join(eb, "id_b")
+            a.join(b, ["cell_id", "sub_id"])
+            .filter(F.col("id_a") < F.col("id_b"))
             .filter(cos >= EMB_COSINE_THRESHOLD)
             .select(F.col("id_b").alias("vec_id"))
             .distinct()

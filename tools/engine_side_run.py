@@ -44,10 +44,20 @@ for name in names:
     t0 = time.monotonic()
     try:
         sdf = qs[name](spark, SF)
-        n = 0
-        for _ in sdf.toLocalIterator():
-            n += 1
-        print(f"ENGINE-OK {name} rows={n} t={time.monotonic()-t0:.1f}s", flush=True)
+        # ONE parallel job, O(1) driver memory: xxhash64 over every
+        # column forces each output expression to be computed, and the
+        # count/sum aggregate reduces it engine-side. toLocalIterator
+        # (the previous consumption) runs one job PER PARTITION, which
+        # serializes the final stage to a single task per job — a
+        # pair-verify that lives in the final stage ran 32x slower
+        # than its plan allows (measured on dedup_semantic_probe2 at
+        # sf10: ~80 s single-task jobs, one per output partition).
+        from pyspark.sql import functions as F
+
+        row = sdf.select(
+            F.xxhash64(*[F.col(c).cast("string") for c in sdf.columns]).alias("h")
+        ).agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)")).first()
+        print(f"ENGINE-OK {name} rows={row['n']} t={time.monotonic()-t0:.1f}s", flush=True)
     except Exception as ex:
         print(f"ENGINE-FAIL {name}: {str(ex)[:160]}", flush=True)
     finally:
