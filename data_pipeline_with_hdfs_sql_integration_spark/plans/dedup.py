@@ -1715,17 +1715,37 @@ def _register_dedup_semantic() -> None:
             )
             .select("vec_id", "cell_id", "sub_id")
         )
-        # Candidates stay BARE (fine cell, id, 16-byte sig) until the
-        # gate: the pair join never shuffles 64-double vectors, only
-        # survivor pairs fetch vectors back by id (the
-        # dedup_embedding_lsh shape).
-        m = fp.join(bc(sigs), "vec_id")
+        # Sig + vector + norm attach ONCE per probe row (round-10
+        # plan-shape lesson, first landed in dedup_semantic_probe2):
+        # the pair join runs the two-long hamming gate (the same
+        # mean+1.9sigma bound and oracle mirror as dedup_embedding_lsh
+        # — measured: zero exact co-located pairs gated at any test
+        # SF) AND the cosine verify IN-STAGE, so the quadratic pair
+        # stream never reaches a shuffle. The previous shape kept
+        # pairs bare and `.distinct()`ed the ham-gated list before
+        # fetching vectors — that distinct sorted the full candidate
+        # list to disk (~16 GB of the measured sf10 footprint, and
+        # the skewed fine cell dominated a single task). Sides now
+        # carry ~560 B/row (1.8 M probe rows at sf10, a ~1 GB shuffle
+        # input) and the join output shrinks in-stage to cosine
+        # survivors; duplicate pairs from multi-cell co-probing
+        # collapse in dup's DISTINCT. Norms still attach once per
+        # vector — one 64-dim fold per ham-surviving pair, not three.
+        nrm = F.sqrt(tf.dot(F.col("v"), F.col("v")))
+        m = (
+            fp.join(bc(sigs), "vec_id")
+            .join(bc(e), "vec_id")
+            .select("vec_id", "cell_id", "sub_id", "sig_lo", "sig_hi",
+                    "v", nrm.alias("nv"))
+        )
         a = m.select(
             F.col("cell_id"),
             F.col("sub_id"),
             F.col("vec_id").alias("id_a"),
             F.col("sig_lo").alias("lo_a"),
             F.col("sig_hi").alias("hi_a"),
+            F.col("v").alias("va"),
+            F.col("nv").alias("na"),
         )
         b = m.select(
             F.col("cell_id"),
@@ -1733,45 +1753,19 @@ def _register_dedup_semantic() -> None:
             F.col("vec_id").alias("id_b"),
             F.col("sig_lo").alias("lo_b"),
             F.col("sig_hi").alias("hi_b"),
+            F.col("v").alias("vb"),
+            F.col("nv").alias("nb"),
         )
         ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
             F.col("hi_a").bitwiseXOR(F.col("hi_b"))
-        )
-        # Two-long hamming gate BEFORE any vector math — the same
-        # mean+1.9sigma bound (and the same oracle mirror) as
-        # dedup_embedding_lsh; measured: zero exact co-located pairs
-        # gated at any test SF. A pair co-probing in multiple shared
-        # fine cells would double-count — dedupe before the vector
-        # fetch.
-        cand = (
-            a.join(b, ["cell_id", "sub_id"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .filter(ham <= ham_max)
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        # Per-vector norms attach ONCE (N sqrt-dots) instead of twice
-        # per candidate pair: the verify filter then pays a single
-        # 64-dim fold per pair, not three — measured 2.9 s → ~1.2 s on
-        # the 270k-pair candidate set at sf0.1. sqrt(dot(v,v)) per
-        # vector is bit-identical to computing it inside the pair
-        # expression, so the oracle's per-pair formula still matches.
-        ea = e.select(
-            F.col("vec_id").alias("id_a"),
-            F.col("v").alias("va"),
-            F.sqrt(tf.dot(F.col("v"), F.col("v"))).alias("na"),
-        )
-        eb = e.select(
-            F.col("vec_id").alias("id_b"),
-            F.col("v").alias("vb"),
-            F.sqrt(tf.dot(F.col("v"), F.col("v"))).alias("nb"),
         )
         cos = F.round(
             tf.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
         )
         dup = (
-            cand.join(bc(ea), "id_a")
-            .join(bc(eb), "id_b")
+            a.join(b, ["cell_id", "sub_id"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(ham <= ham_max)
             .filter(cos >= EMB_COSINE_THRESHOLD)
             .select(F.col("id_b").alias("vec_id"))
             .distinct()
@@ -1884,13 +1878,29 @@ def _register_dedup_incremental_semantic() -> None:
             )
             .select("vec_id", "cell_id", "sub_id")
         )
-        m = fp.join(sigs, "vec_id")
+        # Sig + vector + norm attach ONCE to the probe rows (round-10
+        # plan-shape lesson from dedup_semantic_probe2): the pair join
+        # then runs ham gate AND cosine verify IN-STAGE, so the
+        # quadratic pair stream never reaches a shuffle — the previous
+        # shape's `.distinct()` on ham-gated bare pairs sorted the
+        # full candidate list to disk (>60 GB spill at sf10, skewed
+        # fine cells). Duplicate (new, match) rows from multi-cell
+        # co-probing score identically and collapse at the rn=1 pick.
+        nrm = F.sqrt(tf.dot(F.col("v"), F.col("v")))
+        m = (
+            fp.join(sigs, "vec_id")
+            .join(e, "vec_id")
+            .select("vec_id", "cell_id", "sub_id", "sig_lo", "sig_hi",
+                    "v", nrm.alias("nv"))
+        )
         new = m.filter(F.col("vec_id") % INCR_NEW_MOD == 0).select(
             F.col("cell_id"),
             F.col("sub_id"),
             F.col("vec_id").alias("new_vec"),
             F.col("sig_lo").alias("lo_n"),
             F.col("sig_hi").alias("hi_n"),
+            F.col("v").alias("vn"),
+            F.col("nv").alias("nn"),
         )
         other = m.select(
             F.col("cell_id"),
@@ -1898,13 +1908,16 @@ def _register_dedup_incremental_semantic() -> None:
             F.col("vec_id").alias("match"),
             F.col("sig_lo").alias("lo_m"),
             F.col("sig_hi").alias("hi_m"),
+            F.col("v").alias("vm"),
+            F.col("nv").alias("nm"),
         )
         ham = F.bit_count(F.col("lo_n").bitwiseXOR(F.col("lo_m"))) + F.bit_count(
             F.col("hi_n").bitwiseXOR(F.col("hi_m"))
         )
-        # A (new, match) pair co-probing in several shared fine cells
-        # would double-score — dedupe before the vector fetch.
-        cand = (
+        cos = F.round(
+            tf.dot(F.col("vn"), F.col("vm")) / (F.col("nn") * F.col("nm")), 6
+        )
+        scored = (
             new.join(other, ["cell_id", "sub_id"])
             .filter(
                 (F.col("match") != F.col("new_vec"))
@@ -1914,29 +1927,6 @@ def _register_dedup_incremental_semantic() -> None:
                 )
             )
             .filter(ham <= ham_max)
-            .select("new_vec", "match")
-            .distinct()
-        )
-        # Per-vector norms attach once (the dedup_semantic treatment):
-        # bit-identical to computing them inside the pair expression,
-        # one 64-dim fold per candidate instead of three.
-        nrm = F.sqrt(tf.dot(F.col("v"), F.col("v")))
-        en = e.select(
-            F.col("vec_id").alias("new_vec"),
-            F.col("v").alias("vn"),
-            nrm.alias("nn"),
-        )
-        em = e.select(
-            F.col("vec_id").alias("match"),
-            F.col("v").alias("vm"),
-            nrm.alias("nm"),
-        )
-        cos = F.round(
-            tf.dot(F.col("vn"), F.col("vm")) / (F.col("nn") * F.col("nm")), 6
-        )
-        scored = (
-            cand.join(en, "new_vec")
-            .join(em, "match")
             .select("new_vec", "match", cos.alias("cos"))
             .filter(F.col("cos") >= EMB_COSINE_THRESHOLD)
         )
@@ -2143,29 +2133,49 @@ def _register_dedup_incremental_semantic_versions() -> None:
             .filter((F.col("vec_id") % INCR_NEW_MOD == 0) & probe_gate)
             .select("vec_id", "cell_id", "sub_id")
         )
-        new = batch_fp.join(sigs, "vec_id").select(
-            F.col("cell_id"),
-            F.col("sub_id"),
-            F.col("vec_id").alias("new_vec"),
-            F.col("sig_lo").alias("lo_n"),
-            F.col("sig_hi").alias("hi_n"),
+        # Sig + vector + norm attach ONCE per probe row; the pair join
+        # runs ham gate and cosine verify IN-STAGE so the quadratic
+        # pair stream never reaches a shuffle (the round-10 plan-shape
+        # lesson — the bare-pair `.distinct()` spilled >60 GB at sf10
+        # in the monolithic sibling). Duplicates from multi-cell
+        # co-probing score identically and collapse at the rn=1 pick.
+        nrm = F.sqrt(tf.dot(F.col("v"), F.col("v")))
+        ev = e.select("vec_id", "v", nrm.alias("nv"))
+        new = (
+            batch_fp.join(sigs, "vec_id")
+            .join(ev, "vec_id")
+            .select(
+                F.col("cell_id"),
+                F.col("sub_id"),
+                F.col("vec_id").alias("new_vec"),
+                F.col("sig_lo").alias("lo_n"),
+                F.col("sig_hi").alias("hi_n"),
+                F.col("v").alias("vn"),
+                F.col("nv").alias("nn"),
+            )
         )
         # Candidate pool = persisted index ∪ earlier rows of the batch.
         other = (
             index_fp.unionByName(batch_fp)
             .join(sigs, "vec_id")
+            .join(ev, "vec_id")
             .select(
                 F.col("cell_id"),
                 F.col("sub_id"),
                 F.col("vec_id").alias("match"),
                 F.col("sig_lo").alias("lo_m"),
                 F.col("sig_hi").alias("hi_m"),
+                F.col("v").alias("vm"),
+                F.col("nv").alias("nm"),
             )
         )
         ham = F.bit_count(F.col("lo_n").bitwiseXOR(F.col("lo_m"))) + F.bit_count(
             F.col("hi_n").bitwiseXOR(F.col("hi_m"))
         )
-        cand = (
+        cos = F.round(
+            tf.dot(F.col("vn"), F.col("vm")) / (F.col("nn") * F.col("nm")), 6
+        )
+        scored = (
             new.join(other, ["cell_id", "sub_id"])
             .filter(
                 (F.col("match") != F.col("new_vec"))
@@ -2175,22 +2185,6 @@ def _register_dedup_incremental_semantic_versions() -> None:
                 )
             )
             .filter(ham <= ham_max)
-            .select("new_vec", "match")
-            .distinct()
-        )
-        nrm = F.sqrt(tf.dot(F.col("v"), F.col("v")))
-        en = e.select(
-            F.col("vec_id").alias("new_vec"), F.col("v").alias("vn"), nrm.alias("nn")
-        )
-        em = e.select(
-            F.col("vec_id").alias("match"), F.col("v").alias("vm"), nrm.alias("nm")
-        )
-        cos = F.round(
-            tf.dot(F.col("vn"), F.col("vm")) / (F.col("nn") * F.col("nm")), 6
-        )
-        scored = (
-            cand.join(en, "new_vec")
-            .join(em, "match")
             .select("new_vec", "match", cos.alias("cos"))
             .filter(F.col("cos") >= EMB_COSINE_THRESHOLD)
         )
