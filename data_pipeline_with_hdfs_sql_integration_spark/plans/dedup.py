@@ -1609,6 +1609,62 @@ _register_sim_ann_lsh_batch()
 
 
 # ------------------------------------------------------- semantic dedup
+#: Per-task pair budget for the skew-salted fine-cell join: a slice
+#: computes at most ~SALT_CAP * n_cell pair verifications. 1024 keeps
+#: the hottest sf10 cell's slices near ~50 M folds (~1 min of one
+#: core) while leaving small cells entirely unsalted (one slice).
+SALT_CAP = 1024
+
+
+def _salted_cell_pair_join(a: DataFrame, b: DataFrame, a_id: str) -> DataFrame:
+    """Skew-salted fine-cell pair join (round-10 sf10 finding).
+
+    hash(cell_id, sub_id) partitioning puts a fine cell's ENTIRE
+    quadratic pair mass on one task; k-means cells are not balanced,
+    so at sf10 the hottest cell serialized the in-stage verify to a
+    single core for tens of minutes (measured: 15/16 tasks idle).
+    Classic data-driven salting, gated on measured occupancy so small
+    cells pay nothing: cells with more than SALT_CAP rows on the build
+    side get s = ceil(n/SALT_CAP) salts; the probe side (`a`) maps
+    each row to ONE salt by id hash, the build side (`b`) replicates
+    to ALL s salts — every (a, b) pair meets exactly once, per-task
+    work is bounded by ~SALT_CAP * n_a_slice, and the replication cost
+    is paid only by the skewed cells. The occupancy aggregate is one
+    cheap job over the probe rows; its skewed-cells-only result
+    broadcasts. At 100 TB this is the difference between a pair stage
+    bounded by the hottest centroid and one bounded by the cluster.
+    """
+    keys = ["cell_id", "sub_id"]
+    occ = (
+        b.groupBy(*keys)
+        .agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(SALT_CAP)).cast("int").alias("_nsalt")
+        )
+        .filter(F.col("_nsalt") > 1)
+    )
+    a2 = (
+        a.join(F.broadcast(occ), keys, "left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_nsalt").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(F.col(a_id)), F.col("_nsalt")).cast("int")
+            ),
+        )
+        .drop("_nsalt")
+    )
+    b2 = (
+        b.join(F.broadcast(occ), keys, "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("_nsalt"), F.lit(1)) - 1)
+            ),
+        )
+        .drop("_nsalt")
+    )
+    return a2.join(b2, keys + ["_salt"]).drop("_salt")
+
+
 def _register_dedup_semantic() -> None:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): duplicate pairs
     are only sought WITHIN quantizer cells of the embedding space, so
@@ -1763,7 +1819,7 @@ def _register_dedup_semantic() -> None:
             tf.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
         )
         dup = (
-            a.join(b, ["cell_id", "sub_id"])
+            _salted_cell_pair_join(a, b, "id_a")
             .filter(F.col("id_a") < F.col("id_b"))
             .filter(ham <= ham_max)
             .filter(cos >= EMB_COSINE_THRESHOLD)
@@ -1918,7 +1974,7 @@ def _register_dedup_incremental_semantic() -> None:
             tf.dot(F.col("vn"), F.col("vm")) / (F.col("nn") * F.col("nm")), 6
         )
         scored = (
-            new.join(other, ["cell_id", "sub_id"])
+            _salted_cell_pair_join(new, other, "new_vec")
             .filter(
                 (F.col("match") != F.col("new_vec"))
                 & (
@@ -2176,7 +2232,7 @@ def _register_dedup_incremental_semantic_versions() -> None:
             tf.dot(F.col("vn"), F.col("vm")) / (F.col("nn") * F.col("nm")), 6
         )
         scored = (
-            new.join(other, ["cell_id", "sub_id"])
+            _salted_cell_pair_join(new, other, "new_vec")
             .filter(
                 (F.col("match") != F.col("new_vec"))
                 & (
@@ -2320,7 +2376,7 @@ def _register_dedup_semantic_probe2() -> None:
         )
         cos = F.round(tf.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
         dup = (
-            a.join(b, ["cell_id", "sub_id"])
+            _salted_cell_pair_join(a, b, "id_a")
             .filter(F.col("id_a") < F.col("id_b"))
             .filter(cos >= EMB_COSINE_THRESHOLD)
             .select(F.col("id_b").alias("vec_id"))
