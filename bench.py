@@ -126,6 +126,17 @@ def main() -> None:
     spark = get_spark("dps-bench")
     specs = all_queries()
 
+    # Cold-store pre-pass (default ON): drop this SF's published
+    # derived stores so every build happens IN this process and lands
+    # in STORE_BUILD_TIMES. With /tmp warm across driver rounds, every
+    # store access is a cache hit and store_build_s committed as {}
+    # (round 10) — losing the round-6 contract that index-build cost
+    # is separable from query cost. Builds are paid by the warmup
+    # runs, never by a timed pass. Set SPARK_GRAFT_BENCH_COLD_STORES=0
+    # when another process shares this SF's stores.
+    if os.environ.get("SPARK_GRAFT_BENCH_COLD_STORES", "1") != "0":
+        catalog.clear_derived_stores(SF_DIR)
+
     # Warm the JVM / codegen before timing.
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
 

@@ -288,6 +288,43 @@ def publish_store(store: str, write_fn) -> None:
                 shutil.rmtree(staging, ignore_errors=True)
 
 
+def clear_derived_stores(sf_dir: str) -> list[str]:
+    """Remove every PUBLISHED derived store keyed to ``sf_dir`` (or
+    its tables) so the next access rebuilds it in-process — which is
+    what makes ``STORE_BUILD_TIMES`` populate. bench.py's cold-store
+    pre-pass uses this: with /tmp warm across driver rounds, every
+    build is a cache hit, ``store_build_s`` commits as ``{}``, and a
+    regression caused by index-build cost can't be separated from
+    query cost (the round-6 accounting contract). Matching is by the
+    deterministic_tmp_dir digest of the SF's source paths — only this
+    SF's derived artifacts are touched, never another session's.
+
+    NOT safe while another process is mid-read on the same SF's
+    stores (bench runs standalone; gate via
+    SPARK_GRAFT_BENCH_COLD_STORES=0 when sharing the box)."""
+    import glob
+    import hashlib
+    import shutil
+    import tempfile
+
+    sources = [sf_dir] + [table_path(sf_dir, t) for t in TABLES]
+    removed: list[str] = []
+    for src in sources:
+        ap = os.path.abspath(src)
+        try:
+            st = os.stat(ap)
+            token = f"{ap}|{st.st_mtime_ns}|{st.st_size}"
+        except OSError:
+            continue
+        digest = hashlib.sha256(token.encode()).hexdigest()[:16]
+        for d in glob.glob(
+            os.path.join(tempfile.gettempdir(), f"dps_*_{digest}")
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(os.path.basename(d))
+    return sorted(removed)
+
+
 def params_digest(*params) -> str:
     """Short digest of the algorithm constants baked into a derived
     store (hyperplane values, hash seeds, k-means iteration counts...).

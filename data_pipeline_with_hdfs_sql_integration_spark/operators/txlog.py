@@ -1019,6 +1019,30 @@ class TxTable:
         # resolve THAT version's schema.
         return self._reader(spark, version).parquet(*files)
 
+    def column_range(self, column: str, version: int | None = None):
+        """(min, max) of ``column`` over the live files at ``version``,
+        from the per-file stats in the log — metadata only, no scan
+        (the union of per-file [min, max] IS the table's range when
+        every live non-empty file carries usable stats for the
+        column). Returns None when any such file lacks them (pre-stats
+        commit, disqualified type): a partial union would be a WRONG
+        range, not a loose one, so the caller must fall back to a
+        scan. At 100 TB this answers "what does this column span" from
+        the commit log instead of a full-table aggregate."""
+        live, _active, stats, _schema = self._replay_state(version)
+        lo = hi = None
+        for f in sorted(live):
+            ent = stats.get(f)
+            if ent is not None and ent.get("rows") == 0:
+                continue
+            stat = None if ent is None else ent.get("cols", {}).get(column)
+            if stat is None or stat.get("nulls", 0) == ent.get("rows"):
+                return None
+            mn, mx = stat["min"], stat["max"]
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        return None if lo is None else (lo, hi)
+
     def prune(
         self, column: str, lo, hi, version: int | None = None
     ) -> tuple[list[str], int]:

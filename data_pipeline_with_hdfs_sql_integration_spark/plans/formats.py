@@ -1422,13 +1422,16 @@ def format_txlog_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     t = build_once("lineitem_zorder", table_path(sf_dir, "lineitem"), 1, build)
-    ranges = load(spark, sf_dir, "lineitem").agg(
-        F.min("l_partkey"), F.max("l_partkey"),
-        F.min("l_suppkey"), F.max("l_suppkey"),
-    ).first()
+    # Column spans for the selectivity classification come from the
+    # txlog's own per-file stats (union of live-file [min, max] at
+    # v0, which holds every row) — metadata only; the previous full
+    # lineitem min/max aggregate here re-scanned the table inside the
+    # timed query solely to classify the band (round-10 ADVICE).
+    pk = t.column_range("l_partkey", version=0)
+    sk = t.column_range("l_suppkey", version=0)
     for col, lo, hi, cmin, cmax in (
-        ("l_partkey", 10, 59, ranges[0], ranges[1]),
-        ("l_suppkey", 1, 5, ranges[2], ranges[3]),
+        ("l_partkey", 10, 59, pk[0], pk[1]),
+        ("l_suppkey", 1, 5, sk[0], sk[1]),
     ):
         kept0, total0 = t.prune(col, lo, hi, version=0)
         kept1, total1 = t.prune(col, lo, hi, version=1)

@@ -516,7 +516,9 @@ def ivf2_index_store(spark: SparkSession, sf_dir: str) -> str:
     )
 
     store = deterministic_tmp_dir(
-        f"ivf2x{IVF_CELLS}x{IVF_KMEANS_ITERS}x{SUB_KMEANS_ITERS}"
+        # "m1": meta.json (max fine-cell occupancy) added round 11 —
+        # bumping the kind retires pre-metadata copies of the store.
+        f"ivf2m1x{IVF_CELLS}x{IVF_KMEANS_ITERS}x{SUB_KMEANS_ITERS}"
         f"v{params_digest(_SEED_MULT, _SEED_MOD, _FP, IVF_PROBES_STORED, SUB_PROBES_STORED)}",
         table_path(sf_dir, "embeddings"),
     )
@@ -601,6 +603,24 @@ def ivf2_index_store(spark: SparkSession, sf_dir: str) -> str:
         sub.write.parquet(os.path.join(staging, "subcentroids"))
         fprobes.write.parquet(os.path.join(staging, "fprobes"))
         fine.write.parquet(os.path.join(staging, "fine"))
+        # Index-build-time skew statistic: the max probe-row count of
+        # any fine cell over ALL stored probes (an upper bound for any
+        # rn/srn-filtered subset a consumer uses). Queries read this
+        # from the driver (free) to decide whether the pair join needs
+        # skew salting at all — small corpora stop paying the
+        # occupancy-job + broadcast overhead of big-corpus insurance
+        # (round-10 verdict: 2.9x sf0.1 regression, attributed).
+        max_occ = (
+            spark.read.parquet(os.path.join(staging, "fprobes"))
+            .groupBy("cell_id", "sub_id")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        import json
+
+        with open(os.path.join(staging, "meta.json"), "w") as fh:
+            json.dump({"max_fine_cell_rows": int(max_occ or 0)}, fh)
         al1.unpersist()
         open(os.path.join(staging, "_SUCCESS"), "w").close()
 
@@ -613,6 +633,24 @@ def ivf2_fine_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     return spark.read.parquet(os.path.join(ivf2_index_store(spark, sf_dir), "fprobes"))
+
+
+def ivf2_max_occupancy(spark: SparkSession, sf_dir: str) -> int:
+    """Max probe-row count of any fine cell, recorded at index-build
+    time (upper bound for every rn/srn-filtered probe subset). A
+    driver-side file read — consumers gate skew machinery on it
+    without running a job. Missing/unreadable metadata counts as
+    infinitely skewed: never skip salting on absent evidence."""
+    import json
+    import os
+
+    try:
+        with open(
+            os.path.join(ivf2_index_store(spark, sf_dir), "meta.json")
+        ) as fh:
+            return int(json.load(fh)["max_fine_cell_rows"])
+    except (OSError, KeyError, ValueError):
+        return 2**62
 
 
 def ivf2_fine_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:

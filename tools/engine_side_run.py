@@ -54,9 +54,18 @@ for name in names:
         # sf10: ~80 s single-task jobs, one per output partition).
         from pyspark.sql import functions as F
 
+        # COVERAGE NOTE (round-10 ADVICE): this aggregate forces every
+        # output expression engine-side but does NOT materialize rows
+        # on the driver the way toLocalIterator did, and xxhash64
+        # skips NULL args so the digest can't tell null-column
+        # permutations apart — acceptable for a perf smoke runner
+        # (value verification is the sweep's job), but keep a tiny
+        # collect alongside so a row that can't serialize to the
+        # driver still fails loudly here.
         row = sdf.select(
             F.xxhash64(*[F.col(c).cast("string") for c in sdf.columns]).alias("h")
         ).agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)")).first()
+        sdf.limit(1).collect()
         print(f"ENGINE-OK {name} rows={row['n']} t={time.monotonic()-t0:.1f}s", flush=True)
     except Exception as ex:
         print(f"ENGINE-FAIL {name}: {str(ex)[:160]}", flush=True)
