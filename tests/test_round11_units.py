@@ -94,6 +94,54 @@ def test_ivf2_max_occupancy_gate(spark, tmp_path, monkeypatch):
     assert sim.ivf2_max_occupancy(spark, SF_DIR) > SALT_CAP
 
 
+def test_quantizer_refresh_policy_threshold():
+    """quantizer_refresh_due: fires only past REQUANT_FACTOR x the
+    design occupancy probes_per_vec*sqrt(N/cells) — integer-exact."""
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.dedup import (
+        REQUANT_FACTOR,
+        quantizer_refresh_due,
+    )
+
+    # N=20_000, 16 cells -> isqrt(1250)=35; design occ = 4*35 = 140.
+    limit = REQUANT_FACTOR * 4 * 35
+    assert not quantizer_refresh_due(limit, 20_000, 4, 16)
+    assert quantizer_refresh_due(limit + 1, 20_000, 4, 16)
+    # Fresh two-level builds sit WELL under the trigger (measured max
+    # fine-cell occupancy 124 @ sf0.01 / 226 @ sf0.1 vs limits 272+).
+    assert not quantizer_refresh_due(226, 20_000, 4, 16)
+    # Degenerate corpora never underflow the target.
+    assert quantizer_refresh_due(REQUANT_FACTOR + 1, 1, 1, 16)
+
+
+def test_maybe_requantize_commits_only_when_due(spark, tmp_path):
+    """Not-due: no commit, store version unchanged. Due: one OVERWRITE
+    commit whose snapshot is the fresh probe table and whose previous
+    version stays time-travelable."""
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import TxTable
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.dedup import (
+        maybe_requantize,
+    )
+
+    schema = "vec_id long, rn int, cell_id long, sub_id long, srn int"
+    flat = spark.createDataFrame(
+        [(i, 1, i % 2, 0, 1) for i in range(40)], schema
+    )
+    fresh = spark.createDataFrame(
+        [(i, 1, i % 2, i % 5, 1) for i in range(40)], schema
+    )
+    t = TxTable(str(tmp_path / "probes"))
+    t.append(flat)
+    # 40 vectors over 16 cells -> design occ = 1*isqrt(2)=1, limit 4;
+    # hottest flat cell holds 20 rows -> due.
+    assert maybe_requantize(spark, t, fresh, n_vectors=40, probes_per_vec=1)
+    assert t.latest_version() == 1
+    assert t.snapshot(spark).exceptAll(fresh).isEmpty()
+    assert t.snapshot(spark, 0).count() == 40  # history intact
+    # Already refreshed: hottest cell now 4 rows == limit -> not due.
+    assert not maybe_requantize(spark, t, fresh, n_vectors=40, probes_per_vec=1)
+    assert t.latest_version() == 1
+
+
 def test_clear_derived_stores_forces_rebuild(spark):
     """Removing a published store must (a) only touch dirs keyed to
     this SF and (b) make the next access rebuild in-process, landing
