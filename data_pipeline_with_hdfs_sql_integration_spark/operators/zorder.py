@@ -34,6 +34,32 @@ def zorder2(x: Column, y: Column) -> Column:
     return z
 
 
+def identity_partition_keys(spark, n: int) -> list[int]:
+    """Constants ``k_0..k_{n-1}`` with ``pmod(murmur3(k_i), n) == i``,
+    so ``df.repartition(n, key_col)`` with ``key_col = k[bucket]``
+    becomes a DIRECT partitioner: every row lands in the partition
+    EQUAL to its bucket id, deterministically. ``repartitionByRange``
+    decides boundaries from a row SAMPLE, so file edges wobble
+    run-to-run — a 16-file Morton layout intermittently straddled
+    tile boundaries and broke its own pruning bound (round-11 flake:
+    9/16 files kept vs the ≤8 a tile-aligned layout guarantees).
+    Hash placement has no sample. The k_i come from asking Spark's
+    own Murmur3 (one ``spark.range`` probe job, driver gets n ints)
+    rather than reimplementing the hash — no drift risk; callers run
+    this inside a build-once store build, so the probe is paid once
+    per corpus version."""
+    rows = (
+        spark.range(0, 64 * n)
+        .select(F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p"), F.col("id"))
+        .groupBy("p")
+        .agg(F.min("id").alias("k"))
+        .collect()
+    )
+    m = {r["p"]: r["k"] for r in rows}
+    assert len(m) == n, f"murmur3 residue probe missed buckets: {sorted(m)}"
+    return [m[i] for i in range(n)]
+
+
 def scale_to_grid(c: Column, lo: float, hi: float, buckets: int = 256) -> Column:
     """Map [lo, hi] onto [0, buckets-1] so both dimensions occupy the
     FULL interleave grid. Raw keys usually fill only the low bits of

@@ -1393,6 +1393,7 @@ def format_txlog_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_once,
     )
     from data_pipeline_with_hdfs_sql_integration_spark.operators.zorder import (
+        identity_partition_keys,
         scale_to_grid,
         zorder2,
     )
@@ -1413,15 +1414,35 @@ def format_txlog_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             scale_to_grid(F.col("l_partkey"), b[0], b[1]),
             scale_to_grid(F.col("l_suppkey"), b[2], b[3]),
         )
+        # TILE-ALIGNED file placement: with 16 files over a 256x256
+        # grid the intended layout is the 4x4 macro-tile grid — file i
+        # holds exactly Morton tile i (the code's top 4 bits).
+        # repartitionByRange(_z) approximates this from a row SAMPLE,
+        # so boundaries land off tile edges run-to-run and a boundary
+        # file straddles two tiles; the quarter-range pruning bound
+        # asserted below (a band covering <=1/4 of a column's range
+        # touches <=2 of 4 grid columns = <=8 of 16 tiles) then fails
+        # intermittently on the straddler. identity_partition_keys
+        # makes the shuffle a direct partitioner: tile -> its own
+        # file, zero sampling, bound holds by construction.
+        keys = identity_partition_keys(spark, n_files)
+        tile_key = F.element_at(
+            F.array(*[F.lit(k).cast("long") for k in keys]),
+            (F.shiftright(F.col("_z"), 12) + 1).cast("int"),
+        )
         t.overwrite(
             t.snapshot(spark)
             .withColumn("_z", z)
-            .repartitionByRange(n_files, "_z")
+            .withColumn("_tk", tile_key)
+            .repartition(n_files, "_tk")
             .sortWithinPartitions("_z")
-            .drop("_z")
+            .drop("_z", "_tk")
         )
 
-    t = build_once("lineitem_zorder", table_path(sf_dir, "lineitem"), 1, build)
+    # Kind carries the layout generation: "zorder_tiled" = the
+    # tile-aligned direct-partitioner rewrite; stores built by the
+    # sampled-range layout key differently and are never reused here.
+    t = build_once("lineitem_zorder_tiled", table_path(sf_dir, "lineitem"), 1, build)
     # Column spans for the selectivity classification come from the
     # txlog's own per-file stats (union of live-file [min, max] at
     # v0, which holds every row) — metadata only; the previous full

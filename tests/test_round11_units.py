@@ -158,3 +158,38 @@ def test_clear_derived_stores_forces_rebuild(spark):
     store2 = sim.ivf2_index_store(spark, SF_DIR)
     assert store2 == store and os.path.exists(os.path.join(store, "_SUCCESS"))
     assert catalog.STORE_BUILD_TIMES.get(os.path.basename(store), 0.0) > 0.0
+
+
+def test_identity_partition_keys_direct_placement(spark):
+    """k_i must satisfy pmod(murmur3(k_i), n) == i, and driving
+    repartition(n, key) with key = k[bucket] must put every bucket in
+    ITS OWN partition (partition id == bucket id) — the deterministic,
+    sampling-free file placement format_txlog_zorder relies on for its
+    tile-aligned pruning bound."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.zorder import (
+        identity_partition_keys,
+    )
+
+    n = 16
+    keys = identity_partition_keys(spark, n)
+    assert len(set(keys)) == n
+    checked = (
+        spark.createDataFrame([(i, k) for i, k in enumerate(keys)], "i int, k long")
+        .filter(F.pmod(F.hash(F.col("k")), F.lit(n)) != F.col("i"))
+        .count()
+    )
+    assert checked == 0
+    df = spark.range(0, 4096).withColumn("bucket", (F.col("id") % n).cast("int"))
+    key = F.element_at(
+        F.array(*[F.lit(k).cast("long") for k in keys]), F.col("bucket") + 1
+    )
+    placed = (
+        df.withColumn("_k", key)
+        .repartition(n, "_k")
+        .withColumn("pid", F.spark_partition_id())
+        .filter(F.col("pid") != F.col("bucket"))
+        .count()
+    )
+    assert placed == 0
