@@ -130,6 +130,17 @@ for name in _names:
             sdf = qs[name](spark, SF)
             proj = sdf.select(*sorted(sdf.columns))
             if _digest_mode:
+                # toLocalIterator runs ONE JOB PER PARTITION, and each
+                # job's FINAL stage is a single task — a query whose
+                # expensive work (e.g. a pair verify) lives in the
+                # final stage serializes to one core per partition
+                # (measured 32x on dedup_semantic_probe2 at sf10; the
+                # round-11 band sweep crawled the same way). A
+                # round-robin repartition AFTER the computation makes
+                # the expensive stage run ONCE at full width — its
+                # shuffle output is reused by every per-partition
+                # fetch job — for one extra shuffle of the result.
+                proj = proj.repartition(int(_cpus))
                 s_cnt, s_acc = _digest(tuple(r) for r in proj.toLocalIterator())
                 t_spark = time.monotonic() - t_q
                 if name not in os_:
