@@ -14,6 +14,12 @@ made exact collection a harness limitation, never an engine one.
 Value semantics are IDENTICAL to the exact mode (same per-value str()
 forms, multiset equality via the hash sum)."""
 import sys, time; sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+from busy import claim as _claim
+# Pidfile handshake (round-11 lesson): declare this process as a
+# box-owning workload so bench.py refuses to time queries while the
+# sweep runs — a sweep racing the driver's bench contaminated BENCH_r11.
+_claim("sweep")
 from pyspark.sql import SparkSession
 import os as _os
 _cpus = _os.environ.get("SWEEP_CPUS", "16")
@@ -48,6 +54,12 @@ def _connect():
     c = duckdb.connect()
     c.execute(f"PRAGMA memory_limit='{_os.environ.get('SWEEP_DUCK_MEM', '40GB')}'")
     c.execute(f"PRAGMA temp_directory='/tmp/duck_spill_{_os.getpid()}'")
+    # Cap the spill dir: the round-11 holdout sweep let two oracles
+    # spill /tmp to disk-full, which then killed the SPARK JVM's temp
+    # writes too (7 queries unreached). A capped oracle fails with a
+    # clean per-query error the retry/fallback tiers can handle; an
+    # uncapped one takes the whole box down.
+    c.execute(f"SET max_temp_directory_size='{_os.environ.get('SWEEP_DUCK_SPILL', '45GiB')}'")
     # The limit does not track every operator's state, and peak memory
     # scales with per-thread partial hash tables (default = all cores).
     # Fewer threads is the lever that actually bounds the big-SF oracles.

@@ -27,6 +27,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from busy import claim as _claim
+
+_claim("gensf")  # bench.py refuses to time while this runs (round-11 lesson)
+
 BASE = "/root/testdata/sf0.1"  # distribution/vocab source (read-only)
 SEED = 43
 

@@ -18,6 +18,10 @@ import time
 import urllib.request
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+from busy import claim as _claim
+
+_claim("probe")  # bench.py refuses to time while this runs (round-11 lesson)
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
