@@ -74,3 +74,39 @@ def test_bench_refuses_on_live_pidfile(tmp_path):
         child.wait()
         import busy as b
         b.live()  # prune the dead child's pidfile from the real dir
+
+
+# ------------------------------------------------- CDF signed-count rewrite
+def _mk_table(tmp_path, spark, rows, schema="k long, v string"):
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import TxTable
+
+    t = TxTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame(rows, schema))
+    return t
+
+
+def test_cdf_preserves_multiset_multiplicity(spark, tmp_path):
+    """Duplicate rows removed together must emit one feed row EACH
+    (|net| > 1 explodes back to multiplicity, like exceptAll did)."""
+    t = _mk_table(tmp_path, spark, [(1, "a"), (1, "a"), (1, "a"), (2, "b")])
+    t.delete_range(spark, "k", 1, 1)
+    rows = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in t.changes(spark, 1, "k").collect()
+    )
+    assert rows == [(1, "a", "delete")] * 3
+
+
+def test_cdf_null_keys_never_pair(spark, tmp_path):
+    """A NULL-key row replaced by a different NULL-key row is a
+    delete + insert, never an update pair — the inner-join-on-key
+    semantics the signed-count rewrite must preserve."""
+    t = _mk_table(tmp_path, spark, [(None, "old"), (1, "x")])
+    # Overwrite: drop the null row, add a different null row; k=1 kept.
+    t.overwrite(
+        spark.createDataFrame([(None, "new"), (1, "x")], "k long, v string")
+    )
+    rows = sorted(
+        (r["v"], r["_change_type"]) for r in t.changes(spark, 1, "k").collect()
+    )
+    assert rows == [("new", "insert"), ("old", "delete")]
