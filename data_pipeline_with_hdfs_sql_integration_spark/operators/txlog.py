@@ -563,7 +563,10 @@ class TxTable:
             entry, df=df, validated=active, schema_base=schema_base
         )
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, operation_info: dict | None = None) -> int:
+        """``operation_info``: extra keys merged into the commit's
+        operation record (e.g. what policy triggered an automatic
+        rewrite) — audit metadata only, never read by replay."""
         live0, active, _st, schema_base = self._replay_state(None)
         self._validate_against(df, active)
         files, stats = self._write_files(df)
@@ -580,7 +583,7 @@ class TxTable:
                 "remove": live,
                 "stats": stats,
                 "metaData": {"schemaString": df.schema.json()},
-                "operation": {"op": "overwrite"},
+                "operation": {"op": "overwrite", **(operation_info or {})},
             },
             df=df,
             validated=active,

@@ -110,3 +110,69 @@ def test_cdf_null_keys_never_pair(spark, tmp_path):
         (r["v"], r["_change_type"]) for r in t.changes(spark, 1, "k").collect()
     )
     assert rows == [("new", "insert"), ("old", "delete")]
+
+
+# --------------------------------------------- auto-refresh ingest path
+def test_ingest_probe_generation_autotriggers_and_records_trigger(
+    spark, tmp_path
+):
+    """The versioned probe store's ingest path must evaluate the
+    refresh policy itself: a generation that pushes the hottest fine
+    cell past REQUANT_FACTOR x design occupancy commits the re-train
+    as the NEXT version with trigger=occupancy_policy in its operation
+    record; a small ingest must NOT fire (and must never build the
+    re-train: retrain is lazy)."""
+    import json
+
+    from data_pipeline_with_hdfs_sql_integration_spark.operators.txlog import TxTable
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.dedup import (
+        ingest_probe_generation,
+    )
+
+    schema = "vec_id long, rn int, cell_id long, sub_id long, srn int"
+
+    def probes(ids, cell=0):
+        return spark.createDataFrame(
+            [(i, 1, cell, 0, 1) for i in ids], schema
+        )
+
+    # Small corpus: design occ = 1 * isqrt(8 // 16) = 0 -> due needs
+    # max_occ > 0... use a corpus where policy is NOT due: n_vectors
+    # large relative to occupancy. 4 rows spread over 4 cells.
+    t = TxTable(str(tmp_path / "probes"))
+    t.append(
+        spark.createDataFrame(
+            [(i, 1, i, 0, 1) for i in range(4)], schema
+        )
+    )
+
+    def boom():
+        raise AssertionError("retrain must not run when policy not due")
+
+    ver, refreshed = ingest_probe_generation(
+        spark, t, probes([10, 11], cell=5), n_vectors=4096, probes_per_vec=1,
+        retrain=boom,
+    )
+    assert (ver, refreshed) == (1, False)
+
+    # Growth: pile 600 probe rows into ONE cell; with n_vectors=4096,
+    # 16 L1 cells and 1 probe/vec the design occupancy is
+    # isqrt(4096//16)=16, threshold 4*16=64 -> due. The re-train (all
+    # rows spread across cells) must land as v3 with the trigger
+    # recorded.
+    retrained = spark.createDataFrame(
+        [(i, 1, i % 64, i % 8, 1) for i in range(700)], schema
+    )
+    ver, refreshed = ingest_probe_generation(
+        spark, t, probes(range(100, 700), cell=7), n_vectors=4096,
+        probes_per_vec=1, retrain=lambda: retrained,
+    )
+    assert (ver, refreshed) == (3, True)
+    with open(t.log_dir + "/00000003.json") as f:
+        op = json.load(f)["operation"]
+    assert op["op"] == "overwrite"
+    assert op["trigger"] == "occupancy_policy"
+    assert op["max_occ"] > 64
+    # History stays time-travelable: v2 (pre-refresh) still readable.
+    assert t.snapshot(spark, 2).count() == 4 + 2 + 600
+    assert t.snapshot(spark, 3).count() == 700
