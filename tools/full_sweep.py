@@ -108,26 +108,9 @@ if _only:
 _digest_mode = __import__("os").environ.get("SWEEP_MODE", "exact") == "digest"
 
 
-def _digest(row_iter):
-    """Order-independent multiset digest: (count, sum of per-row
-    sha256[:16] mod 2^127) over the same str() per-value
-    canonicalization the exact compare uses. Each value is
-    LENGTH-PREFIXED before hashing so a value containing any
-    separator byte can never collide across column boundaries
-    (('a\\x1fb',) vs ('a','b') hashed differently) — the false-equal
-    the exact mode's tuple compare cannot produce."""
-    import hashlib
-
-    cnt = acc = 0
-    for r in row_iter:
-        h = hashlib.sha256()
-        for x in r:
-            b = str(x).encode("utf-8", "surrogatepass")
-            h.update(len(b).to_bytes(8, "big"))
-            h.update(b)
-        acc = (acc + int.from_bytes(h.digest()[:16], "big")) % (1 << 127)
-        cnt += 1
-    return cnt, acc
+# Single shared definition (tools/digestlib.py): invariance_probe.py
+# verdicts compose with sweep verdicts only if both hash identically.
+from digestlib import digest as _digest
 
 
 for name in _names:
