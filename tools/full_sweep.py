@@ -136,7 +136,16 @@ for name in _names:
                 # shuffle output is reused by every per-partition
                 # fetch job — for one extra shuffle of the result.
                 proj = proj.repartition(int(_cpus))
-                s_cnt, s_acc = _digest(tuple(r) for r in proj.toLocalIterator())
+                # prefetchPartitions: fetch partition i+1 while Python
+                # digests partition i — without it the JVM idles during
+                # every digest burst and the driver idles during every
+                # fetch (measured on the round-12 holdout sweep: the
+                # pair-heavy queries alternated 68% python / fetch
+                # stalls for the whole final stage).
+                s_cnt, s_acc = _digest(
+                    tuple(r)
+                    for r in proj.toLocalIterator(prefetchPartitions=True)
+                )
                 t_spark = time.monotonic() - t_q
                 if name not in os_:
                     assert s_cnt > 0, f"{name}: rows-only query returned 0 rows"

@@ -80,7 +80,7 @@ for name in names:
     # computation so toLocalIterator's per-partition jobs reuse one
     # full-width shuffle instead of serializing the expensive stage.
     proj = proj.repartition(int(shape["cpus"]))
-    cnt, acc = digest(tuple(r) for r in proj.toLocalIterator())
+    cnt, acc = digest(tuple(r) for r in proj.toLocalIterator(prefetchPartitions=True))
     out[name] = [cnt, acc]
     spark.catalog.clearCache()
     from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import release_pins
