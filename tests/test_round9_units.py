@@ -402,18 +402,21 @@ class TestStoreVersionsPlanShape:
 
 class TestSweepDigest:
     def test_length_prefix_blocks_separator_collision(self):
+        # The digest moved to tools/digestlib.py (single shared
+        # definition for full_sweep.py + invariance_probe.py); import
+        # it directly — digestlib has no import-time side effects.
         import importlib.util
 
         spec = importlib.util.spec_from_file_location(
-            "full_sweep_digest_probe", "/root/repo/tools/full_sweep.py"
+            "digestlib_probe", "/root/repo/tools/digestlib.py"
         )
-        # Importing the module would launch a sweep; read just _digest.
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        d = mod.digest
+        # full_sweep must still route through the shared definition.
         src = open("/root/repo/tools/full_sweep.py").read()
-        ns = {}
-        start = src.index("def _digest")
-        end = src.index("\nfor name in _names:")
-        exec(src[start:end], ns)  # noqa: S102 - own test fixture
-        d = ns["_digest"]
+        assert "from digestlib import digest" in src
+        assert "def _digest" not in src
         assert d([("a\x1fb",)]) != d([("a", "b")])
         assert d([("a", "b")]) == d([("a", "b")])
         # Order independence across rows is preserved.
