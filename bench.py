@@ -194,12 +194,30 @@ def _box_state() -> dict:
         "contended": False,
     }
     if state["busy_pidfiles"] and os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") != "1":
-        print(json.dumps({
-            "error": "refusing to bench: live sweep/probe pidfile(s) own the box "
-                     "(set SPARK_GRAFT_BENCH_FORCE=1 to override)",
-            "busy_pidfiles": state["busy_pidfiles"],
-        }))
-        sys.exit(4)
+        # Don't hard-fail on first sight: the caller may be the driver's
+        # round-close bench, and a missing BENCH artifact is worse than a
+        # delayed one. Wait (bounded) for the claimants to finish — they
+        # are our own finite sweeps/probes — and only refuse if the box
+        # is still owned after the window.
+        wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "2700"))
+        t_wait = time.monotonic()
+        while state["busy_pidfiles"] and time.monotonic() - t_wait < wait_s:
+            print(
+                f"bench: waiting for {len(state['busy_pidfiles'])} live "
+                f"claimant(s) ({int(time.monotonic() - t_wait)}s/"
+                f"{wait_s}s): {state['busy_pidfiles'][0][:100]}",
+                file=sys.stderr,
+            )
+            time.sleep(30)
+            state["busy_pidfiles"] = live()
+        if state["busy_pidfiles"]:
+            print(json.dumps({
+                "error": "refusing to bench: live sweep/probe pidfile(s) own the box "
+                         "(set SPARK_GRAFT_BENCH_FORCE=1 to override)",
+                "busy_pidfiles": state["busy_pidfiles"],
+            }))
+            sys.exit(4)
+        state["waited_for_claimants_s"] = round(time.monotonic() - t_wait, 1)
     # Contention heuristic: 1-min load beyond what background noise
     # explains, or an unclaimed Spark JVM / sweep process running.
     state["contended"] = bool(
