@@ -825,3 +825,168 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_kept"),
         )
     )
+
+
+# ------------------------------------------- semantic (embedding) contamination
+# contamination_ngram catches verbatim/lexical leakage; paraphrased or
+# translated benchmark rewrites share almost no 5-grams but land next to
+# the eval item in embedding space. These two queries are that second
+# decontamination gate, over the embeddings table's eval split
+# (vec_id < CONTAM_EVAL_MAX_VEC_ID — in production, the embedded eval
+# suite). Eval suites are small by construction, so the scale shape is
+# contamination_ngram's: broadcast the eval side, ONE map-side pass over
+# the corpus (N x |eval| rounded-cosine folds, no pair shuffle anywhere),
+# then a partial-aggregate-friendly grouped max. For very large eval
+# unions, pre-gate the corpus side with the LSH signature store
+# (similarity.lsh_signature_store) before the exact pass.
+CONTAM_EVAL_MAX_VEC_ID = 50
+CONTAM_COS_LEAK = 0.95  # top-1 cosine >= this ⇒ treat as leaked
+CONTAM_COS_REVIEW = 0.40  # >= this ⇒ near enough to warrant review
+
+from data_pipeline_with_hdfs_sql_integration_spark.plans.similarity import (  # noqa: E402
+    _cosine as _vec_cosine,
+    _sql_cosine as _sql_vec_cosine,
+)
+
+_SQL_LABELED_VECS = (
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings"
+)
+
+
+_sql_vec_cosine_corp_ev = _sql_vec_cosine("corp.v", "ev.qv")
+
+
+def _labeled_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+@query(
+    "contamination_semantic",
+    oracle=f"""
+        WITH e AS ({_SQL_LABELED_VECS}),
+        ev AS (SELECT vec_id AS eval_id, v AS qv FROM e
+               WHERE vec_id < {CONTAM_EVAL_MAX_VEC_ID}),
+        corp AS (SELECT vec_id, v FROM e
+                 WHERE vec_id >= {CONTAM_EVAL_MAX_VEC_ID}),
+        scored AS (
+            SELECT ev.eval_id, corp.vec_id,
+                   {_sql_vec_cosine_corp_ev} AS cosine
+            FROM corp, ev
+        ),
+        ranked AS (
+            SELECT eval_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY eval_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rn
+            FROM scored
+        )
+        SELECT eval_id, vec_id, cosine,
+               cosine >= {CONTAM_COS_LEAK} AS leaked
+        FROM ranked WHERE rn = 1
+    """,
+    doc="Benchmark-leakage report, embedding space: for every eval-suite "
+    "vector, its nearest corpus neighbor by cosine (rounded to 6 digits "
+    "BEFORE ranking, ties to the lowest vec_id — identical boundary "
+    "decisions in both engines) plus a leaked verdict at the "
+    f"{CONTAM_COS_LEAK} near-duplicate threshold. The semantic sibling of "
+    "contamination_ngram: a paraphrased eval item shares no 5-grams but "
+    "keeps cosine ~1. Spark plans the whole thing as one map-side pass — "
+    "broadcast eval rows against the corpus scan, partial max of "
+    "(cosine, -vec_id) structs per eval_id — so nothing corpus-sized is "
+    "ever shuffled: the exchange carries |eval| pre-aggregated rows. "
+    "Output is exactly |eval| rows at any corpus size.",
+    tags=("training", "contamination", "embedding", "similarity"),
+)
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    e = _labeled_vecs(spark, sf_dir)
+    ev = e.filter(F.col("vec_id") < CONTAM_EVAL_MAX_VEC_ID).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("qv")
+    )
+    corp = e.filter(F.col("vec_id") >= CONTAM_EVAL_MAX_VEC_ID).select("vec_id", "v")
+    scored = corp.crossJoin(F.broadcast(ev)).select(
+        "eval_id",
+        "vec_id",
+        _vec_cosine(F.col("v"), F.col("qv")).alias("cosine"),
+    )
+    # max of (cosine, -vec_id) == highest cosine, ties to LOWEST vec_id;
+    # the struct also carries vec_id so the winner unpacks without a join.
+    best = scored.groupBy("eval_id").agg(
+        F.max(
+            F.struct(
+                F.col("cosine"),
+                (-F.col("vec_id")).alias("neg_id"),
+                F.col("vec_id").alias("vid"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "eval_id",
+        F.col("m.vid").alias("vec_id"),
+        F.col("m.cosine").alias("cosine"),
+        (F.col("m.cosine") >= F.lit(CONTAM_COS_LEAK)).alias("leaked"),
+    )
+
+
+@query(
+    "contamination_semantic_profile",
+    oracle=f"""
+        WITH e AS ({_SQL_LABELED_VECS}),
+        ev AS (SELECT v AS qv FROM e WHERE vec_id < {CONTAM_EVAL_MAX_VEC_ID}),
+        corp AS (SELECT vec_id, label, v FROM e
+                 WHERE vec_id >= {CONTAM_EVAL_MAX_VEC_ID}),
+        pervec AS (
+            SELECT corp.vec_id, corp.label,
+                   max({_sql_vec_cosine_corp_ev}) AS top1
+            FROM corp, ev
+            GROUP BY corp.vec_id, corp.label
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               max(top1) AS max_cosine,
+               CAST(count(CASE WHEN top1 >= {CONTAM_COS_REVIEW} THEN 1 END)
+                    AS BIGINT) AS n_review,
+               CAST(count(CASE WHEN top1 >= {CONTAM_COS_LEAK} THEN 1 END)
+                    AS BIGINT) AS n_leaked
+        FROM pervec
+        GROUP BY label
+    """,
+    doc="The decontamination DUAL of contamination_semantic: per corpus "
+    "REGION (the embeddings' cluster label — per-source or per-shard in "
+    "production), how close the corpus sits to the eval suite — vector "
+    "count, max top-1 cosine, and counts above the review "
+    f"({CONTAM_COS_REVIEW}) and leak ({CONTAM_COS_LEAK}) thresholds. This "
+    "is the manifest a curation step consults before dropping documents: "
+    "per-vector top-1 cosines reduce map-side (broadcast eval, partial "
+    "max per vec_id), the label rollup is |labels| rows, and every "
+    "threshold compares the SAME rounded double in both engines, so "
+    "counts can never drift by a boundary flip. Nothing corpus-quadratic "
+    "at any scale; eval-side growth is handled by the LSH pre-gate noted "
+    "above.",
+    tags=("training", "contamination", "embedding", "profiling"),
+)
+def contamination_semantic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    e = _labeled_vecs(spark, sf_dir)
+    ev = e.filter(F.col("vec_id") < CONTAM_EVAL_MAX_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    corp = e.filter(F.col("vec_id") >= CONTAM_EVAL_MAX_VEC_ID).select(
+        "vec_id", "label", "v"
+    )
+    pervec = (
+        corp.crossJoin(F.broadcast(ev))
+        .select("vec_id", "label", _vec_cosine(F.col("v"), F.col("qv")).alias("c"))
+        .groupBy("vec_id", "label")
+        .agg(F.max("c").alias("top1"))
+    )
+    return pervec.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max("top1").alias("max_cosine"),
+        F.count(F.when(F.col("top1") >= CONTAM_COS_REVIEW, 1)).alias("n_review"),
+        F.count(F.when(F.col("top1") >= CONTAM_COS_LEAK, 1)).alias("n_leaked"),
+    )

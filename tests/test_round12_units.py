@@ -50,7 +50,10 @@ def test_live_ignores_own_process_and_garbage(tmp_path, monkeypatch):
 
 def test_bench_refuses_on_live_pidfile(tmp_path):
     """bench.py must exit 4 with a self-identifying JSON error while a
-    claimant is alive (unless SPARK_GRAFT_BENCH_FORCE=1)."""
+    claimant is alive (unless SPARK_GRAFT_BENCH_FORCE=1). The wait
+    window is pinned to 0 here: production bench waits (bounded) for
+    claimants to drain before refusing, and with the default 2700 s
+    window this test would block behind any genuinely-live sweep."""
     code = (
         "import sys, time; sys.path.insert(0, sys.argv[1]); import busy; "
         "busy.claim('t'); print('claimed', flush=True); time.sleep(60)"
@@ -60,7 +63,11 @@ def test_bench_refuses_on_live_pidfile(tmp_path):
     )
     try:
         assert child.stdout.readline().strip() == "claimed"
-        env = {**os.environ, "SPARK_GRAFT_BENCH_FORCE": "0"}
+        env = {
+            **os.environ,
+            "SPARK_GRAFT_BENCH_FORCE": "0",
+            "SPARK_GRAFT_BENCH_WAIT_S": "0",
+        }
         r = subprocess.run(
             [sys.executable, "-c",
              "import sys; sys.path.insert(0, '/root/repo'); "
