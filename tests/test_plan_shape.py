@@ -790,3 +790,18 @@ def test_ks_mwu_sketch_have_no_window_at_all(spark):
         assert "partial_count" in plan or "partial_sum" in plan, name
         assert "Window" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_contamination_semantic_is_broadcast_map_pass(spark):
+    """The semantic-contamination pass must never shuffle the corpus:
+    eval rows broadcast (nested-loop join against the corpus scan) and
+    the nearest-neighbor pick partial-aggregates map-side, so the only
+    exchange carries |eval| pre-reduced rows."""
+    from data_pipeline_with_hdfs_sql_integration_spark.registry import all_queries
+
+    df = all_queries()["contamination_semantic"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # partial_max before the exchange: the grouped max reduces per task.
+    assert "partial_max" in plan
