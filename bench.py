@@ -109,6 +109,10 @@ HEADLINE = [
     "format_txlog_cdf",
     "format_txlog_ivm",
     "format_txlog_zorder",
+    # Round-12: embedding-space decontamination (semantic sibling of
+    # contamination_ngram; broadcast map-side pass, |eval| output rows).
+    "contamination_semantic",
+    "contamination_semantic_profile",
 ]
 
 
