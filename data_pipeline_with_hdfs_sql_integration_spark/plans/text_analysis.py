@@ -475,12 +475,29 @@ IDF_SCALE = 1_000_000
 def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import memo_persist
+
     apply_runtime_confs(spark)
     docs = load_parallel(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # Count the PLAIN scan: parquet count-star answers from footer
+    # metadata; counting the load_parallel frame would pay its
+    # repartition exchange just to count rows (guide §1.4 note).
+    n_docs = load(spark, sf_dir, "documents").count()
     toks = docs.select("doc_id", F.explode(tf.tokens(F.col("text"))).alias("tok"))
-    tfs = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dfs = tfs.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # tfs feeds BOTH the df aggregate and the scored join — without the
+    # persist the optimizer re-derives it per consumer and the corpus
+    # is scanned + exploded + aggregated twice (r12 plan: two parquet
+    # scans of documents; guide §2.4 "remove shuffles outright").
+    tfs = memo_persist(
+        spark,
+        ("tfidf_tfs", sf_dir),
+        lambda: toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")),
+    )
+    # tfs is unique per (doc_id, tok) by construction, so the document
+    # frequency is a plain count(*) — countDistinct(doc_id) planned a
+    # second full aggregate level (expand + re-shuffle) for the same
+    # value (guide §2.3 "aggregate before you shuffle").
+    dfs = tfs.groupBy("tok").agg(F.count("*").alias("df"))
     # long arithmetic: n_docs * 1e6 overflows int32 beyond ~2k docs
     idf = (F.lit(n_docs).cast("long") * IDF_SCALE / F.col("df")).cast("long")  # floor div
     scored = tfs.join(F.broadcast(dfs.select("tok", idf.alias("idf"))), "tok").select(
