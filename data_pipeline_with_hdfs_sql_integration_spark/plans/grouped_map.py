@@ -140,14 +140,21 @@ def udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     def wmedian(v: pd.Series, w: pd.Series) -> float:
         # Sort by value; the first value whose cumulative weight
         # reaches half the total is the weighted median. Integer
-        # weights keep the comparison exact (2*cum >= tot).
-        df = pd.DataFrame({"v": v.values, "w": w.astype("int64").values}).sort_values(
-            "v", kind="mergesort", ignore_index=True
-        )
-        cum = df["w"].cumsum()
-        tot = int(df["w"].sum())
-        idx = int((2 * cum >= tot).idxmax())
-        return float(df["v"].iloc[idx])
+        # weights keep the comparison exact (2*cum >= tot). Pure
+        # numpy over the Arrow-backed buffers: building a pandas
+        # DataFrame + sort_values + iloc PER GROUP dominated the
+        # aggregate's cost at ~1k groups (guide §4.2 — hand batches
+        # to vectorized native code, don't construct row containers).
+        import numpy as np
+
+        vv = v.to_numpy()
+        order = np.argsort(vv, kind="stable")
+        cum = w.to_numpy().astype("int64", copy=False)[order].cumsum()
+        tot = int(cum[-1])
+        # first index where 2*cum >= tot == searchsorted on the
+        # nondecreasing doubled cumulative (weights are positive).
+        idx = int(np.searchsorted(2 * cum, tot, side="left"))
+        return float(vv[order[idx]])
 
     li = load(spark, sf_dir, "lineitem")
     return (
@@ -199,10 +206,23 @@ def window_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     apply_runtime_confs(spark)
-    li = load(spark, sf_dir, "lineitem").select(
-        F.col("l_suppkey").alias("suppkey"),
-        F.col("l_extendedprice").alias("v"),
-        F.col("l_quantity").cast("long").alias("wt"),
+    # ONE exchange establishes hash(suppkey) and every downstream
+    # operator reuses it: hash(suppkey) satisfies the (suppkey, v)
+    # grouping (partitioning keys ⊆ grouping keys), the suppkey
+    # windows, and the final group-by — the previous shape paid a
+    # second full exchange between the pre-aggregate (hash(s,v)) and
+    # the window (hash(s)) (guide §2.4: two operations keyed the same
+    # way share one exchange). (s, v) is near-unique in lineitem, so
+    # the raw-row shuffle carries the same bytes the partially
+    # aggregated one did.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("l_extendedprice").alias("v"),
+            F.col("l_quantity").cast("long").alias("wt"),
+        )
+        .repartition("suppkey")
     )
     pv = li.groupBy("suppkey", "v").agg(F.sum("wt").alias("wv"))
     # v is distinct per key after the pre-aggregate, so the default
