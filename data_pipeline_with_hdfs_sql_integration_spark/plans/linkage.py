@@ -227,7 +227,22 @@ def anomaly_mad_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_orderkey")
     wn = Window.partitionBy("c_mktsegment")
-    r = j.withColumn("rn", F.row_number().over(w)).withColumn("n", F.count(F.lit(1)).over(wn))
+    # r feeds the median aggregate AND the deviation join, and d (from
+    # r) feeds the MAD aggregate AND the final scorer — without a
+    # persist the optimizer re-derives the join+window subtree per
+    # consumer (r12 before-plan: 16 parquet scans, 0 reuse). One
+    # materialization; everything downstream is a broadcast join or a
+    # sort over the SAME hash(c_mktsegment) partitioning the cache
+    # preserves (guide §5 caching, §2.4 shared exchange).
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import memo_persist
+
+    r = memo_persist(
+        spark,
+        ("anomaly_mad_r", sf_dir),
+        lambda: j.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(wn)
+        ),
+    )
     # Integer floor-div in the position formula: (n+1)//2 via expr.
     pick = (
         (F.col("rn") == F.expr("(n + 1) div 2")).cast("int")
