@@ -129,29 +129,31 @@ def subq_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def subq_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     li = load(spark, sf_dir, "lineitem")
+    # The HAVING aggregate IS the output's sum_qty: for a qualifying
+    # order, re-summing l_quantity over a second lineitem scan joined
+    # back to orders reproduces exactly the q that qualified it. Carry
+    # q through the semi-join (making it an inner join on the tiny
+    # heavy-hitter set) instead — one lineitem scan, one shuffle, and
+    # no final re-aggregate (the r12 before-plan paid both twice).
+    # orders/customer are key-unique, so the join yields one row per
+    # qualifying order — the same multiset the grouped re-aggregate
+    # produced (guide §1.2: don't compute things you throw away).
     heavy = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
         .filter(F.col("q") > 300)
-        .select("l_orderkey")
     )
     o = load(spark, sf_dir, "orders").join(
-        F.broadcast(heavy), F.col("o_orderkey") == heavy.l_orderkey, "left_semi"
+        F.broadcast(heavy), F.col("o_orderkey") == heavy.l_orderkey, "inner"
     )
     c = load(spark, sf_dir, "customer")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"))
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            "sum_qty",
-        )
+    return c.join(o, c.c_custkey == o.o_custkey).select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("q").cast("double").alias("sum_qty"),
     )
 
 
