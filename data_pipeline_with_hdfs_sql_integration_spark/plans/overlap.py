@@ -305,25 +305,35 @@ def _sql_cosine_verify_tail() -> str:
 )
 def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    docs = load_parallel(spark, sf_dir, "documents")
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import memo_persist
+    from data_pipeline_with_hdfs_sql_integration_spark.plans.text_analysis import (
+        token_tf_base,
+    )
+
     bands = _minhash_bands(minhash_signature_store(spark, sf_dir))
     ba = bands.alias("ba")
     bb = bands.alias("bb")
-    candp = (
-        ba.join(
-            bb,
-            (F.col("ba.band_idx") == F.col("bb.band_idx"))
-            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
-        .distinct()
+    # candp feeds the dot aggregate AND the final left join; tfq feeds
+    # the norms aggregate AND both sides of the dot join. Without the
+    # persists each consumer re-derived its whole subtree (r12
+    # before-plan: the corpus exploded + aggregated twice, the band
+    # self-join run twice). token_tf_base is the SAME relation tfidf
+    # persists — one cached copy serves both queries in a session.
+    candp = memo_persist(
+        spark,
+        ("minhash_candp", sf_dir),
+        lambda: (
+            ba.join(
+                bb,
+                (F.col("ba.band_idx") == F.col("bb.band_idx"))
+                & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+            )
+            .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+            .distinct()
+        ),
     )
-    tfq = (
-        docs.select("doc_id", F.explode(tf.tokens(F.col("text"))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tfreq"))
-    )
+    tfq = token_tf_base(spark, sf_dir).withColumnRenamed("tf", "tfreq")
     norms = tfq.groupBy("doc_id").agg(F.sum(F.col("tfreq") * F.col("tfreq")).alias("n2"))
     a = tfq.alias("a")
     b = tfq.alias("b")

@@ -31,6 +31,23 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 
 
+def token_tf_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(doc_id, tok) term-frequency relation, memo-persisted
+    once per session. Several queries re-derive this identical base
+    (tfidf's tf/df pair, the sparse-cosine verify's posting vectors);
+    before the memo each consumer paid its own corpus scan + explode +
+    aggregate (guide §5 caching — reused AND expensive to recompute).
+    Columns: doc_id, tok, tf (count of tok in doc)."""
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import memo_persist
+
+    def build() -> DataFrame:
+        docs = load_parallel(spark, sf_dir, "documents")
+        toks = docs.select("doc_id", F.explode(tf.tokens(F.col("text"))).alias("tok"))
+        return toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+
+    return memo_persist(spark, ("tfidf_tfs", sf_dir), build)
+
+
 @query(
     "text_token_stats",
     oracle=f"""
@@ -475,24 +492,16 @@ IDF_SCALE = 1_000_000
 def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from data_pipeline_with_hdfs_sql_integration_spark.catalog import memo_persist
-
     apply_runtime_confs(spark)
-    docs = load_parallel(spark, sf_dir, "documents")
     # Count the PLAIN scan: parquet count-star answers from footer
     # metadata; counting the load_parallel frame would pay its
     # repartition exchange just to count rows (guide §1.4 note).
     n_docs = load(spark, sf_dir, "documents").count()
-    toks = docs.select("doc_id", F.explode(tf.tokens(F.col("text"))).alias("tok"))
     # tfs feeds BOTH the df aggregate and the scored join — without the
     # persist the optimizer re-derives it per consumer and the corpus
     # is scanned + exploded + aggregated twice (r12 plan: two parquet
     # scans of documents; guide §2.4 "remove shuffles outright").
-    tfs = memo_persist(
-        spark,
-        ("tfidf_tfs", sf_dir),
-        lambda: toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")),
-    )
+    tfs = token_tf_base(spark, sf_dir)
     # tfs is unique per (doc_id, tok) by construction, so the document
     # frequency is a plain count(*) — countDistinct(doc_id) planned a
     # second full aggregate level (expand + re-shuffle) for the same
