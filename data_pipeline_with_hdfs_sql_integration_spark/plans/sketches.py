@@ -541,26 +541,43 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     ).select("k", F.col("mk").isNotNull().alias("exact_member"))
 
-    checks = _bloom_word_mask(probes.select("k"))
-    verdicts = (
-        checks.join(F.broadcast(bloom), "word", "left")
-        .select(
-            "k",
-            F.when(F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("mask")) != 0), 1)
-            .otherwise(0)
-            .alias("hit"),
-        )
-        .groupBy("k")
-        .agg(F.min("hit").alias("all_set"))
+    # The whole filter is <= BLOOM_WORDS bigint words — fold it into ONE
+    # map row, broadcast it, and evaluate all BLOOM_K probes as inline
+    # expressions per customer. The previous shape exploded every probe
+    # key BLOOM_K ways, shuffled the hits back into a per-key min, and
+    # re-joined the verdicts onto probes — two exchanges and a join to
+    # re-associate rows that never needed to leave their task (guide
+    # §2.4: remove shuffles outright; the probe is a pure map). A
+    # missing word reads as 0 bits via coalesce — identical to the old
+    # left-join's null -> miss rule.
+    bloom_map = bloom.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("word", "bits")))
+        ).alias("bm")
     )
-    return (
-        probes.join(verdicts, "k")
-        .select(
-            F.col("k").alias("custkey"),
-            (F.col("all_set") == 1).alias("bloom_positive"),
-            "exact_member",
-            ((F.col("all_set") == 1) & ~F.col("exact_member")).alias("false_positive"),
+    probed = probes.join(F.broadcast(bloom_map))
+    all_set = F.lit(True)
+    for a, b in _bloom_params():
+        pos = ((F.lit(a) * F.col("k") + F.lit(b)) % tf.MOD) % BLOOM_BITS
+        probed = probed.withColumn("_pos", pos)
+        bit_set = (
+            F.coalesce(
+                F.element_at(F.col("bm"), F.expr(f"_pos div {BLOOM_WORD_BITS}")),
+                F.lit(0).cast("long"),
+            ).bitwiseAND(
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), cast(_pos % {BLOOM_WORD_BITS} as int))"
+                )
+            )
+            != 0
         )
+        probed = probed.withColumn("_hit_" + str(a), bit_set).drop("_pos")
+        all_set = all_set & F.col("_hit_" + str(a))
+    return probed.select(
+        F.col("k").alias("custkey"),
+        all_set.alias("bloom_positive"),
+        "exact_member",
+        (all_set & ~F.col("exact_member")).alias("false_positive"),
     )
 
 
