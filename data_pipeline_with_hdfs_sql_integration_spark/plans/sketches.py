@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipeline_with_hdfs_sql_integration_spark.catalog import load_parallel
+from data_pipeline_with_hdfs_sql_integration_spark.catalog import load, load_parallel
 from data_pipeline_with_hdfs_sql_integration_spark.functions import textfns as tf
 from data_pipeline_with_hdfs_sql_integration_spark.registry import query
 from data_pipeline_with_hdfs_sql_integration_spark.session import apply_runtime_confs
@@ -523,13 +523,24 @@ def _bloom_word_mask(df: DataFrame) -> DataFrame:
     tags=("sketch", "approx", "join"),
 )
 def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import memo_persist
+
     apply_runtime_confs(spark)
-    orders = load_parallel(spark, sf_dir, "orders")
-    customer = load_parallel(spark, sf_dir, "customer")
-    members = (
-        orders.filter(F.col("o_orderstatus") == "F")
-        .select(F.col("o_custkey").alias("k"))
-        .distinct()
+    # Plain scans: the per-row work here is 3 affine hashes — the
+    # load_parallel repartition exchange costs more than the
+    # parallelism it buys, and members' own distinct exchange already
+    # spreads the build side. members feeds BOTH the filter build and
+    # the probe-side exact check; persist it once.
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    members = memo_persist(
+        spark,
+        ("bloom_members", sf_dir),
+        lambda: (
+            orders.filter(F.col("o_orderstatus") == "F")
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        ),
     )
 
     setbits = _bloom_word_mask(members)
