@@ -84,9 +84,23 @@ class PartitionCache:
         """AVG truncated toward zero like Python int() (server.py:109).
 
         Returns None for an empty input (NumPy-NaN analog).
+
+        Computed as an observed metric over a noop-sink pass — ONE
+        single-stage job (scan + running aggregate), mirroring the
+        create path's Observation ride-along. The previous
+        `.agg().collect()` planned a partial/final aggregate pair
+        around an Exchange, which AQE then ran as separate per-stage
+        jobs: ~2x the fixed per-job cost on every cache hit, and at
+        scale a (tiny but real) shuffle the observation never needs.
         """
-        row = df.agg(F.avg(self.value_col).alias("a")).collect()[0]
-        return None if row["a"] is None else int(row["a"])
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df.observe(obs, F.avg(self.value_col).alias("a")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        a = obs.get["a"]
+        return None if a is None else int(a)
 
     def _write_partition(self, subset: DataFrame, key: object) -> None:
         path = self.partition_path(key)
