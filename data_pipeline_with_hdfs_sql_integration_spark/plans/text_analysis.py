@@ -611,17 +611,22 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    docs = load_parallel(spark, sf_dir, "documents")
-    t = tf.tokens(F.col("text"))
-    tok = docs.select("doc_id", F.explode(t).alias("token"))
+    # Aggregate the shared (doc_id, tok, tf) base instead of the raw
+    # exploded stream: doc_id is unique per token there, so every
+    # DISTINCT aggregate becomes a plain one — count_distinct ->
+    # count(*), sum_distinct -> sum, collect_set -> collect_list —
+    # removing the Expand + double-aggregate plan the distinct trio
+    # forced (guide §2.3 aggregate before you shuffle), and the base
+    # itself is the session's one persisted copy.
+    tfs = token_tf_base(spark, sf_dir)
     return (
-        tok.groupBy("token")
+        tfs.groupBy(F.col("tok").alias("token"))
         .agg(
-            F.count_distinct("doc_id").cast("long").alias("df"),
-            F.count(F.lit(1)).alias("total_tf"),
-            F.sum_distinct("doc_id").alias("sum_doc_ids"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.sum("doc_id").alias("sum_doc_ids"),
             F.array_join(
-                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 20), ","
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20), ","
             ).alias("head_postings"),
         )
         .orderBy(F.col("df").desc(), F.col("token").asc())
