@@ -262,23 +262,43 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_parallel(spark, sf_dir, "documents")
     t = tf.tokens(F.col("text"))
     toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
-    bigram = F.concat_ws(" ", F.get(F.col("t"), F.col("i")), F.get(F.col("t"), F.col("i") + 1))
-    bg = toks.select(
+    # The per-doc bigram counts never need to leave the row: sort the
+    # doc's bigram array and run-length encode it with array HOFs, so
+    # the whole gate is a single map-only scan — the previous explode +
+    # groupBy(doc,bigram) + groupBy(doc) paid two exchanges to count
+    # items that were co-located all along (guide §2.4). Grouping by
+    # the sorted string array is the oracle's string equality exactly;
+    # per-doc work is O(L log L) inside codegen.
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat_ws(" ", F.get(F.col("t"), i), F.get(F.col("t"), i + 1)),
+    )
+    g = toks.select("doc_id", F.array_sort(bigrams).alias("bg"))
+    n = F.size("bg")
+    # Run starts: index 0, or a value different from its predecessor
+    # (get at -1 is NULL; TRUE OR NULL = TRUE keeps index 0).
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == F.lit(0))
+        | (F.get(F.col("bg"), i) != F.get(F.col("bg"), i - 1)),
+    )
+    ends = F.concat(F.slice(starts, 2, F.size(starts)), F.array(n))
+    runs = F.zip_with(starts, ends, lambda s, e: e - s)
+    m = g.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i"),
-        "t",
-    ).select("doc_id", bigram.alias("bigram"))
-    cnt = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
-    m = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("total"),
-        F.max("c").alias("top"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_occ"),
+        n.cast("long").alias("total"),
+        F.array_max(runs).cast("long").alias("top"),
+        F.aggregate(
+            runs,
+            F.lit(0).cast("long"),
+            lambda acc, r: acc + F.when(r > 1, r.cast("long")).otherwise(F.lit(0).cast("long")),
+        ).alias("dup_occ"),
     )
     top_frac = F.round(F.col("top").cast("double") / F.col("total"), 6)
     dup_frac = F.round(F.col("dup_occ").cast("double") / F.col("total"), 6)
     return m.select(
         "doc_id",
-        F.col("total").cast("long").alias("n_bigrams"),
+        F.col("total").alias("n_bigrams"),
         top_frac.alias("top_bigram_frac"),
         dup_frac.alias("dup_bigram_frac"),
         ((top_frac <= TOP_BIGRAM_MAX) & (dup_frac <= DUP_BIGRAM_MAX)).alias("keep"),
