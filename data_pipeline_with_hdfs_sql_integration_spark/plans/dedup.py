@@ -2859,7 +2859,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     sh = _shingle_hashes(spark, sf_dir).filter(F.size("sh") >= 1)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    # ex feeds THREE consumers (the frequency aggregate, the ordered
+    # prefix build, and the container index) — materialize the bare
+    # (id, hash) pairs once, exactly like dedup_ngram_jaccard's ex
+    # barrier (the generator's child otherwise re-evaluates per
+    # consumer).
+    ex = _materialize(sh.select("doc_id", F.explode("sh").alias("s")))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     pref = (
