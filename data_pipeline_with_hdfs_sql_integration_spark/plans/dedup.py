@@ -1434,46 +1434,34 @@ def _register_dedup_embedding_lsh() -> None:
             buckets.append(
                 F.shiftright(word, shift).bitwiseAND(F.lit(mask)) + F.lit(i * (mask + 1))
             )
-        # Carry the two signature words THROUGH the band explode so the
-        # hamming gate runs IN the band-join stage — the same sig-only
-        # in-stage gate the semantic pair stage uses (r11 receipt).
-        # Gating before the candidate DISTINCT means the dedup shuffle
-        # carries only ham survivors (~45% of collisions here), and the
-        # two sig-attach joins the post-distinct gate needed disappear;
-        # the explode rows grow 16 B against that.
-        bands = sigs.select(
-            "vec_id", "sig_lo", "sig_hi", F.explode(F.array(*buckets)).alias("bucket")
-        )
-        a = bands.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("sig_lo").alias("alo"),
-            F.col("sig_hi").alias("ahi"),
-            "bucket",
-        )
-        b = bands.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("sig_lo").alias("blo"),
-            F.col("sig_hi").alias("bhi"),
-            "bucket",
-        )
-        ham_in_stage = (
-            F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
-            + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
-        )
+        bands = sigs.select("vec_id", F.explode(F.array(*buckets)).alias("bucket"))
+        a, b = bands.alias("a"), bands.alias("b")
         cand = (
-            a.join(b, (a.bucket == b.bucket) & (F.col("vec_a") < F.col("vec_b")))
-            .filter(ham_in_stage <= _emb_lsh_ham_max())
-            .select("vec_a", "vec_b")
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
             .distinct()
         )
         # Broadcast hints are SIZE-GATED on the corpus count already in
-        # hand: full vectors are ~520 B/vector (broadcastable to
-        # ~100k). Past that, fall back to plain equi-joins — AQE plans
-        # the shuffle and Catalyst may still auto-broadcast off real
-        # stats. (The signature-attach joins the post-distinct hamming
-        # gate needed are gone — the gate now runs in the band-join
-        # stage above.)
+        # hand: signatures are 24 B/vector (broadcastable to ~5M
+        # vectors), full vectors ~520 B (broadcastable to ~100k). Past
+        # those, fall back to plain equi-joins — AQE plans the shuffle
+        # and Catalyst may still auto-broadcast off real stats.
+        b_sig = F.broadcast if n <= 5_000_000 else (lambda df: df)
         b_vec = F.broadcast if n <= 100_000 else (lambda df: df)
+        # Hamming prefilter before the exact fold (see _emb_lsh_ham_max):
+        # two bit_counts on joined longs kill ~55% of the candidates the
+        # exact cosine would reject anyway.
+        sa = b_sig(
+            sigs.select(F.col("vec_id").alias("vec_a"), F.col("sig_lo").alias("alo"), F.col("sig_hi").alias("ahi"))
+        )
+        sb = b_sig(
+            sigs.select(F.col("vec_id").alias("vec_b"), F.col("sig_lo").alias("blo"), F.col("sig_hi").alias("bhi"))
+        )
+        ham = (
+            F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+            + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+        )
+        cand = cand.join(sa, "vec_a").join(sb, "vec_b").filter(ham <= ham_max).select("vec_a", "vec_b")
         # Norms once per VECTOR (N rows), not once per candidate pair:
         # sqrt(dot(v,v)) on the same doubles is bit-identical wherever
         # it is computed, so the oracle's per-pair form still matches —
