@@ -1824,8 +1824,13 @@ def _register_dedup_semantic() -> None:
         # joins shuffle a candidate set, not a pair list. Still no
         # bare-pair distinct of the FULL stream — the gate runs
         # before anything leaves the join stage.
-        m = fp.join(bc(sigs), "vec_id").select(
-            "vec_id", "cell_id", "sub_id", "sig_lo", "sig_hi"
+        # Both pair sides project from m — materialize it once (the
+        # ngram/containment ex-barrier pattern); otherwise the
+        # fp ⋈ sigs attach evaluates once per side of the pair join.
+        m = _materialize(
+            fp.join(bc(sigs), "vec_id").select(
+                "vec_id", "cell_id", "sub_id", "sig_lo", "sig_hi"
+            )
         )
         a = m.select(
             F.col("cell_id"),
@@ -2011,8 +2016,12 @@ def _register_dedup_incremental_semantic() -> None:
         # ~25 min tasks on the hottest sf10 fine cell). Duplicate
         # (new, match) rows from multi-cell co-probing collapse at
         # the candidate DISTINCT (post-ham, so the stream is small).
-        m = fp.join(bc(sigs), "vec_id").select(
-            "vec_id", "cell_id", "sub_id", "sig_lo", "sig_hi"
+        # Materialized once: both the new-side filter and the other
+        # side project from m (ex-barrier pattern).
+        m = _materialize(
+            fp.join(bc(sigs), "vec_id").select(
+                "vec_id", "cell_id", "sub_id", "sig_lo", "sig_hi"
+            )
         )
         new = m.filter(F.col("vec_id") % INCR_NEW_MOD == 0).select(
             F.col("cell_id"),
