@@ -297,6 +297,7 @@ def main() -> None:
     for name in HEADLINE:
         if name not in specs:
             continue
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         df = specs[name].fn(spark, SF_DIR)
         # noop sink: full materialization, no collect/driver cost.
         run = lambda: df.write.format("noop").mode("overwrite").save()
@@ -336,6 +337,7 @@ def main() -> None:
 
         release_pins()
         spark.catalog.clearCache()
+    spark.sparkContext.setJobDescription(None)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # ANN quality next to ANN speed: recall@10 of each approximate tier
