@@ -73,6 +73,17 @@ def main(sf: str = "/root/testdata/sf0.01") -> None:
             df._jdf.queryExecution(), "formatted"
         )
         tree = plan.split("\n\n")[0]
+        # Cap pathological trees: iterative queries (pagerank) nest the
+        # executed AQE history of every pinned InMemoryRelation — 4k+
+        # lines of cache internals that drown the operator shape the
+        # artifact exists to show. The live plan stays asserted by
+        # tests/test_plan_shape.py; the dump is evidence, not data.
+        lines = tree.splitlines()
+        if len(lines) > 400:
+            tree = "\n".join(
+                lines[:400]
+                + [f"... [{len(lines) - 400} lines truncated: cached-relation/AQE internals]"]
+            )
         evidence = [
             ln.strip()
             for ln in plan.splitlines()
