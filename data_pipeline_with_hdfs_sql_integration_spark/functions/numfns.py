@@ -43,6 +43,36 @@ def sql_split_cast_double(expr: str) -> str:
     )
 
 
+def unscaled_split_cast_double(col_name: str, scale: int) -> Column:
+    """Engine-stable double of value = col / 10**scale for a caller that
+    already holds the NONNEGATIVE exact UNSCALED integer (BIGINT or
+    DECIMAL(38,0)) — the unscaled twin of scaled_split_cast_double,
+    byte-for-byte the same arithmetic once that helper has multiplied
+    its decimal input up to the unscaled integer. Used by the
+    long-cents aggregate formulations (see plans/analytics.py): the
+    split, the two exact casts, and the single recombining add + one
+    IEEE division are the identical expression the oracle SQL spells
+    via sql_scaled_split_cast_double, so parity is preserved wherever
+    the integers are exact."""
+    return (
+        F.expr(f"CAST({col_name} div {TWO40} AS DOUBLE)") * TWO40
+        + F.expr(f"CAST({col_name} % {TWO40} AS DOUBLE)")
+    ) / float(10 ** scale)
+
+
+def cent_grid_long(col: Column, scale: int = 2) -> Column:
+    """Exact fixed-point integer of a nonnegative double that lies ON
+    the 10^-scale grid (the generator/TPC-H money invariant: prices are
+    whole cents, discount/tax are whole hundredths, quantities whole
+    units). For grid values |x| <= 2^52 / 10^scale, x * 10^scale lands
+    within a half-ulp of the true integer, so floor(x*10^scale + 0.5)
+    recovers it exactly — no BigDecimal allocation per row, unlike
+    CAST(x AS DECIMAL). NOT equivalent to the decimal cast for values
+    OFF the grid (a true half-way 3rd decimal rounds differently);
+    callers own that domain argument."""
+    return F.floor(col * (10 ** scale) + F.lit(0.5)).cast("long")
+
+
 def scaled_split_cast_double(col_name: str, scale: int) -> Column:
     """Engine-stable double of a nonnegative DECIMAL(p, scale) column.
 

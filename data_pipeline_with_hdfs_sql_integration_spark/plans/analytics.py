@@ -52,50 +52,87 @@ def _sum_dec(col: F.Column, scale: int = 2) -> F.Column:
     doc="TPC-H Q1-shaped pricing summary: scan-heavy 8-aggregate group-by "
     "on a low-cardinality key. Map-side partial aggregation means the "
     "shuffle carries one row per (flag,status) per task regardless of "
-    "fact size. Averages = exact decimal sum / count (order-independent). "
-    "The scale-4/6 sums convert to double via the scaled split-cast "
-    "(numfns): their UNSCALED integers pass 2^53 at sf1 where the "
-    "engines' native decimal→double rounding diverges — caught by the "
-    "round-7 sf1 sweep; the scale-2 sums stay below 2^53 through "
-    "sf~1000 and keep the direct cast.",
+    "fact size. Averages = exact fixed-point sum / count "
+    "(order-independent). The money sums accumulate as exact long "
+    "cent-grid integers (hi/lo split pairs for the wide scale-4/6 "
+    "terms — overflow-safe past sf 10^5) instead of DECIMAL: 2.2x "
+    "faster at sf1, value-identical on the cent-grid data model (r13). "
+    "The scale-4/6 sums convert to double via the split-cast (numfns): "
+    "their UNSCALED integers pass 2^53 at sf1 where the engines' "
+    "native decimal→double rounding diverges — caught by the round-7 "
+    "sf1 sweep; the scale-2 sums stay below 2^53 through sf~100 and "
+    "keep the direct cast.",
     tags=("analytics", "agg"),
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LONG-CENTS formulation (r13, guide §2.3 "narrower types" applied
+    # to the aggregation buffers): the DECIMAL(18,x) sums cost 2.2x the
+    # whole query at sf1 (same-minutes A/B: 3.21-3.88 s decimal vs
+    # 1.57 s long — per-row BigDecimal allocation + Decimal128 adds in
+    # the hash aggregate vs codegen long adds). Money is on the cent
+    # grid by the data-model invariant (TPC-H and the generator emit
+    # whole cents / whole-hundredth rates / whole quantities), so every
+    # per-row term is an EXACT integer:
+    #   qty*100, price_cents                       (scale 2)
+    #   price_cents * (100 - disc_cents)           (scale 4, < 2^31/row)
+    #   ... * (100 + tax_cents)                    (scale 6, < 2^38/row)
+    # The scale-6 term sum could overflow int64 near sf~100, so the two
+    # wide sums accumulate as EXACT hi/lo long pairs split at 2^20
+    # (each part sums past sf 10^5 without overflow) and recombine into
+    # the true unscaled integer in DECIMAL(38,0) on the 6 OUTPUT rows.
+    # From that integer the split-cast double is the byte-identical
+    # expression the oracle computes, so parity is unchanged — verified
+    # value-identical to the decimal formulation field-by-field at sf1
+    # and oracle-green at sf0.001/0.01/0.1/1 (OPTIMIZATION_r13.md);
+    # tests/test_numeric_parity.py pins long==decimal on the fixture.
     apply_runtime_confs(spark)
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    n = F.count("*")
-    sum_qty = _sum_dec(F.col("l_quantity"))
-    sum_price = _sum_dec(F.col("l_extendedprice"))
+    qc = nf.cent_grid_long(F.col("l_quantity"))
+    pc = nf.cent_grid_long(F.col("l_extendedprice"))
+    dc = nf.cent_grid_long(F.col("l_discount"))
+    tc = nf.cent_grid_long(F.col("l_tax"))
+    sd_term = pc * (100 - dc)
+    sc_term = sd_term * (100 + tc)
+    lo_mask = F.lit((1 << 20) - 1)
+    recombine = "cast({h} as decimal(38,0)) * {two20} + cast({l} as decimal(38,0))"
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            sum_qty.alias("sq"),
-            sum_price.alias("sp"),
-            _sum_dec(disc_price, 4).alias("sd"),
-            # charge = 2dp*2dp*2dp -> 6 decimal digits; scale 6 keeps the
-            # decimal sum exact (scale 4 would hit half-way ties that Java
-            # rounds HALF_UP and DuckDB HALF_EVEN).
-            _sum_dec(charge, 6).alias("sc"),
-            n.alias("count_order"),
+            F.sum(qc).alias("sq"),
+            F.sum(pc).alias("sp"),
+            F.sum(F.shiftright(sd_term, 20)).alias("sd_hi"),
+            F.sum(sd_term.bitwiseAND(lo_mask)).alias("sd_lo"),
+            F.sum(F.shiftright(sc_term, 20)).alias("sc_hi"),
+            F.sum(sc_term.bitwiseAND(lo_mask)).alias("sc_lo"),
+            F.count("*").alias("count_order"),
         )
+        .withColumn("sd_u", F.expr(recombine.format(h="sd_hi", l="sd_lo", two20=1 << 20)))
+        .withColumn("sc_u", F.expr(recombine.format(h="sc_hi", l="sc_lo", two20=1 << 20)))
         .select(
             "l_returnflag",
             "l_linestatus",
-            F.col("sq").cast("double").alias("sum_qty"),
-            F.col("sp").cast("double").alias("sum_base_price"),
-            # Scaled split-cast: these sums' unscaled integers cross
-            # 2^53 at sf1, where native decimal→double rounds
-            # differently across engines (numfns docstring).
-            nf.scaled_split_cast_double("sd", 4).alias("sum_disc_price"),
-            nf.scaled_split_cast_double("sc", 6).alias("sum_charge"),
-            (F.col("sq").cast("double") / F.col("count_order"))
+            # sum_qty/sum_base_price: the cent sums stay under 2^53
+            # through sf~100 per group, where long→double is exact and
+            # the single /100.0 is the correctly-rounded value — the
+            # same double the decimal cast produced (verified repr-
+            # identical at sf1; past 2^53 both engines' native
+            # decimal→double forms were already unproven — the scale-2
+            # direct cast keeps the round-7 posture unchanged).
+            (F.col("sq").cast("double") / 100.0).alias("sum_qty"),
+            (F.col("sp").cast("double") / 100.0).alias("sum_base_price"),
+            # Scaled split-cast on the exact unscaled integers: these
+            # sums' unscaled integers cross 2^53 at sf1, where native
+            # decimal→double rounds differently across engines (numfns
+            # docstring). Identical arithmetic to the oracle's
+            # sql_scaled_split_cast_double.
+            nf.unscaled_split_cast_double("sd_u", 4).alias("sum_disc_price"),
+            nf.unscaled_split_cast_double("sc_u", 6).alias("sum_charge"),
+            ((F.col("sq").cast("double") / 100.0) / F.col("count_order"))
             .cast("double")
             .alias("avg_qty"),
-            (F.col("sp").cast("double") / F.col("count_order"))
+            ((F.col("sp").cast("double") / 100.0) / F.col("count_order"))
             .cast("double")
             .alias("avg_price"),
             F.col("count_order"),
@@ -131,12 +168,26 @@ def join_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
     li = load(spark, sf_dir, "lineitem")
-    revenue = _sum_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    # Long-cents revenue (r13, same rewrite as agg_pricing_summary):
+    # price_cents * (100 - disc_cents) is the exact scale-4 unscaled
+    # integer per row; a group is one ORDER (<= 7 lineitems), so the
+    # plain long sum stays under 2^36 — exact at every scale, where
+    # DECIMAL(18,4) itself would overflow first. double(S)/1e4 is the
+    # correctly-rounded value (S < 2^53 always), identical to the
+    # oracle's decimal→double cast. §2.3 pre-aggregation below the join
+    # was considered and DECLINED: the BUILDING-segment join prunes ~4/5
+    # of lineitem before the aggregate; aggregating first would do 5x
+    # the aggregation work to save nothing (the join output feeds a
+    # map-side partial aggregate already).
+    revenue = F.sum(
+        nf.cent_grid_long(F.col("l_extendedprice"))
+        * (100 - nf.cent_grid_long(F.col("l_discount")))
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(revenue.cast("double").alias("revenue"))
+        .agg((revenue.cast("double") / 10000.0).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)

@@ -1446,6 +1446,16 @@ def _register_dedup_embedding_lsh() -> None:
         # vectors), full vectors ~520 B (broadcastable to ~100k). Past
         # those, fall back to plain equi-joins — AQE plans the shuffle
         # and Catalyst may still auto-broadcast off real stats.
+        #
+        # The split sig-first/vectors-later attach order is LOAD-BEARING
+        # (re-proven r13): a combined sig+vector+norm attach (2 joins
+        # instead of 4) measured 1.6x SLOWER at sf1 (4.51 s vs 2.81 s
+        # same-minutes) — every candidate pair drags a ~560 B vector row
+        # through the stream before the hamming gate can kill it; the
+        # same mechanism as round 12's reverted in-stage gate. A
+        # codegen-unrolled 64-term dot was also tried: bit-identical but
+        # 3.5x slower (blows the JIT method budget; the interpreted HOF
+        # fold is not the bottleneck anyway — see OPTIMIZATION_r13.md).
         b_sig = F.broadcast if n <= 5_000_000 else (lambda df: df)
         b_vec = F.broadcast if n <= 100_000 else (lambda df: df)
         # Hamming prefilter before the exact fold (see _emb_lsh_ham_max):
