@@ -115,7 +115,7 @@ def broadcast_gate(sf_dir: str, name: str, limit_bytes: int = 64 << 20):
     return lambda df: df
 
 
-def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_parallel(spark: SparkSession, sf_dir: str, name: str, key: str | None = None) -> DataFrame:
     """Scan with enough splits to keep every core busy.
 
     Per-row CPU-bound work (token/shingle hashing, vector math) on a
@@ -126,6 +126,14 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     repartition would shuffle the whole input for nothing. The split
     count comes from the driver-side file listing (no job, no
     plan-to-RDD hop); only non-local paths fall back to asking Spark.
+
+    ``key``: hash-partition the spread by this high-cardinality column
+    instead of round-robin (guide §2.4 — two operations keyed the same
+    way share one exchange): a caller whose downstream groupings are
+    all keyed by ``key`` (or supersets of it) rides this single
+    exchange end-to-end. Same small-input-only guard; at scale the
+    scan-native layout is kept either way and downstream operators
+    plan their own exchanges exactly as before.
     """
     df = load(spark, sf_dir, name)
     parallelism = spark.sparkContext.defaultParallelism
@@ -133,7 +141,7 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if splits < 0:
         splits = df.rdd.getNumPartitions()
     if splits < parallelism:
-        df = df.repartition(parallelism)
+        df = df.repartition(parallelism, key) if key else df.repartition(parallelism)
     return df
 
 

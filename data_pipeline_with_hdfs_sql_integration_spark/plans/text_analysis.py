@@ -893,8 +893,18 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "training"),
 )
 def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import memo_persist
+
     apply_runtime_confs(spark)
-    docs = load_parallel(spark, sf_dir, "documents")
+    # ONE hash(doc_id) exchange serves every doc-keyed operator
+    # (guide §2.4, the window_weighted_median pattern): the small-input
+    # CPU spread is keyed by doc_id instead of round-robin, so the
+    # (doc_id, a, b) grouping (partitioning key ⊆ grouping keys) AND
+    # the final per-doc score grouping both reuse it — the r12 plan
+    # paid separate exchanges for each. At scale the spread is a no-op
+    # (scan-native splits) and those exchanges come back, exactly as
+    # before — the rewrite removes local fixed cost, not scale cost.
+    docs = load_parallel(spark, sf_dir, "documents", key="doc_id")
     toks = docs.select("doc_id", tf.tokens(F.col("text")).alias("t")).filter(
         F.size("t") >= 2
     )
@@ -904,20 +914,29 @@ def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get(F.col("t"), i).alias("a"), F.get(F.col("t"), i + 1).alias("b")
         ),
     )
-    from pyspark.storagelevel import StorageLevel
-
     # Persist the per-doc bigram multiset — the SMALLEST relation that
     # still determines everything downstream: corpus bigram counts are
     # sum(k) over it, first-token totals are sum over those, so one
     # tokenize+explode pass feeds all three aggregates instead of three
-    # full lineage re-runs.
-    dg = (
-        toks.select("doc_id", F.explode(pairs).alias("g"))
+    # full lineage re-runs. memo_persist (not a bare .persist): one
+    # cached copy per session however often the query is constructed
+    # (ADVICE r12).
+    dg = memo_persist(
+        spark,
+        ("lm_bigram_dg", sf_dir),
+        lambda: toks.select("doc_id", F.explode(pairs).alias("g"))
         .groupBy("doc_id", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("k"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.count(F.lit(1)).alias("k")),
     )
-    cab = dg.groupBy("a", "b").agg(F.sum("k").alias("cab"))
+    # cab feeds BOTH the LM numerator and (re-aggregated) the per-first-
+    # token denominator; without a barrier Catalyst evaluates the
+    # vocab^2 aggregate twice (r13 plan: two identical Exchange+
+    # HashAggregate subtrees over the dg cache).
+    cab = memo_persist(
+        spark,
+        ("lm_bigram_cab", sf_dir),
+        lambda: dg.groupBy("a", "b").agg(F.sum("k").alias("cab")),
+    )
     ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
     p = cab.join(ca, "a").select(
         "a", "b", F.expr("cab * 1000000L div ca").alias("p_ppm")
