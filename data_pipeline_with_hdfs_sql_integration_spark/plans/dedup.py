@@ -1837,10 +1837,18 @@ def _register_dedup_semantic() -> None:
         # Both pair sides project from m — materialize it once (the
         # ngram/containment ex-barrier pattern); otherwise the
         # fp ⋈ sigs attach evaluates once per side of the pair join.
-        m = _materialize(
-            fp.join(bc(sigs), "vec_id").select(
+        # memo_persist, not a bare persist (ADVICE r12): repeated query
+        # construction in one session reuses ONE cached copy instead of
+        # stacking pinned duplicates; the same frame (identical
+        # projection, P=3 gate) also serves dedup_incremental_semantic.
+        from data_pipeline_with_hdfs_sql_integration_spark.catalog import memo_persist
+
+        m = memo_persist(
+            spark,
+            ("semantic_m", sf_dir),
+            lambda: fp.join(bc(sigs), "vec_id").select(
                 "vec_id", "cell_id", "sub_id", "sig_lo", "sig_hi"
-            )
+            ),
         )
         a = m.select(
             F.col("cell_id"),
@@ -2027,11 +2035,18 @@ def _register_dedup_incremental_semantic() -> None:
         # (new, match) rows from multi-cell co-probing collapse at
         # the candidate DISTINCT (post-ham, so the stream is small).
         # Materialized once: both the new-side filter and the other
-        # side project from m (ex-barrier pattern).
-        m = _materialize(
-            fp.join(bc(sigs), "vec_id").select(
+        # side project from m (ex-barrier pattern). memo_persist under
+        # the SAME key as dedup_semantic's m — the frames are
+        # identical, so within one session the two queries share one
+        # cached copy (ADVICE r12: no pinned duplicates per construction).
+        from data_pipeline_with_hdfs_sql_integration_spark.catalog import memo_persist
+
+        m = memo_persist(
+            spark,
+            ("semantic_m", sf_dir),
+            lambda: fp.join(bc(sigs), "vec_id").select(
                 "vec_id", "cell_id", "sub_id", "sig_lo", "sig_hi"
-            )
+            ),
         )
         new = m.filter(F.col("vec_id") % INCR_NEW_MOD == 0).select(
             F.col("cell_id"),
@@ -2882,8 +2897,15 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix build, and the container index) — materialize the bare
     # (id, hash) pairs once, exactly like dedup_ngram_jaccard's ex
     # barrier (the generator's child otherwise re-evaluates per
-    # consumer).
-    ex = _materialize(sh.select("doc_id", F.explode("sh").alias("s")))
+    # consumer). memo_persist so repeated construction in a long
+    # session reuses one cached copy (ADVICE r12).
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import memo_persist
+
+    ex = memo_persist(
+        spark,
+        ("containment_ex", sf_dir),
+        lambda: sh.select("doc_id", F.explode("sh").alias("s")),
+    )
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     pref = (

@@ -149,7 +149,15 @@ def udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         vv = v.to_numpy()
         order = np.argsort(vv, kind="stable")
-        cum = w.to_numpy().astype("int64", copy=False)[order].cumsum()
+        wv = w.to_numpy()
+        # Fail loud on null/NaN weights (ADVICE r12): np.astype('int64')
+        # on NaN is undefined-garbage where the old pandas
+        # Series.astype raised — keep malformed input an error, not a
+        # silently wrong median. isnan on an integer-typed buffer is
+        # impossible, so guard only the float case.
+        if wv.dtype.kind == "f" and np.isnan(wv).any():
+            raise ValueError("wmedian: null/NaN weight in group")
+        cum = wv.astype("int64", copy=False)[order].cumsum()
         tot = int(cum[-1])
         # first index where 2*cum >= tot == searchsorted on the
         # nondecreasing doubled cumulative (weights are positive).

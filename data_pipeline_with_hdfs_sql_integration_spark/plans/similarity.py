@@ -1252,7 +1252,14 @@ def pq_index_store(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
 )
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    e = _vecs(spark, sf_dir)
+    # Scan-native vector read (r13): every consumer of e here is either
+    # a single-vector lookup (query subvectors, the rerank q) or the
+    # 300-candidate rerank probe — none does per-row corpus math, so
+    # the _vecs CPU-spread exchange only added three RoundRobin
+    # shuffles (one of them moving exactly ONE row) to the timed path.
+    # The parallel scan that matters — the ADC pass — reads the codes
+    # store, not e.
+    e = _vecs_scan(spark, sf_dir)
     cent1, enc = pq_index_store(spark, sf_dir)
     # Query-side subvectors come from the ONE query vector — the full
     # corpus is never re-sliced at query time.

@@ -566,7 +566,10 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("word", "bits")))
         ).alias("bm")
     )
-    probed = probes.join(F.broadcast(bloom_map))
+    # Explicit crossJoin (ADVICE r12): this is an intentional 1-row
+    # broadcast attach, not an accidental cartesian — crossJoin says so
+    # and keeps working if spark.sql.crossJoin.enabled is ever tightened.
+    probed = probes.crossJoin(F.broadcast(bloom_map))
     all_set = F.lit(True)
     for a, b in _bloom_params():
         pos = ((F.lit(a) * F.col("k") + F.lit(b)) % tf.MOD) % BLOOM_BITS
