@@ -303,6 +303,7 @@ def main() -> None:
 
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     passes: dict[str, list[float]] = {}
+    cold_s: dict[str, float] = {}
     for name in HEADLINE:
         if name not in specs:
             continue
@@ -333,6 +334,26 @@ def main() -> None:
             ps.append(_time(run))
         passes[name] = [round(p, 4) for p in ps]
         timings[name] = min(ps)
+        # Cold-pass honesty column (r13, VERDICT r12 item 8): for a
+        # query whose warm number rides persisted intermediates, also
+        # record ONE pass with every cache dropped — the true
+        # first-execution cost, the number that matters when the
+        # MEMORY_AND_DISK re-read is not free. Detection is exact:
+        # the session's CacheManager is non-empty iff this query
+        # persisted something (the loop clears it between queries).
+        # Derived on-disk stores stay warm — their build cost is
+        # already separated into store_build_s. Additive only: the
+        # one-line JSON and the warm `queries` map are unchanged.
+        if os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") != "0" and not (
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        ):
+            from data_pipeline_with_hdfs_sql_integration_spark.operators.global_rank import (
+                release_pins,
+            )
+
+            release_pins()
+            spark.catalog.clearCache()
+            cold_s[name] = round(_time(run), 4)
         # Queries persist intermediates and (by design) never unpersist
         # — across 79 queries the leftovers accumulate into eviction/GC
         # churn that slowed the whole round-5 session ~31%. Clearing
@@ -420,6 +441,10 @@ def main() -> None:
         "sf": sf_val,
         "cache_speedup": speedup,
         "ann_recall_at_10": recalls,
+        # One cache-dropped pass per persist-using query (r13): the
+        # warm min above reports steady-state cost; this column is the
+        # first-execution cost including every persist rebuild.
+        "cold_s": cold_s,
         # Cold derived-store build seconds (empty when /tmp was warm):
         # localizes any "query X got slower" to "no — its store rebuilt".
         "store_build_s": dict(catalog.STORE_BUILD_TIMES),
