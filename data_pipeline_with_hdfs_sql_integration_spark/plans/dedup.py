@@ -255,6 +255,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import broadcast_gate
+
     apply_runtime_confs(spark)
     t = JACCARD_THRESHOLD
     # PPJoin proper: order every shingle set by GLOBAL document
@@ -314,8 +316,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb"))
+    # Verify-side attach is BROADCAST below a size gate (r13 sf1
+    # finding): as shuffle joins, the two attaches re-hash the pair set
+    # by doc_a then doc_b — and template-heavy corpora make pairs/doc
+    # skewed, so a handful of tasks serialize the verify's interpreted
+    # array_intersect CPU (bytes-uniform to AQE, which splits by size,
+    # not CPU: 37.8M sf1 candidates ran ~3 cores for 112 s). With the
+    # shingle table broadcast, the verify stays on the distinct's
+    # uniform (doc_a, doc_b) partitioning — map-side, skew-free, both
+    # attach builds share one reused exchange: 112 s → 24 s at sf1
+    # (4.6x). Gate note: documents.parquet is compressed text, and the
+    # in-memory shingle arrays run ~20x its on-disk bytes — 16 MB on
+    # disk caps the broadcast near ~300 MB in memory; past that the
+    # shuffle attach returns, exactly the shape it was designed as.
+    bc = broadcast_gate(sf_dir, "documents", 16 << 20)
+    sa = bc(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")))
+    sb = bc(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")))
     pairs = cand.join(sa, "doc_a").join(sb, "doc_b")
     i = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = F.round(i.cast("double") / (F.col("na") + F.col("nb") - i), 6)
@@ -2922,8 +2938,16 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("contained_doc", "container_doc")
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("contained_doc"), F.col("sh").alias("sha_"))
-    b = sh.select(F.col("doc_id").alias("container_doc"), F.col("sh").alias("shb_"))
+    # Same gated-broadcast verify attach as dedup_ngram_jaccard (r13):
+    # keeps the containment verify on the candidate distinct's uniform
+    # partitioning instead of re-hashing the pair set by each doc key
+    # (CPU-skewed under template-heavy corpora, invisible to AQE's
+    # byte-based skew split). See the ngram site for the gate sizing.
+    from data_pipeline_with_hdfs_sql_integration_spark.catalog import broadcast_gate
+
+    bcv = broadcast_gate(sf_dir, "documents", 16 << 20)
+    a = bcv(sh.select(F.col("doc_id").alias("contained_doc"), F.col("sh").alias("sha_")))
+    b = bcv(sh.select(F.col("doc_id").alias("container_doc"), F.col("sh").alias("shb_")))
     cont = F.round(
         F.size(F.array_intersect(F.col("sha_"), F.col("shb_"))).cast("double")
         / F.size(F.col("sha_")),
