@@ -151,9 +151,22 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _token_base(docs: DataFrame) -> DataFrame:
     """(doc_id, th: array<long>) hashed tokens, >= 3 of them — the
     frame worth caching (see _shingle_hashes docstring); NOT persisted
-    here, callers decide."""
-    th = F.transform(tf.tokens(F.col("text")), lambda s: tf.poly_hash_str(s))
-    return docs.select("doc_id", th.alias("th")).filter(F.size("th") >= 3)
+    here, callers decide.
+
+    The length gate filters on the HASH-FREE token count (same
+    predicate: transform preserves array length). r13 finding: written
+    as size(th) >= 3, PushDownPredicates walks the filter below
+    _docs_parallel's round-robin exchange and the pushed copy INLINES
+    the per-character hash fold — at sf1 that evaluated the whole
+    corpus's token hashing on the 1-2 raw scan partitions (live thread
+    dumps: one core, ~640 s of task CPU) and then hashed everything
+    again above the exchange. With the count-only predicate the pushed
+    filter costs one split, and the fold runs once, spread across the
+    cluster — which is the entire point of the parallel load."""
+    toks = tf.tokens(F.col("text"))
+    return docs.filter(F.size(toks) >= 3).select(
+        "doc_id", F.transform(toks, lambda s: tf.poly_hash_str(s)).alias("th")
+    )
 
 
 def _sh_select(base: DataFrame) -> DataFrame:
