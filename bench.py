@@ -342,8 +342,17 @@ def main() -> None:
         # the session's CacheManager is non-empty iff this query
         # persisted something (the loop clears it between queries).
         # Derived on-disk stores stay warm — their build cost is
-        # already separated into store_build_s. Additive only: the
-        # one-line JSON and the warm `queries` map are unchanged.
+        # already separated into store_build_s. The query is REBUILT
+        # after the cache drop: every .save() re-optimizes its plan
+        # against the live CacheManager, so re-running the old
+        # DataFrame after clearCache would measure a barrier-less
+        # pathological plan (persist barriers vanish, filters push
+        # back below the parallelizing exchanges — observed 900 s
+        # "cold" passes at sf1 that no real first execution pays);
+        # a fresh construction re-registers the memo barriers and
+        # pays their materialization inside the timed run, exactly
+        # like a user's first query in a new session. Additive only:
+        # the one-line JSON and the warm `queries` map are unchanged.
         if os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") != "0" and not (
             spark._jsparkSession.sharedState().cacheManager().isEmpty()
         ):
@@ -353,7 +362,10 @@ def main() -> None:
 
             release_pins()
             spark.catalog.clearCache()
-            cold_s[name] = round(_time(run), 4)
+            cold_df = specs[name].fn(spark, SF_DIR)
+            cold_s[name] = round(
+                _time(lambda: cold_df.write.format("noop").mode("overwrite").save()), 4
+            )
         # Queries persist intermediates and (by design) never unpersist
         # — across 79 queries the leftovers accumulate into eviction/GC
         # churn that slowed the whole round-5 session ~31%. Clearing

@@ -2921,7 +2921,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    sh = _shingle_hashes(spark, sf_dir).filter(F.size("sh") >= 1)
+    # No size(sh) >= 1 guard (r13): _token_base admits only docs with
+    # >= 3 tokens, so every sh holds >= 1 shingle — the filter was
+    # provably a no-op, and because sh is an EXPRESSION column
+    # (_sh_select over the cached token base), the filter inlined the
+    # whole shingle fold a second time per row (the fold-in-filter
+    # pattern; see _token_base).
+    sh = _shingle_hashes(spark, sf_dir)
     # ex feeds THREE consumers (the frequency aggregate, the ordered
     # prefix build, and the container index) — materialize the bare
     # (id, hash) pairs once, exactly like dedup_ngram_jaccard's ex
